@@ -1,0 +1,3 @@
+from nimrud_tpu.utils import generic, geometry, point_clouds
+
+__all__ = ["generic", "geometry", "point_clouds"]

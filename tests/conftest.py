@@ -1,0 +1,25 @@
+"""
+Test configuration.
+
+Tests run on a simulated 8-device CPU mesh so multi-chip sharding logic is
+exercised without TPU hardware (the driver separately dry-runs the
+multi-chip path; benchmarks run on the real chip).
+
+These environment variables must be set before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(10)
