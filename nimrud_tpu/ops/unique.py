@@ -1,0 +1,59 @@
+"""
+Static-shape sort-based unique for voxel keys.
+
+``jnp.unique`` produces data-dependent shapes and cannot live under jit on
+TPU.  This module implements the dedup the voxel downsample needs with
+fixed shapes: sort, flag segment heads, and scatter the unique keys to the
+front of a same-length buffer, returning a count.  Padding uses
+``packing.PAD_KEY`` (INT32_MAX), which valid keys can never equal because
+the key budget is 30 bits.
+
+TPU-native replacement for the reference's host ``numpy.unique`` dedup
+(reference: nimrud/utils/geometry.py:142-156, nimrud/prototypes/ch.py:1576-1699).
+"""
+
+import jax.numpy as jnp
+
+from nimrud_tpu.ops.packing import PAD_KEY
+
+
+def unique_keys(keys, valid=None):
+    """
+    Deduplicate int32 keys under jit.
+
+    Args:
+      keys:  (N,) int32, values < 2**30.
+      valid: optional (N,) bool; invalid rows are dropped.
+
+    Returns:
+      (unique, count): ``unique`` is (N,) int32 with the sorted unique keys
+      in the first ``count`` slots and PAD_KEY elsewhere.
+    """
+    if valid is not None:
+        keys = jnp.where(valid, keys, PAD_KEY)
+    keys = jnp.sort(keys)
+    head = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), keys[1:] != keys[:-1]])
+    is_unique = head & (keys != PAD_KEY)
+    position = jnp.cumsum(is_unique) - 1
+    # scatter unique keys to the front; non-unique rows aim out of bounds
+    # and are dropped
+    target = jnp.where(is_unique, position, keys.shape[0])
+    out = jnp.full_like(keys, PAD_KEY).at[target].set(keys, mode="drop")
+    return out, is_unique.sum()
+
+
+def unique_voxels(points, spec, valid=None):
+    """
+    Voxel-downsample under jit: encode, dedup, decode.
+
+    Returns ``(centers, count, mask)``: (N, dim) voxel centers (sorted by
+    key, padded rows repeat the grid origin), the live count, and the
+    validity mask.
+    """
+    keys = spec.encode(points)
+    uniq, count = unique_keys(keys, valid=valid)
+    mask = uniq != PAD_KEY
+    # decode pads as key 0 so padded rows hold finite in-grid coordinates
+    centers = spec.decode(jnp.where(mask, uniq, 0))
+    return centers, count, mask

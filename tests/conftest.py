@@ -10,7 +10,7 @@ These environment variables must be set before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +18,18 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import numpy as np
 import pytest
+
+import jax
+
+# Force CPU: this box's sitecustomize registers the remote TPU (axon)
+# backend at interpreter start and overrides JAX_PLATFORMS, so the env var
+# alone is not enough -- the config update after import is authoritative.
+# The TPU has no float64 and every op would be a network round-trip.
+jax.config.update("jax_platforms", "cpu")
+
+# float64 oracles in tests need x64; library code is dtype-explicit and
+# stays float32/int32 regardless
+jax.config.update("jax_enable_x64", True)
 
 
 @pytest.fixture
