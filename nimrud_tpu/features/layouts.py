@@ -1,0 +1,139 @@
+"""
+Feature layouts: turn neighborhood moments into per-scale feature blocks.
+
+Each function maps the frame-independent statistics from
+:mod:`nimrud_tpu.ops.moments` (count, mean, central second moment) to one
+of the reference's multiscale-operator output layouts.  All run under jit
+on device (pure jnp), all define degenerate neighborhoods as zeros.
+
+Layouts (columns per scale):
+  minimal     [population, centroid, eig1, eig2]
+              (reference: nimrud/minimal/features.py, multiscale.py:70-123;
+              eig1 >= eig2 are the two largest eigenvalues of the
+              neighborhood covariance normalized to sum 1)
+  geometric   [density, centroid, eig1, eig2]   (G_MSO,
+              reference: nimrud/prototypes/mso.py:472-548; density =
+              count / sphere volume in cm^3)
+  oriented    [density, centroid, eig_s0, eig_s1, v0x, v0y, v1x, v1y]
+              (OG_MSO, reference: nimrud/prototypes/mso.py:1428-1548;
+              eig_s0 <= eig_s1 are the two *smallest* normalized
+              eigenvalues -- the reference's ascending eigh + argsort[:, :2]
+              keeps the smallest pair -- and v0/v1 are the first two
+              components of their eigenvectors, signs arbitrary)
+  covariance  [density, centroid, sxx, sxy, sxz, syy, syz, szz]
+              (C_MSO, reference: nimrud/prototypes/mso.py:1667-1755; the
+              scatter matrix Sum (p-c)(p-c)^T upper triangle.  The
+              reference wrote it at the wrong column offset, overwriting
+              the centroid -- fixed here per SURVEY.md section 2c)
+  vector      [attr_mean x A]                   (V_MSO,
+              reference: nimrud/prototypes/mso.py:12-173)
+"""
+
+import jax.numpy as jnp
+
+from nimrud_tpu.ops.eigen import eigh3, eigvalsh3
+
+# one million cubic centimeters per cubic meter: the reference reports
+# densities in points per cm^3 (reference: nimrud/prototypes/mso.py:488)
+CM3_PER_M3 = 1.0e6
+
+LAYOUT_WIDTHS = {
+    "minimal": 4,
+    "geometric": 4,
+    "oriented": 8,
+    "covariance": 8,
+}
+
+
+def _centroid_displacement(count, mean, query):
+    """|query - neighborhood mean|; zero for empty neighborhoods."""
+    delta = mean - query
+    norm = jnp.sqrt(jnp.sum(delta * delta, axis=-1))
+    return jnp.where(count > 0, norm, 0.0)
+
+
+def _normalized_eigs(count, cov):
+    """
+    Eigenvalues of the central second moment normalized to sum to one,
+    descending.  Zeros when the neighborhood has fewer than two points or
+    zero total variance (the reference's undefined-feature contract).
+    """
+    vals = eigvalsh3(cov)
+    trace = cov[..., 0] + cov[..., 3] + cov[..., 5]
+    ok = (count >= 2) & (trace > 0)
+    safe = jnp.where(trace > 0, trace, 1.0)
+    return jnp.where(ok[..., None], vals / safe[..., None], 0.0)
+
+
+def sphere_density(count, radius):
+    """Points per cubic centimeter of the spherical neighborhood."""
+    volume = CM3_PER_M3 * (4.0 / 3.0) * jnp.pi * radius ** 3
+    return count / volume
+
+
+def minimal_block(count, mean, cov, query):
+    """(N,) (N,3) (N,6) (N,3) -> (N, 4) [population, centroid, eig1, eig2]."""
+    eigs = _normalized_eigs(count, cov)
+    return jnp.stack([
+        count,
+        _centroid_displacement(count, mean, query),
+        eigs[..., 0],
+        eigs[..., 1],
+    ], axis=-1)
+
+
+def geometric_block(count, mean, cov, query, radius):
+    """G_MSO: [density, centroid, eig1, eig2]."""
+    eigs = _normalized_eigs(count, cov)
+    return jnp.stack([
+        sphere_density(count, radius),
+        _centroid_displacement(count, mean, query),
+        eigs[..., 0],
+        eigs[..., 1],
+    ], axis=-1)
+
+
+def oriented_block(count, mean, cov, query, radius):
+    """
+    OG_MSO: [density, centroid, smallest two normalized eigenvalues
+    (ascending), xy components of their eigenvectors].
+    """
+    vals, vecs = eigh3(cov)                     # descending
+    trace = cov[..., 0] + cov[..., 3] + cov[..., 5]
+    ok = (count >= 2) & (trace > 0)
+    safe = jnp.where(trace > 0, trace, 1.0)
+    norm_vals = jnp.where(ok[..., None], vals / safe[..., None], 0.0)
+    vec_ok = jnp.where(ok[..., None, None], vecs, 0.0)
+    return jnp.stack([
+        sphere_density(count, radius),
+        _centroid_displacement(count, mean, query),
+        norm_vals[..., 2],                      # smallest
+        norm_vals[..., 1],                      # middle
+        vec_ok[..., 2, 0], vec_ok[..., 2, 1],   # smallest eigvec x, y
+        vec_ok[..., 1, 0], vec_ok[..., 1, 1],   # middle eigvec x, y
+    ], axis=-1)
+
+
+def covariance_block(count, mean, cov, query, radius):
+    """C_MSO: [density, centroid, scatter-matrix upper triangle]."""
+    scatter = cov * count[..., None]
+    return jnp.concatenate([
+        jnp.stack([
+            sphere_density(count, radius),
+            _centroid_displacement(count, mean, query),
+        ], axis=-1),
+        scatter,
+    ], axis=-1)
+
+
+def build_block(kind, count, mean, cov, query, radius):
+    """Dispatch on layout kind for the geometry layouts."""
+    if kind == "minimal":
+        return minimal_block(count, mean, cov, query)
+    if kind == "geometric":
+        return geometric_block(count, mean, cov, query, radius)
+    if kind == "oriented":
+        return oriented_block(count, mean, cov, query, radius)
+    if kind == "covariance":
+        return covariance_block(count, mean, cov, query, radius)
+    raise ValueError(f"unknown feature layout {kind!r}")

@@ -1,0 +1,223 @@
+"""
+Multiscale feature extraction driver.
+
+The public entry point is :func:`extract_scaleset`: for each *band*
+``(voxel_edge, radii)`` the search cloud is voxel-downsampled once and all
+of the band's radii share one distance computation (the reference's
+descending-scale reuse, reference: nimrud/prototypes/mso.py:263-366,
+apc.py:514-518).  Features for every radius are concatenated left to
+right, bands in caller order.
+
+TPU design notes:
+  * all shapes padded to static buckets (powers of two) so jit compiles a
+    small, reusable set of kernels;
+  * query points are processed in spatially coherent chunks -- the driver
+    sorts them by voxel key and restores order on the way out -- keeping
+    fp32 arithmetic centered and small;
+  * the dense masked-moment kernel is O(|query| x |search-voxels|); large
+    clouds are tiled above this layer (nimrud_tpu.parallel /
+    workflows) exactly as the reference partitioned before calling its
+    MSO chains.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nimrud_tpu.features import layouts
+from nimrud_tpu.ops import moments, packing, unique
+from nimrud_tpu.utils.geometry import VoxelFilter
+
+# cap on query-chunk x search pairs per kernel invocation (fp32 elements)
+PAIRS_BUDGET = 1 << 24
+
+KINDS = ("minimal", "geometric", "oriented", "covariance", "vector")
+
+
+def _pow2_bucket(n, minimum=128):
+    bucket = minimum
+    while bucket < n:
+        bucket *= 2
+    return bucket
+
+
+def _pad_rows_f32(array, target):
+    n = array.shape[0]
+    if n == target:
+        return np.ascontiguousarray(array, dtype=np.float32)
+    out = np.zeros((target,) + array.shape[1:], dtype=np.float32)
+    out[:n] = array
+    if n:
+        out[n:] = array[-1]
+    return out
+
+
+def _effective_chunk(chunk_size, n_search_padded):
+    """
+    Power-of-two chunk no larger than ``chunk_size`` keeping the
+    chunk x search distance block within the pairs budget.  Power of two
+    so it always divides the (chunk_size-multiple) padded query length.
+    """
+    chunk = min(chunk_size, max(64, PAIRS_BUDGET // max(n_search_padded, 1)))
+    out = 64
+    while out * 2 <= chunk:
+        out *= 2
+    return out
+
+
+def voxel_downsample(search, edge, attributes=None,
+                     interp_metric="chebyshev"):
+    """
+    Voxel-downsample a search cloud at ``edge``, optionally interpolating
+    per-point attributes onto the voxel centers (masked mean within
+    ``edge`` of each center -- the reference's vec_field_interp,
+    reference: nimrud/prototypes/mso.py:178-257).
+
+    Returns ``(centers, attrs)`` as NumPy arrays (attrs None if not given).
+    Uses the int32 device path when the grid fits the 30-bit key budget,
+    else the host 64-bit VoxelFilter.
+    """
+    search = np.asarray(search, dtype=np.float32)
+    try:
+        spec = packing.GridSpec.fit(search, edge)
+    except ValueError:
+        spec = None
+
+    if spec is not None:
+        padded = _pad_rows_f32(search, _pow2_bucket(search.shape[0]))
+        valid = np.zeros(padded.shape[0], dtype=bool)
+        valid[:search.shape[0]] = True
+        centers, count, _ = unique.unique_voxels(
+            jnp.asarray(padded), spec, valid=jnp.asarray(valid))
+        centers = np.asarray(centers)[:int(count)]
+    else:
+        vf = VoxelFilter(search.astype(np.float64), edge)
+        centers = vf.unique_voxels(search.astype(np.float64)) \
+            .astype(np.float32)
+
+    if attributes is None:
+        return centers, None
+
+    attributes = np.asarray(attributes, dtype=np.float32)
+    n_centers = centers.shape[0]
+    c_bucket = _pow2_bucket(n_centers)
+    s_bucket = _pow2_bucket(search.shape[0])
+    centers_padded = _pad_rows_f32(centers, c_bucket)
+    search_padded = _pad_rows_f32(search, s_bucket)
+    attrs_padded = _pad_rows_f32(attributes, s_bucket)
+    valid = np.zeros(s_bucket, dtype=bool)
+    valid[:search.shape[0]] = True
+    got = moments.multiscale_moments(
+        jnp.asarray(centers_padded), jnp.asarray(search_padded),
+        jnp.asarray(valid), (float(edge),),
+        attributes=jnp.asarray(attrs_padded),
+        chunk_size=_effective_chunk(256, s_bucket),
+        metric=interp_metric)
+    center_attrs = np.asarray(got["attr_mean"])[:n_centers, 0, :]
+    return centers, center_attrs
+
+
+def _band_features(query_padded, n_query, search, kind, edge, radii,
+                   attributes, exclude_radius, chunk_size):
+    """Features for one (edge, radii) band.  Query already padded/sorted."""
+    if edge and edge > 0:
+        if kind == "vector":
+            centers, attrs = voxel_downsample(search, edge, attributes)
+        else:
+            centers, attrs = voxel_downsample(search, edge)
+    else:
+        centers = np.asarray(search, dtype=np.float32)
+        attrs = None if attributes is None \
+            else np.asarray(attributes, dtype=np.float32)
+
+    s_bucket = _pow2_bucket(centers.shape[0])
+    search_padded = _pad_rows_f32(centers, s_bucket)
+    valid = np.zeros(s_bucket, dtype=bool)
+    valid[:centers.shape[0]] = True
+
+    kwargs = dict(
+        chunk_size=_effective_chunk(chunk_size, s_bucket),
+        exclude_radius=exclude_radius)
+    if kind == "vector":
+        kwargs["attributes"] = jnp.asarray(_pad_rows_f32(attrs, s_bucket))
+
+    got = moments.multiscale_moments(
+        jnp.asarray(query_padded), jnp.asarray(search_padded),
+        jnp.asarray(valid), tuple(radii), **kwargs)
+
+    blocks = []
+    for ri, radius in enumerate(radii):
+        if kind == "vector":
+            block = got["attr_mean"][:, ri, :]
+        else:
+            block = layouts.build_block(
+                kind, got["count"][:, ri], got["mean"][:, ri],
+                got["cov"][:, ri], jnp.asarray(query_padded), float(radius))
+        blocks.append(np.asarray(block)[:n_query])
+    return np.concatenate(blocks, axis=1)
+
+
+def extract_scaleset(query, search, scaleset, kind="geometric", *,
+                     attributes=None, exclude_radius=None,
+                     chunk_size=1024, sort_queries=True):
+    """
+    Multiscale features for every query point.
+
+    Args:
+      query:     (N, >=3) array; only XYZ is used.
+      search:    (M, >=3) array; only XYZ is used.
+      scaleset:  sequence of ``(voxel_edge, radii)`` bands.  ``voxel_edge``
+                 of 0 skips downsampling for that band.  Radii are
+                 processed in the given order (the reference uses
+                 descending).
+      kind:      one of minimal / geometric / oriented / covariance /
+                 vector (see nimrud_tpu.features.layouts).
+      attributes: (M, A) per-search-point attribute vectors, required for
+                 kind="vector".
+      exclude_radius: drop search points closer than this to the query
+                 (legacy self-exclusion semantics).
+      chunk_size: query rows per kernel step (auto-shrunk for big bands).
+      sort_queries: process queries in voxel-key order for fp32 locality
+                 (output order is always the caller's).
+
+    Returns:
+      (N, total_width) float32 feature array aligned with ``query``.
+    """
+    if kind not in KINDS:
+        raise ValueError(f"kind must be one of {KINDS}, got {kind!r}")
+    if kind == "vector" and attributes is None:
+        raise ValueError("kind='vector' requires attributes")
+    chunk_size = _pow2_bucket(chunk_size, minimum=64)
+
+    query = np.asarray(query, dtype=np.float32)[:, :3]
+    search = np.asarray(search, dtype=np.float32)[:, :3]
+    n_query = query.shape[0]
+    scaleset = [(float(edge), tuple(float(r) for r in radii))
+                for edge, radii in scaleset]
+
+    order = None
+    if sort_queries and n_query > 1:
+        finest = min(edge for edge, _ in scaleset if edge > 0) \
+            if any(edge > 0 for edge, _ in scaleset) \
+            else min(min(radii) for _, radii in scaleset)
+        vf = VoxelFilter(query.astype(np.float64), max(finest, 1e-6))
+        order = np.argsort(
+            vf.coordinate_to_address(query.astype(np.float64)),
+            kind="stable")
+        query = query[order]
+
+    q_bucket = max(
+        ((n_query + chunk_size - 1) // chunk_size) * chunk_size, chunk_size)
+    query_padded = _pad_rows_f32(query, q_bucket)
+
+    bands = [
+        _band_features(query_padded, n_query, search, kind, edge, radii,
+                       attributes, exclude_radius, chunk_size)
+        for edge, radii in scaleset
+    ]
+    features = np.concatenate(bands, axis=1)
+
+    if order is not None:
+        inverse = np.empty_like(order)
+        inverse[order] = np.arange(n_query)
+        features = features[inverse]
+    return features

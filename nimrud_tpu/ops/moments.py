@@ -42,7 +42,8 @@ def _augment(points, attributes=None):
 
 
 def chunk_moments(query_chunk, search, search_valid, radii,
-                  attributes=None, exclude_radius=None):
+                  attributes=None, exclude_radius=None,
+                  metric="euclidean"):
     """
     Moments of every search neighborhood of one query chunk, per radius.
 
@@ -56,6 +57,10 @@ def chunk_moments(query_chunk, search, search_valid, radii,
       exclude_radius: if set, search points strictly closer than this to
                     the query are excluded (legacy G_MSO self-exclusion,
                     reference: nimrud/prototypes/ch.py:1054-1055).
+      metric:       "euclidean" (matmul distance) or "chebyshev" (per-axis
+                    broadcast compare, used for attribute interpolation
+                    onto voxel centers; reference supports both in
+                    nimrud/prototypes/ch.py:208-252).
 
     Returns:
       dict of arrays, each (Q, n_radii, ...):
@@ -70,15 +75,22 @@ def chunk_moments(query_chunk, search, search_valid, radii,
     q = query_chunk - center
     s = search - center
 
-    # Precision.HIGHEST: the TPU MXU truncates f32 operands to bf16 by
-    # default, which perturbs distances near the radius boundary and loses
-    # ~3 digits of the second moments.  HIGHEST keeps f32-faithful results
-    # (multi-pass on the MXU); no-op on CPU.
-    d2 = (jnp.sum(q * q, axis=1)[:, None]
-          + jnp.sum(s * s, axis=1)[None, :]
-          - 2.0 * jnp.dot(q, s.T, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST))
-    d2 = jnp.maximum(d2, 0.0)
+    if metric == "euclidean":
+        # Precision.HIGHEST: the TPU MXU truncates f32 operands to bf16 by
+        # default, which perturbs distances near the radius boundary and
+        # loses ~3 digits of the second moments.  HIGHEST keeps
+        # f32-faithful results (multi-pass on the MXU); no-op on CPU.
+        d2 = (jnp.sum(q * q, axis=1)[:, None]
+              + jnp.sum(s * s, axis=1)[None, :]
+              - 2.0 * jnp.dot(q, s.T, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST))
+        d2 = jnp.maximum(d2, 0.0)
+    elif metric == "chebyshev":
+        cheby = jnp.max(
+            jnp.abs(q[:, None, :] - s[None, :, :]), axis=-1)
+        d2 = cheby * cheby
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
 
     base = search_valid[None, :]
     if exclude_radius is not None:
@@ -117,9 +129,11 @@ def chunk_moments(query_chunk, search, search_valid, radii,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radii", "chunk_size", "exclude_radius", "has_attr"))
+    static_argnames=(
+        "radii", "chunk_size", "exclude_radius", "has_attr", "metric"))
 def _multiscale_moments_impl(query, search, search_valid, attributes,
-                             radii, chunk_size, exclude_radius, has_attr):
+                             radii, chunk_size, exclude_radius, has_attr,
+                             metric):
     n_query = query.shape[0]
     n_chunks = n_query // chunk_size
     q_chunks = query.reshape(n_chunks, chunk_size, 3)
@@ -128,7 +142,7 @@ def _multiscale_moments_impl(query, search, search_valid, attributes,
     def body(q_chunk):
         return chunk_moments(
             q_chunk, search, search_valid, radii,
-            attributes=attr, exclude_radius=exclude_radius)
+            attributes=attr, exclude_radius=exclude_radius, metric=metric)
 
     stacked = jax.lax.map(body, q_chunks)
     return {key: value.reshape((n_query,) + value.shape[2:])
@@ -137,7 +151,7 @@ def _multiscale_moments_impl(query, search, search_valid, attributes,
 
 def multiscale_moments(query, search, search_valid, radii, *,
                        attributes=None, chunk_size=256,
-                       exclude_radius=None):
+                       exclude_radius=None, metric="euclidean"):
     """
     Chunked driver over the whole query set (jit, static shapes).
 
@@ -156,4 +170,4 @@ def multiscale_moments(query, search, search_valid, radii, *,
         query, search, search_valid, attributes,
         tuple(float(r) for r in radii), int(chunk_size),
         None if exclude_radius is None else float(exclude_radius),
-        has_attr)
+        has_attr, metric)
