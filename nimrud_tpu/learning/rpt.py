@@ -1,0 +1,246 @@
+"""
+Random-projection-tree ensemble classifier with batched XLA inference.
+
+Capability parity with the reference's from-scratch ensemble
+(reference: nimrud/prototypes/ml.py:11-429; method from Dasgupta & Freund
+2008): each tree trains on a disjoint class-balanced subset; cells split on
+a random unit projection at a jittered median until gini impurity or
+population thresholds; test points walk down, dead (training-empty) leaves
+back off to their parent branch; per-tree (gini, class proportions) combine
+by impurity-weighted mean ('wmean') or weighted max ('wmax').
+
+TPU-first redesign: fitting is a tiny host-side recursion (training
+subsets are small by construction), but the fitted forest is *flattened
+into arrays* -- per tree a sorted branch-code table with split value,
+projection vector, gini and proportions per node -- and ``predict_proba``
+runs as one jitted level-synchronous walk: every test point advances one
+level per step via a searchsorted lookup + gathered projection, all trees
+and all points in parallel.  No Python recursion at inference time.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# branch codes carry one bit per level plus the root bit; int32 tables
+# require depth < 31.  The reference had no cap (Python recursion only);
+# depth 30 is unreachable for real data with min_obs >= 2.
+MAX_DEPTH = 30
+
+_LEAF = np.float32(np.inf)
+
+
+class RPTEnsemble:
+    """
+    sklearn-style API: ``fit``, ``predict``, ``predict_proba``,
+    ``predict_and_proba``, ``set_params``.
+
+    Parameters (matching the reference's kwargs):
+      d_func:       'wmean' (impurity-weighted mean of proportions) or
+                    'wmax' (max of weighted proportions).
+      n_estimators: trees in the ensemble.
+      impurity:     gini threshold to stop splitting; a float, or a
+                    (lo, hi) tuple to randomize per tree.
+      min_obs:      minimum training samples in a branch.
+      onepass:      test observations evaluated per device batch.
+      seed:         RNG seed for reproducible fits.
+    """
+
+    def __init__(self, d_func="wmean", n_estimators=10, impurity=0.2,
+                 min_obs=20, onepass=10000, seed=None):
+        self.d_func = d_func
+        self.n_estimators = n_estimators
+        self.impurity = impurity
+        self.min_obs = min_obs
+        self.onepass = onepass
+        self.seed = seed
+        self._tables = None
+
+    def set_params(self, **kwargs):
+        for key in ("d_func", "n_estimators", "impurity", "min_obs",
+                    "onepass", "seed"):
+            if key in kwargs:
+                setattr(self, key, kwargs[key])
+        return self
+
+    # -- fitting (host) -----------------------------------------------------
+
+    def fit(self, data, labels):
+        data = np.asarray(data, dtype=np.float64)
+        labels = np.asarray(labels).astype(np.int64)
+        assert labels.size == data.shape[0], \
+            "training set and label set do not match!"
+        self.numlabs = int(labels.max() + 1)
+        self.dim = data.shape[1]
+        rng = np.random.RandomState(self.seed)
+
+        # class-balanced disjoint subsets: shuffle each class's indices,
+        # split the smallest class's population across the trees
+        index = np.arange(data.shape[0])
+        per_class = [index[labels == c] for c in range(self.numlabs)]
+        for rows in per_class:
+            rng.shuffle(rows)
+        min_pop = min(rows.size for rows in per_class)
+        per_tree = min_pop // self.n_estimators
+        if per_tree < 1:
+            raise ValueError(
+                f"smallest class has {min_pop} samples; cannot build "
+                f"{self.n_estimators} balanced trees")
+        perm = rng.permutation(min_pop)
+
+        trees = []
+        for n in range(self.n_estimators):
+            chosen = perm[n * per_tree:(n + 1) * per_tree]
+            rows = np.concatenate([rows.take(chosen) for rows in per_class])
+            if isinstance(self.impurity, tuple):
+                impurity = max(self.impurity) \
+                    - rng.rand() * min(self.impurity)
+            else:
+                impurity = self.impurity
+            rules = {}
+            self._grow(data.take(rows, axis=0), labels.take(rows),
+                       tag=1, impurity=impurity, rng=rng, rules=rules,
+                       depth=0)
+            trees.append(rules)
+        self.trees_ = trees
+        self._tables = self._flatten(trees)
+        return self
+
+    def _grow(self, data, labels, tag, impurity, rng, rules, depth):
+        """Recursively grow one tree into a {branch_code: node} dict."""
+        num = data.shape[0]
+        proportions = np.array(
+            [(labels == c).sum() for c in range(self.numlabs)],
+            dtype=np.float64) / num
+        gini = 1.0 - (proportions ** 2).sum()
+
+        if gini <= impurity or num <= self.min_obs or depth >= MAX_DEPTH:
+            rules[tag] = (_LEAF, np.zeros(self.dim), gini, proportions)
+            return
+
+        vec = rng.rand(self.dim)
+        vec /= np.linalg.norm(vec)
+        projection = data @ vec
+        split = np.median(projection)
+        # jitter the median by the cell diameter (Dasgupta-Freund rule)
+        anchor = data[rng.randint(num)]
+        diameter = np.linalg.norm(data - anchor, axis=1).max()
+        split += (rng.rand() - 0.5) * 12 * diameter / np.sqrt(self.dim)
+
+        rules[tag] = (split, vec, gini, proportions)
+        left = projection <= split
+        if left.any():
+            self._grow(data[left], labels[left], tag << 1,
+                       impurity, rng, rules, depth + 1)
+        right = ~left
+        if right.any():
+            self._grow(data[right], labels[right], (tag << 1) | 1,
+                       impurity, rng, rules, depth + 1)
+
+    def _flatten(self, trees):
+        """Pack the rule dicts into padded per-tree device tables."""
+        n_nodes = max(len(rules) for rules in trees)
+        n_trees = len(trees)
+        tags = np.full((n_trees, n_nodes), np.iinfo(np.int32).max,
+                       dtype=np.int32)
+        splits = np.full((n_trees, n_nodes), np.inf, dtype=np.float32)
+        vecs = np.zeros((n_trees, n_nodes, self.dim), dtype=np.float32)
+        ginis = np.zeros((n_trees, n_nodes), dtype=np.float32)
+        props = np.zeros((n_trees, n_nodes, self.numlabs), dtype=np.float32)
+        depth = 0
+        for t, rules in enumerate(trees):
+            for i, code in enumerate(sorted(rules)):
+                split, vec, gini, prop = rules[code]
+                tags[t, i] = code
+                splits[t, i] = split
+                vecs[t, i] = vec
+                ginis[t, i] = gini
+                props[t, i] = prop
+                depth = max(depth, int(code).bit_length() - 1)
+        self.max_depth_ = depth
+        return {
+            "tags": jnp.asarray(tags),
+            "splits": jnp.asarray(splits),
+            "vecs": jnp.asarray(vecs),
+            "ginis": jnp.asarray(ginis),
+            "props": jnp.asarray(props),
+        }
+
+    # -- inference (device) ---------------------------------------------------
+
+    def predict_proba(self, data):
+        data = np.asarray(data, dtype=np.float32)
+        assert data.shape[1] == self.dim, \
+            "test data do not match training data dimensions!"
+        out = []
+        for start in range(0, data.shape[0], self.onepass):
+            chunk = jnp.asarray(data[start:start + self.onepass])
+            out.append(np.asarray(_ensemble_proba(
+                self._tables["tags"], self._tables["splits"],
+                self._tables["vecs"], self._tables["ginis"],
+                self._tables["props"], chunk,
+                self.max_depth_, self.d_func)))
+        return np.concatenate(out, axis=0)
+
+    def predict(self, data):
+        return self.predict_proba(data).argmax(axis=1)
+
+    def predict_and_proba(self, data):
+        proba = self.predict_proba(data)
+        return proba.argmax(axis=1), proba
+
+
+def _walk_one_tree(tags, splits, vecs, ginis, props, data, max_depth):
+    """
+    Level-synchronous walk of one flattened tree for a batch of points.
+    Returns (gini, proportions) per point.
+    """
+    n_nodes = tags.shape[0]
+    batch = data.shape[0]
+    tag = jnp.ones(batch, dtype=jnp.int32)
+    done = jnp.zeros(batch, dtype=bool)
+    node = jnp.zeros(batch, dtype=jnp.int32)
+
+    def level(_, carry):
+        tag, done, node = carry
+        pos = jnp.clip(jnp.searchsorted(tags, tag), 0, n_nodes - 1)
+        found = tags[pos] == tag
+        # dead leaf (unrepresented in training): back off to the parent
+        # branch and use its statistics (reference ml.py:369-380 semantics)
+        parent = jnp.clip(jnp.searchsorted(tags, tag >> 1), 0, n_nodes - 1)
+        use = jnp.where(found, pos, parent)
+        is_leaf = (~found) | jnp.isinf(splits[use])
+        newly_done = (~done) & is_leaf
+        node = jnp.where(newly_done, use, node)
+        done = done | is_leaf
+
+        projection = jnp.sum(data * vecs[use], axis=1)
+        next_tag = (tag << 1) | (projection > splits[use]).astype(jnp.int32)
+        tag = jnp.where(done, tag, next_tag)
+        return tag, done, node
+
+    _, _, node = jax.lax.fori_loop(
+        0, max_depth + 1, level, (tag, done, node))
+    return ginis[node], props[node]
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "d_func"))
+def _ensemble_proba(tags, splits, vecs, ginis, props, data,
+                    max_depth, d_func):
+    walk = jax.vmap(
+        lambda tg, sp, vc, gn, pr: _walk_one_tree(
+            tg, sp, vc, gn, pr, data, max_depth))
+    gini, proportions = walk(tags, splits, vecs, ginis, props)
+    # gini: (T, B) -> weights (B, T, 1); proportions -> (B, T, C)
+    weights = (1.0 - gini).T[:, :, None]
+    proportions = jnp.transpose(proportions, (1, 0, 2))
+
+    if d_func == "wmean":
+        weights = weights / (jnp.sum(weights, axis=1, keepdims=True)
+                             + jnp.float32(np.spacing(32)))
+        return jnp.sum(proportions * weights, axis=1)
+    if d_func == "wmax":
+        return jnp.max(proportions * weights, axis=1)
+    raise ValueError(f"unknown decision function {d_func!r}")

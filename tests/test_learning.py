@@ -1,0 +1,232 @@
+"""
+Learning layer tests: RPT ensemble (fit semantics + batched XLA walk
+against a pure-NumPy tree walk), softmax classifier, factory, metrics.
+"""
+
+import numpy as np
+import pytest
+
+from nimrud_tpu.learning import classifiers, linear, metrics
+from nimrud_tpu.learning.rpt import RPTEnsemble
+
+
+RNG = np.random.default_rng(10)
+
+
+def _blobs(n_per_class=400, n_classes=3, dim=6, spread=0.8):
+    centers = RNG.normal(size=(n_classes, dim)) * 4
+    data, labels = [], []
+    for c in range(n_classes):
+        data.append(RNG.normal(centers[c], spread, (n_per_class, dim)))
+        labels.append(np.full(n_per_class, c))
+    return np.concatenate(data), np.concatenate(labels)
+
+
+# ---------------------------------------------------------------------------
+# RPT ensemble
+# ---------------------------------------------------------------------------
+
+def _numpy_tree_walk(rules, point, numlabs):
+    """Reference-semantics recursive walk of one rule dict."""
+    tag = 1
+    while True:
+        if tag not in rules:
+            tag >>= 1
+            split, vec, gini, props = rules[tag]
+            return gini, props
+        split, vec, gini, props = rules[tag]
+        if np.isinf(split):
+            return gini, props
+        tag = (tag << 1) | int(point @ vec > split)
+
+
+def test_rpt_fit_predict_accuracy():
+    data, labels = _blobs()
+    clf = RPTEnsemble(n_estimators=8, seed=0)
+    clf.fit(data, labels)
+    proba = clf.predict_proba(data)
+    assert proba.shape == (len(data), 3)
+    assert np.allclose(proba.sum(1), 1.0, atol=1e-3)
+    accuracy = (clf.predict(data) == labels).mean()
+    assert accuracy > 0.9, f"accuracy {accuracy}"
+
+
+def test_rpt_device_walk_matches_numpy_walk():
+    data, labels = _blobs(n_per_class=200)
+    clf = RPTEnsemble(n_estimators=4, seed=1)
+    clf.fit(data, labels)
+
+    test = RNG.normal(size=(50, data.shape[1])).astype(np.float32) * 3
+    proba = clf.predict_proba(test)
+
+    # oracle: walk every tree in NumPy, combine with wmean
+    ginis = np.zeros((50, 4))
+    props = np.zeros((50, 4, 3))
+    for t, rules in enumerate(clf.trees_):
+        for i, point in enumerate(test):
+            g, p = _numpy_tree_walk(rules, point.astype(np.float64), 3)
+            ginis[i, t] = g
+            props[i, t] = p
+    weights = (1 - ginis)[:, :, None]
+    weights = weights / (weights.sum(1, keepdims=True) + np.spacing(32))
+    oracle = (props * weights).sum(1)
+    assert np.allclose(proba, oracle, atol=1e-5), \
+        np.abs(proba - oracle).max()
+
+
+def test_rpt_wmax():
+    data, labels = _blobs(n_per_class=200)
+    clf = RPTEnsemble(n_estimators=4, d_func="wmax", seed=2)
+    clf.fit(data, labels)
+    proba = clf.predict_proba(data[:100])
+    assert proba.shape == (100, 3)
+    assert (clf.predict(data) == labels).mean() > 0.85
+
+
+def test_rpt_impurity_tuple_and_chunking():
+    data, labels = _blobs(n_per_class=150)
+    clf = RPTEnsemble(n_estimators=3, impurity=(0.1, 0.3), onepass=64,
+                      seed=3)
+    clf.fit(data, labels)
+    proba = clf.predict_proba(data)          # forces multiple passes
+    assert proba.shape == (len(data), 3)
+
+
+def test_rpt_dead_leaf_backoff():
+    # points far outside the training distribution must still get valid
+    # probabilities (dead-leaf parent backoff)
+    data, labels = _blobs(n_per_class=150)
+    clf = RPTEnsemble(n_estimators=4, seed=4)
+    clf.fit(data, labels)
+    wild = RNG.normal(size=(20, data.shape[1])) * 100
+    proba = clf.predict_proba(wild)
+    assert np.all(np.isfinite(proba))
+    assert np.allclose(proba.sum(1), 1.0, atol=1e-3)
+
+
+def test_rpt_insufficient_data_rejected():
+    data = RNG.normal(size=(10, 4))
+    labels = np.array([0] * 9 + [1])
+    with pytest.raises(ValueError):
+        RPTEnsemble(n_estimators=5, seed=0).fit(data, labels)
+
+
+def test_rpt_set_params():
+    clf = RPTEnsemble()
+    clf.set_params(n_estimators=7, d_func="wmax", impurity=(0.1, 0.2))
+    assert clf.n_estimators == 7
+    assert clf.d_func == "wmax"
+
+
+# ---------------------------------------------------------------------------
+# softmax classifier
+# ---------------------------------------------------------------------------
+
+def test_softmax_classifier():
+    data, labels = _blobs()
+    clf = linear.SoftmaxClassifier(epochs=30, seed=0)
+    clf.fit(data, labels)
+    proba = clf.predict_proba(data)
+    assert proba.shape == (len(data), 3)
+    assert np.allclose(proba.sum(1), 1.0, atol=1e-5)
+    assert (clf.predict(data) == labels).mean() > 0.95
+
+
+# ---------------------------------------------------------------------------
+# factory
+# ---------------------------------------------------------------------------
+
+def test_param_classifier_all_kinds():
+    data, labels = _blobs(n_per_class=100)
+    for kind, kwargs in [
+            ("svm", {}),
+            ("rf", {"n_estimators": 10}),
+            ("erf", {"n_estimators": 10}),
+            ("nb", {}),
+            ("knn", {"n_neighbors": 3}),
+            ("sgd", {}),
+            ("rpte", {"n_estimators": 3, "seed": 0}),
+            ("linear", {"epochs": 10})]:
+        clf = classifiers.param_classifier(kind, **kwargs)
+        clf.fit(data, labels)
+        accuracy = (np.asarray(clf.predict(data)) == labels).mean()
+        assert accuracy > 0.8, f"{kind}: accuracy {accuracy}"
+
+    with pytest.raises(ValueError):
+        classifiers.param_classifier("bogus")
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+def test_mc_confusion():
+    known = np.array([0, 0, 1, 1, 2, 2])
+    pred = np.array([0, 1, 1, 1, 2, 0])
+    conf = metrics.mc_confusion(pred, known)
+    expected = np.array([
+        [1, 0, 1],
+        [1, 2, 0],
+        [0, 0, 1]], dtype=float)
+    assert np.array_equal(conf, expected)
+
+
+def test_user_producer():
+    conf = np.array([
+        [8., 2.],
+        [2., 8.]])
+    user, producer = metrics.user_producer(conf)
+    assert np.allclose(user, [80, 80])
+    assert np.allclose(producer, [80, 80])
+
+
+def test_three_metrics():
+    conf = np.array([
+        [9., 1.],
+        [1., 9.]])
+    scores = metrics.three_metrics(conf)
+    assert scores.shape == (2, 3)
+    assert np.allclose(scores[:, 0], [0.9, 0.9])     # tp rate
+    assert np.allclose(scores[:, 1], [0.1, 0.1])     # fp rate
+    assert np.allclose(scores[:, 2], [0.1, 0.1])     # fn rate
+
+
+def test_binary_confusion():
+    labels = np.array([0, 0, 0, 1, 1, 1], dtype=float)
+    pred = np.array([0, 0, 1, 1, 1, 0], dtype=float)
+    a_comp, a_corr, a_qual, b_comp, b_corr, b_qual = \
+        metrics.confusion(pred, labels)
+    assert a_comp == pytest.approx(100 * 2 / 3)
+    assert a_corr == pytest.approx(100 * 2 / 3)
+    assert a_qual == pytest.approx(100 * 2 / 4)
+    assert b_comp == pytest.approx(100 * 2 / 3)
+
+
+def test_colorizers():
+    cloud = np.hstack([RNG.random((10, 3)), RNG.integers(0, 3, (10, 1))])
+    colored = metrics.colorize_multiclass(cloud)
+    assert colored.shape == (10, 6)
+    assert np.array_equal(
+        colored[0, 3:], metrics.COLOR_MATRIX[int(cloud[0, 3])])
+
+    probs = np.full((10, 3), 1 / 3)
+    probs[np.arange(10), cloud[:, 3].astype(int)] = 1.0
+    faded = metrics.colorize_mc_prob(cloud, probs)
+    assert faded.shape == (10, 6)
+    # probability-1 points get the pure class color
+    assert np.allclose(
+        faded[:, 3:],
+        metrics.COLOR_MATRIX[cloud[:, 3].astype(int)])
+
+    # probability-0 points are white
+    probs_zero = probs * 0
+    white = metrics.colorize_mc_prob(cloud, probs_zero)
+    assert np.all(white[:, 3:] == 255)
+
+
+def test_dilate_scale():
+    matrix = np.array([[1.0, 2.0], [3.0, 4.0]])
+    dilated = metrics.dilate_scale(matrix, 2)
+    assert dilated.shape == (4, 4)
+    assert dilated.max() == 1.0
+    assert np.all(dilated[:2, :2] == 0.25)
