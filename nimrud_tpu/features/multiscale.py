@@ -24,13 +24,18 @@ import numpy as np
 import jax.numpy as jnp
 
 from nimrud_tpu.features import layouts
-from nimrud_tpu.ops import moments, packing, unique
+from nimrud_tpu.ops import grid, moments, packing, unique
 from nimrud_tpu.utils.geometry import VoxelFilter
 
 # cap on query-chunk x search pairs per kernel invocation (fp32 elements)
 PAIRS_BUDGET = 1 << 24
 
+# auto method: switch from the dense O(N*S) path to the tiled hash-grid
+# path once the search set exceeds this
+TILED_THRESHOLD = 16384
+
 KINDS = ("minimal", "geometric", "oriented", "covariance", "vector")
+METHODS = ("auto", "dense", "tiled")
 
 
 def _pow2_bucket(n, minimum=128):
@@ -117,7 +122,7 @@ def voxel_downsample(search, edge, attributes=None,
 
 
 def _band_features(query_padded, n_query, search, kind, edge, radii,
-                   attributes, exclude_radius, chunk_size):
+                   attributes, exclude_radius, chunk_size, method):
     """Features for one (edge, radii) band.  Query already padded/sorted."""
     if edge and edge > 0:
         if kind == "vector":
@@ -129,20 +134,33 @@ def _band_features(query_padded, n_query, search, kind, edge, radii,
         attrs = None if attributes is None \
             else np.asarray(attributes, dtype=np.float32)
 
-    s_bucket = _pow2_bucket(centers.shape[0])
-    search_padded = _pad_rows_f32(centers, s_bucket)
-    valid = np.zeros(s_bucket, dtype=bool)
-    valid[:centers.shape[0]] = True
+    use_tiled = method == "tiled" or (
+        method == "auto" and centers.shape[0] >= TILED_THRESHOLD)
 
-    kwargs = dict(
-        chunk_size=_effective_chunk(chunk_size, s_bucket),
-        exclude_radius=exclude_radius)
-    if kind == "vector":
-        kwargs["attributes"] = jnp.asarray(_pad_rows_f32(attrs, s_bucket))
+    if use_tiled:
+        query_actual = query_padded[:n_query]
+        problem = grid.build_tiled_problem(
+            query_actual, centers, tile_edge=max(radii))
+        block = grid.tiled_features(
+            problem, query_actual, centers, radii, kind,
+            attributes=attrs if kind == "vector" else None,
+            exclude_radius=exclude_radius)
+        return np.asarray(block)
+    else:
+        s_bucket = _pow2_bucket(centers.shape[0])
+        search_padded = _pad_rows_f32(centers, s_bucket)
+        valid = np.zeros(s_bucket, dtype=bool)
+        valid[:centers.shape[0]] = True
 
-    got = moments.multiscale_moments(
-        jnp.asarray(query_padded), jnp.asarray(search_padded),
-        jnp.asarray(valid), tuple(radii), **kwargs)
+        kwargs = dict(
+            chunk_size=_effective_chunk(chunk_size, s_bucket),
+            exclude_radius=exclude_radius)
+        if kind == "vector":
+            kwargs["attributes"] = jnp.asarray(_pad_rows_f32(attrs, s_bucket))
+
+        got = moments.multiscale_moments(
+            jnp.asarray(query_padded), jnp.asarray(search_padded),
+            jnp.asarray(valid), tuple(radii), **kwargs)
 
     blocks = []
     for ri, radius in enumerate(radii):
@@ -158,7 +176,7 @@ def _band_features(query_padded, n_query, search, kind, edge, radii,
 
 def extract_scaleset(query, search, scaleset, kind="geometric", *,
                      attributes=None, exclude_radius=None,
-                     chunk_size=1024, sort_queries=True):
+                     chunk_size=1024, sort_queries=True, method="auto"):
     """
     Multiscale features for every query point.
 
@@ -178,6 +196,9 @@ def extract_scaleset(query, search, scaleset, kind="geometric", *,
       chunk_size: query rows per kernel step (auto-shrunk for big bands).
       sort_queries: process queries in voxel-key order for fp32 locality
                  (output order is always the caller's).
+      method:    "dense" (O(N*S) masked matmuls), "tiled" (voxel hash
+                 grid, O(27 * tile occupancy) per query), or "auto"
+                 (tiled once the band's search set is large).
 
     Returns:
       (N, total_width) float32 feature array aligned with ``query``.
@@ -186,6 +207,8 @@ def extract_scaleset(query, search, scaleset, kind="geometric", *,
         raise ValueError(f"kind must be one of {KINDS}, got {kind!r}")
     if kind == "vector" and attributes is None:
         raise ValueError("kind='vector' requires attributes")
+    if method not in METHODS:
+        raise ValueError(f"method must be one of {METHODS}, got {method!r}")
     chunk_size = _pow2_bucket(chunk_size, minimum=64)
 
     query = np.asarray(query, dtype=np.float32)[:, :3]
@@ -211,7 +234,7 @@ def extract_scaleset(query, search, scaleset, kind="geometric", *,
 
     bands = [
         _band_features(query_padded, n_query, search, kind, edge, radii,
-                       attributes, exclude_radius, chunk_size)
+                       attributes, exclude_radius, chunk_size, method)
         for edge, radii in scaleset
     ]
     features = np.concatenate(bands, axis=1)

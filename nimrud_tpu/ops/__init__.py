@@ -1,3 +1,3 @@
-from nimrud_tpu.ops import eigen, moments, packing, unique
+from nimrud_tpu.ops import eigen, grid, moments, packing, unique
 
-__all__ = ["eigen", "moments", "packing", "unique"]
+__all__ = ["eigen", "grid", "moments", "packing", "unique"]

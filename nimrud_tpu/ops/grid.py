@@ -1,0 +1,451 @@
+"""
+Tiled neighbor search: the voxel-hash-grid moment path for large clouds.
+
+The dense path in :mod:`nimrud_tpu.ops.moments` is O(|query| x |search|).
+This module bins the search cloud into cubic tiles with edge >= the
+largest analysis radius, and the query cloud into tiles ``m`` times
+coarser; every query's full neighborhood then lives in the (m+2)^3 search
+tiles covering its query tile expanded by one search tile.  Moments are
+computed as batched masked matmuls over that flat candidate axis --
+O((m+2)^3 x tile occupancy) per query, independent of total cloud size.
+
+TPU-first shape discipline (everything static, everything a matmul):
+  * queries are packed into fixed-capacity *entries* -- an over-full query
+    tile becomes several entries sharing the same candidate tiles -- so one
+    dense region cannot inflate the padded capacity of every other;
+  * the (m+2)^3 candidate tiles are gathered into ONE flat axis, so the
+    distance computation and the per-radius masked moment accumulation are
+    single large batched matmuls instead of 27 slivers;
+  * per-entry arithmetic is recentered on the query-tile center for fp32
+    health;
+  * feature layouts and the scatter back to caller order run on device
+    (:func:`tiled_features`), so the hot path never round-trips moments
+    through the host.
+
+This replaces the reference's entire spatial machinery -- GPU octrees,
+density-adaptive partition rulebook, neighborhood-tensor gather/compaction
+(reference: nimrud/prototypes/ch.py:1799-2144, mso.py:801-1147,
+ch.py:969-1570) -- with a static grid + masks, one compiled kernel.
+"""
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _pow2(n, minimum=8):
+    out = minimum
+    while out < n:
+        out *= 2
+    return out
+
+
+@dataclass
+class TiledProblem:
+    """Host-built static-shape description of one tiled query/search pair."""
+    query_index: np.ndarray     # (E, Q_CAP) int32 into query array, -1 pad
+    neighbor_rows: np.ndarray   # (E, (m+2)^3) int32 row into candidates
+    candidates: np.ndarray      # (K+1, S_CAP) int32 into search array, -1 pad
+    entry_centers: np.ndarray   # (E, 3) float32 query-tile centers
+    tile_edge: float            # search tile edge (>= max radius)
+    n_query: int
+    stats: dict = field(default_factory=dict)
+
+    @property
+    def n_entries(self):
+        return self.query_index.shape[0]
+
+
+def build_tiled_problem(query, search, tile_edge, *, query_tile_factor=2,
+                        query_capacity=None, entry_batch=32):
+    """
+    Bin both clouds (host NumPy, fully vectorized -- no per-tile Python).
+
+    Args:
+      tile_edge: search tile edge; must be >= the largest radius later
+                 passed to tiled_moments/tiled_features.
+      query_tile_factor: query tiles are this many search tiles across
+                 (m).  Larger m -> bigger, more MXU-friendly candidate
+                 axes but more over-fetch per query.
+      query_capacity: queries per entry; default picks a power of two
+                 around 2x the mean occupied-query-tile population.
+    """
+    query = np.asarray(query, dtype=np.float32)
+    search = np.asarray(search, dtype=np.float32)
+    tile_edge = float(tile_edge)
+    m = int(query_tile_factor)
+
+    lo = np.minimum(query.min(0), search.min(0)) - 1e-3
+    hi = np.maximum(query.max(0), search.max(0)) + 1e-3
+    dims = np.maximum(np.ceil((hi - lo) / tile_edge).astype(np.int64), 1)
+    qdims = -(-dims // m)
+
+    def linear(coords, d):
+        return coords[:, 0] + coords[:, 1] * d[0] + coords[:, 2] * d[0] * d[1]
+
+    s_coords = np.clip(
+        np.floor((search - lo) / tile_edge).astype(np.int64), 0, dims - 1)
+    s_ids = linear(s_coords, dims)
+    s_order = np.argsort(s_ids, kind="stable").astype(np.int64)
+    s_sorted_ids = s_ids[s_order]
+
+    n_grid = int(dims.prod())
+    q_coords = np.clip(
+        np.floor((query - lo) / tile_edge).astype(np.int64), 0, dims - 1) // m
+    q_ids = linear(q_coords, qdims)
+    q_order = np.argsort(q_ids, kind="stable").astype(np.int64)
+    q_sorted_ids = q_ids[q_order]
+    tile_ids, tile_starts = np.unique(q_sorted_ids, return_index=True)
+    tile_counts = np.diff(np.append(tile_starts, len(query)))
+
+    if query_capacity is None:
+        query_capacity = int(
+            np.clip(_pow2(2 * len(query) // max(len(tile_ids), 1),
+                          minimum=16), 16, 512))
+    q_cap = int(query_capacity)
+
+    # split each query tile into entries of at most q_cap
+    entries_per_tile = -(-tile_counts // q_cap)
+    n_entries = int(entries_per_tile.sum())
+    entry_tile = np.repeat(np.arange(len(tile_ids)), entries_per_tile)
+    entry_rank = (np.arange(n_entries)
+                  - np.repeat(np.cumsum(entries_per_tile)
+                              - entries_per_tile, entries_per_tile))
+    entry_start = tile_starts[entry_tile] + entry_rank * q_cap
+    entry_count = np.minimum(
+        tile_counts[entry_tile] - entry_rank * q_cap, q_cap)
+
+    query_index = np.full((n_entries, q_cap), -1, dtype=np.int32)
+    row = np.repeat(np.arange(n_entries), entry_count)
+    col = np.arange(len(query)) - np.repeat(entry_start, entry_count)
+    query_index[row, col] = q_order
+
+    # candidate search tiles per occupied query tile: offsets -1..m
+    tile_q_coords = np.stack(
+        [tile_ids % qdims[0],
+         (tile_ids // qdims[0]) % qdims[1],
+         tile_ids // (qdims[0] * qdims[1])], axis=1)
+    base = tile_q_coords * m                                # search-tile coords
+    offsets = np.array(
+        [(dx, dy, dz)
+         for dx in range(-1, m + 1)
+         for dy in range(-1, m + 1)
+         for dz in range(-1, m + 1)], dtype=np.int64)       # ((m+2)^3, 3)
+    n_off = len(offsets)
+    ncoord = base[:, None, :] + offsets[None, :, :]         # (T, n_off, 3)
+    ok = np.all((ncoord >= 0) & (ncoord < dims), axis=2)
+    nid = np.where(
+        ok,
+        ncoord[..., 0] + ncoord[..., 1] * dims[0]
+        + ncoord[..., 2] * dims[0] * dims[1],
+        -1)                                                 # (T, n_off)
+
+    needed = np.unique(nid[ok])
+    empty_row = len(needed)
+
+    if n_grid <= (1 << 26):
+        # dense O(grid) maps: no binary searches on the hot path
+        per_tile_counts = np.bincount(s_ids, minlength=n_grid)
+        tile_first = np.concatenate(
+            [[0], np.cumsum(per_tile_counts)])[:-1]
+        grid_row = np.full(n_grid, empty_row, dtype=np.int32)
+        grid_row[needed] = np.arange(len(needed), dtype=np.int32)
+        counts = per_tile_counts[needed]
+        starts = tile_first[needed]
+        tile_rows = np.where(
+            nid >= 0, grid_row[np.where(nid < 0, 0, nid)], empty_row
+        ).astype(np.int32)
+    else:
+        # huge sparse grids: binary-search fallback
+        starts = np.searchsorted(s_sorted_ids, needed, side="left")
+        counts = (np.searchsorted(s_sorted_ids, needed, side="right")
+                  - starts)
+        if len(needed):
+            rowpos = np.clip(
+                np.searchsorted(needed, np.where(nid < 0, 0, nid)),
+                0, len(needed) - 1)
+            hit = (nid >= 0) & (needed[rowpos] == nid)
+            tile_rows = np.where(hit, rowpos, empty_row).astype(np.int32)
+        else:
+            tile_rows = np.full((len(tile_ids), n_off), empty_row, np.int32)
+
+    # candidate table: one row per needed tile (+ trailing all-pad row)
+    s_cap = _pow2(int(counts.max()) if len(counts) else 1)
+    candidates = np.full((len(needed) + 1, s_cap), -1, dtype=np.int32)
+    if len(needed):
+        row = np.repeat(np.arange(len(needed)), counts)
+        col = (np.arange(int(counts.sum()))
+               - np.repeat(np.cumsum(counts) - counts, counts))
+        candidates[row, col] = s_order[np.repeat(starts, counts) + col]
+
+    neighbor_rows = tile_rows[entry_tile]
+
+    centers = ((tile_q_coords + 0.5) * (m * tile_edge) + lo)[entry_tile]
+
+    # pad entries to a batch multiple
+    e_pad = ((n_entries + entry_batch - 1) // entry_batch) * entry_batch
+    if e_pad != n_entries:
+        pad = e_pad - n_entries
+        query_index = np.vstack(
+            [query_index, np.full((pad, q_cap), -1, np.int32)])
+        neighbor_rows = np.vstack(
+            [neighbor_rows, np.full((pad, n_off), empty_row, np.int32)])
+        centers = np.vstack([centers, np.zeros((pad, 3), np.float32)])
+
+    fill = entry_count.sum() / max(e_pad * q_cap, 1)
+    return TiledProblem(
+        query_index=query_index,
+        neighbor_rows=neighbor_rows,
+        candidates=candidates,
+        entry_centers=centers.astype(np.float32),
+        tile_edge=tile_edge,
+        n_query=len(query),
+        stats={"q_cap": q_cap, "s_cap": s_cap, "n_off": n_off,
+               "entries": n_entries, "fill": float(fill)})
+
+
+# ---------------------------------------------------------------------------
+# device kernels
+# ---------------------------------------------------------------------------
+
+def _entry_stats(q_local, s_local, s_valid, aug, radii, exclude_radius):
+    """Masked moments for one batch of entries (shared by both kernels)."""
+    d2 = (jnp.sum(q_local * q_local, axis=-1)[:, :, None]
+          + jnp.sum(s_local * s_local, axis=-1)[:, None, :]
+          - 2.0 * jnp.einsum(
+              "bqd,bsd->bqs", q_local, s_local,
+              preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.HIGHEST))
+    d2 = jnp.maximum(d2, 0.0)
+
+    base = s_valid[:, None, :]
+    if exclude_radius is not None:
+        base = base & (d2 >= exclude_radius * exclude_radius)
+
+    per_radius = []
+    for radius in radii:
+        mask = (base & (d2 <= radius * radius)).astype(jnp.float32)
+        mom = jnp.einsum(
+            "bqs,bsk->bqk", mask, aug,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        count = mom[..., 0]
+        denom = jnp.maximum(count, 1.0)[..., None]
+        mean_local = mom[..., 1:4] / denom
+        mx, my, mz = (mean_local[..., 0], mean_local[..., 1],
+                      mean_local[..., 2])
+        outer = jnp.stack(
+            [mx * mx, mx * my, mx * mz, my * my, my * mz, mz * mz],
+            axis=-1)
+        per_radius.append({
+            "count": count,
+            "mean_local": mean_local,
+            "cov": mom[..., 4:10] / denom - outer,
+            "attr_mean": mom[..., 10:] / denom,
+        })
+    return per_radius
+
+
+def _gather_batch(query_pad, search_pad, attr_pad, candidates, batch):
+    q_idx, rows, centers = batch
+    n_query_pad = query_pad.shape[0] - 1
+    n_search_pad = search_pad.shape[0] - 1
+    q_pts = query_pad[jnp.where(q_idx < 0, n_query_pad, q_idx)]
+    q_local = q_pts - centers[:, None, :]
+
+    c_idx = candidates[rows]                       # (B, n_off, S_CAP)
+    c_idx = c_idx.reshape(c_idx.shape[0], -1)      # (B, flat)
+    s_valid = c_idx >= 0
+    safe = jnp.where(c_idx < 0, n_search_pad, c_idx)
+    s_pts = search_pad[safe]
+    s_local = s_pts - centers[:, None, :]
+
+    x, y, z = s_local[..., 0], s_local[..., 1], s_local[..., 2]
+    aug = jnp.stack(
+        [jnp.ones_like(x), x, y, z,
+         x * x, x * y, x * z, y * y, y * z, z * z], axis=-1)
+    if attr_pad is not None:
+        aug = jnp.concatenate([aug, attr_pad[safe]], axis=-1)
+    return q_pts, q_local, s_local, s_valid, aug
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radii", "exclude_radius", "has_attr", "entry_batch"))
+def _tiled_kernel(query, search, attributes, query_index, neighbor_rows,
+                  candidates, entry_centers, radii, exclude_radius,
+                  has_attr, entry_batch):
+    """Raw moments in entry layout: dict of (E, Q_CAP, R, ...)."""
+    n_entries, q_cap = query_index.shape
+    n_batches = n_entries // entry_batch
+    n_attr = attributes.shape[1] if has_attr else 0
+
+    query_pad = jnp.vstack([query, jnp.zeros((1, 3), query.dtype)])
+    search_pad = jnp.vstack([search, jnp.zeros((1, 3), search.dtype)])
+    attr_pad = jnp.vstack(
+        [attributes, jnp.zeros((1, n_attr), attributes.dtype)]) \
+        if has_attr else None
+
+    def one_batch(batch):
+        _, q_local, s_local, s_valid, aug = _gather_batch(
+            query_pad, search_pad, attr_pad, candidates, batch)
+        centers = batch[2]
+        per_radius = _entry_stats(
+            q_local, s_local, s_valid, aug, radii, exclude_radius)
+        out = {
+            "count": jnp.stack([p["count"] for p in per_radius], axis=2),
+            "mean": jnp.stack(
+                [p["mean_local"] + centers[:, None, :] for p in per_radius],
+                axis=2),
+            "cov": jnp.stack([p["cov"] for p in per_radius], axis=2),
+        }
+        if has_attr:
+            out["attr_mean"] = jnp.stack(
+                [p["attr_mean"] for p in per_radius], axis=2)
+        return out
+
+    batched = (
+        query_index.reshape(n_batches, entry_batch, q_cap),
+        neighbor_rows.reshape(n_batches, entry_batch, -1),
+        entry_centers.reshape(n_batches, entry_batch, 3),
+    )
+    stats = jax.lax.map(one_batch, batched)
+    return {key: value.reshape((n_entries, q_cap) + value.shape[3:])
+            for key, value in stats.items()}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radii", "exclude_radius", "kind", "has_attr",
+                     "entry_batch", "n_query"))
+def _tiled_features_kernel(query, search, attributes, query_index,
+                           neighbor_rows, candidates, entry_centers,
+                           radii, exclude_radius, kind, has_attr,
+                           entry_batch, n_query):
+    """
+    Fused: moments -> feature layout -> scatter to caller order, all on
+    device.  Returns (n_query, total_width) float32.
+    """
+    # deferred import: features.layouts sits above ops in the layer map
+    from nimrud_tpu.features import layouts
+
+    n_entries, q_cap = query_index.shape
+    n_batches = n_entries // entry_batch
+    n_attr = attributes.shape[1] if has_attr else 0
+
+    query_pad = jnp.vstack([query, jnp.zeros((1, 3), query.dtype)])
+    search_pad = jnp.vstack([search, jnp.zeros((1, 3), search.dtype)])
+    attr_pad = jnp.vstack(
+        [attributes, jnp.zeros((1, n_attr), attributes.dtype)]) \
+        if has_attr else None
+
+    def one_batch(batch):
+        q_pts, q_local, s_local, s_valid, aug = _gather_batch(
+            query_pad, search_pad, attr_pad, candidates, batch)
+        centers = batch[2]
+        per_radius = _entry_stats(
+            q_local, s_local, s_valid, aug, radii, exclude_radius)
+        blocks = []
+        for p, radius in zip(per_radius, radii):
+            if kind == "vector":
+                blocks.append(p["attr_mean"])
+            else:
+                blocks.append(layouts.build_block(
+                    kind, p["count"], p["mean_local"] + centers[:, None, :],
+                    p["cov"], q_pts, radius))
+        return jnp.concatenate(blocks, axis=-1)
+
+    batched = (
+        query_index.reshape(n_batches, entry_batch, q_cap),
+        neighbor_rows.reshape(n_batches, entry_batch, -1),
+        entry_centers.reshape(n_batches, entry_batch, 3),
+    )
+    feats = jax.lax.map(one_batch, batched)          # (NB, B, Q, W)
+    width = feats.shape[-1]
+    feats = feats.reshape(-1, width)
+    flat_idx = query_index.reshape(-1)
+    target = jnp.where(flat_idx < 0, n_query, flat_idx)
+    out = jnp.zeros((n_query + 1, width), jnp.float32)
+    out = out.at[target].set(feats, mode="drop")
+    return out[:n_query]
+
+
+# ---------------------------------------------------------------------------
+# public drivers
+# ---------------------------------------------------------------------------
+
+def _check_radii(problem, radii):
+    radii = tuple(float(r) for r in radii)
+    if max(radii) > problem.tile_edge + 1e-9:
+        raise ValueError(
+            f"radius {max(radii)} exceeds tile edge {problem.tile_edge}")
+    return radii
+
+
+def tiled_moments(problem, query, search, radii, *, attributes=None,
+                  exclude_radius=None, entry_batch=32):
+    """
+    Neighborhood moments via the tile grid, aligned to the original query
+    order.  Returns the same dict as
+    :func:`nimrud_tpu.ops.moments.multiscale_moments` (NumPy arrays).
+    """
+    radii = _check_radii(problem, radii)
+    has_attr = attributes is not None
+    attr = jnp.asarray(attributes, dtype=jnp.float32) if has_attr \
+        else jnp.zeros((search.shape[0], 0), dtype=jnp.float32)
+
+    stats = _tiled_kernel(
+        jnp.asarray(query, dtype=jnp.float32),
+        jnp.asarray(search, dtype=jnp.float32),
+        attr,
+        jnp.asarray(problem.query_index),
+        jnp.asarray(problem.neighbor_rows),
+        jnp.asarray(problem.candidates),
+        jnp.asarray(problem.entry_centers),
+        radii,
+        None if exclude_radius is None else float(exclude_radius),
+        has_attr,
+        int(entry_batch))
+
+    q_idx = problem.query_index
+    valid = q_idx >= 0
+    rows = q_idx[valid]
+    out = {}
+    for key, value in stats.items():
+        value = np.asarray(value)
+        shaped = np.zeros((problem.n_query,) + value.shape[2:],
+                          dtype=value.dtype)
+        shaped[rows] = value[valid]
+        out[key] = shaped
+    return out
+
+
+def tiled_features(problem, query, search, radii, kind, *, attributes=None,
+                   exclude_radius=None, entry_batch=32):
+    """
+    Fused feature extraction through the tile grid: moments, layout, and
+    the scatter back to the caller's query order all run on device.
+    Returns a device array (n_query, width).
+    """
+    radii = _check_radii(problem, radii)
+    has_attr = attributes is not None
+    attr = jnp.asarray(attributes, dtype=jnp.float32) if has_attr \
+        else jnp.zeros((search.shape[0], 0), dtype=jnp.float32)
+
+    return _tiled_features_kernel(
+        jnp.asarray(query, dtype=jnp.float32),
+        jnp.asarray(search, dtype=jnp.float32),
+        attr,
+        jnp.asarray(problem.query_index),
+        jnp.asarray(problem.neighbor_rows),
+        jnp.asarray(problem.candidates),
+        jnp.asarray(problem.entry_centers),
+        radii,
+        None if exclude_radius is None else float(exclude_radius),
+        kind,
+        has_attr,
+        int(entry_batch),
+        int(problem.n_query))

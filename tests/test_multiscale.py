@@ -185,6 +185,28 @@ def test_zero_edge_skips_voxelization():
     assert np.abs(feats[:, 0] - counts).max() <= 1
 
 
+def test_tiled_method_matches_dense():
+    query, search, _ = _clouds()
+    dense = extract_scaleset(
+        query, search, [(EDGE, RADII)], kind="geometric", method="dense")
+    tiled = extract_scaleset(
+        query, search, [(EDGE, RADII)], kind="geometric", method="tiled")
+    assert dense.shape == tiled.shape
+    for ri in range(len(RADII)):
+        base = 4 * ri
+        # population (via density) may flip by one neighbor at a radius
+        # boundary between the two fp32 paths
+        vol = 1e6 * (4 / 3) * np.pi * RADII[ri] ** 3
+        pop_diff = np.abs(dense[:, base] - tiled[:, base]) * vol
+        assert pop_diff.max() <= 1 + 1e-3
+        agree = pop_diff < 0.5
+        assert agree.mean() > 0.99
+        assert np.allclose(dense[agree, base + 1], tiled[agree, base + 1],
+                           atol=5e-5)
+        assert np.allclose(dense[agree, base + 2:base + 4],
+                           tiled[agree, base + 2:base + 4], atol=1e-3)
+
+
 def test_layout_widths():
     assert layouts.LAYOUT_WIDTHS == {
         "minimal": 4, "geometric": 4, "oriented": 8, "covariance": 8}
