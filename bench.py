@@ -1,0 +1,101 @@
+"""
+Benchmark: end-to-end multiscale feature extraction + classification
+throughput on one chip.
+
+Workload (BASELINE.md / SURVEY.md section 6): a 1M-point outdoor
+LiDAR-style cloud (ground plane, building walls, vegetation canopy),
+three analysis scales (voxel edges 0.25/0.5/1.0 m, radii 0.5/1.0/2.0 m),
+minimal feature layout, softmax classification.  The timed loop is the
+full production step for a fresh cloud: host voxel binning + tile-grid
+build + device feature extraction + device classification; only int32
+labels leave the device.
+
+Baseline: the reference's minimal pipeline runs ~5,000 points/sec *per
+scale* on one CPU core (reference: nimrud/minimal/README.md:4), i.e.
+~1,667 points/sec end-to-end at three scales.  vs_baseline is measured
+against that.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "points/sec", "vs_baseline": N}
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+N_POINTS = 1_000_000
+EDGES = (0.25, 0.5, 1.0)
+RADII = (0.5, 1.0, 2.0)
+BASELINE_PTS_PER_SEC = 5000.0 / len(RADII)
+WARMUP_RUNS = 1
+TIMED_RUNS = 2
+
+
+def make_cloud(n, rng):
+    ground = rng.random((n // 2, 3)) * [100, 100, 0.15]
+    walls = []
+    for _ in range(8):
+        offset = rng.random(2) * 90
+        walls.append(rng.random((n // 16, 3)) * [0.2, 12, 9]
+                     + [offset[0], offset[1], 0])
+    canopy = rng.normal([60, 60, 7], [15, 15, 2], (n // 4, 3))
+    cloud = np.vstack([ground, *walls, canopy]).astype(np.float32)[:n]
+    labels = np.concatenate([
+        np.zeros(n // 2, np.int32),
+        np.ones(8 * (n // 16), np.int32),
+        np.full(n // 4, 2, np.int32)])[:n]
+    return cloud, labels
+
+
+def main():
+    import jax
+    from nimrud_tpu.pipeline import GeometryClassifier
+
+    rng = np.random.default_rng(0)
+    cloud, labels = make_cloud(N_POINTS, rng)
+    scaleset = [(edge, (radius,)) for edge, radius in zip(EDGES, RADII)]
+
+    model = GeometryClassifier(
+        scaleset, kind="minimal", classifier="linear",
+        classifier_kwargs={"epochs": 10, "seed": 0})
+
+    # train on a subsample of full-cloud features (untimed; uses the
+    # same compiled kernels as the timed loop)
+    features = model.extract(cloud)
+    fit_rows = rng.permutation(N_POINTS)[:100_000]
+    model.classifier.fit(features[fit_rows], labels[fit_rows])
+    del features
+
+    for _ in range(WARMUP_RUNS):
+        predicted = model.predict(cloud)
+
+    times = []
+    for _ in range(TIMED_RUNS):
+        start = time.perf_counter()
+        predicted = model.predict(cloud)
+        times.append(time.perf_counter() - start)
+
+    best = min(times)
+    rate = N_POINTS / best
+    accuracy = float((predicted == labels).mean())
+
+    print(json.dumps({
+        "metric": ("end-to-end multiscale extract+classify, 1M-point "
+                   "cloud, 3 scales, single chip"),
+        "value": round(rate, 1),
+        "unit": "points/sec",
+        "vs_baseline": round(rate / BASELINE_PTS_PER_SEC, 1),
+        "detail": {
+            "times_sec": [round(t, 3) for t in times],
+            "n_points": N_POINTS,
+            "scales": list(RADII),
+            "train_accuracy": round(accuracy, 4),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -141,11 +141,10 @@ def _band_features(query_padded, n_query, search, kind, edge, radii,
         query_actual = query_padded[:n_query]
         problem = grid.build_tiled_problem(
             query_actual, centers, tile_edge=max(radii))
-        block = grid.tiled_features(
+        return grid.tiled_features(
             problem, query_actual, centers, radii, kind,
             attributes=attrs if kind == "vector" else None,
             exclude_radius=exclude_radius)
-        return np.asarray(block)
     else:
         s_bucket = _pow2_bucket(centers.shape[0])
         search_padded = _pad_rows_f32(centers, s_bucket)
@@ -170,8 +169,8 @@ def _band_features(query_padded, n_query, search, kind, edge, radii,
             block = layouts.build_block(
                 kind, got["count"][:, ri], got["mean"][:, ri],
                 got["cov"][:, ri], jnp.asarray(query_padded), float(radius))
-        blocks.append(np.asarray(block)[:n_query])
-    return np.concatenate(blocks, axis=1)
+        blocks.append(block[:n_query])
+    return jnp.concatenate(blocks, axis=1)
 
 
 def extract_scaleset(query, search, scaleset, kind="geometric", *,
@@ -201,8 +200,21 @@ def extract_scaleset(query, search, scaleset, kind="geometric", *,
                  (tiled once the band's search set is large).
 
     Returns:
-      (N, total_width) float32 feature array aligned with ``query``.
+      (N, total_width) float32 feature array aligned with ``query``
+      (NumPy; use :func:`extract_scaleset_device` to keep the result on
+      device for a downstream classifier).
     """
+    return np.asarray(extract_scaleset_device(
+        query, search, scaleset, kind,
+        attributes=attributes, exclude_radius=exclude_radius,
+        chunk_size=chunk_size, sort_queries=sort_queries, method=method))
+
+
+def extract_scaleset_device(query, search, scaleset, kind="geometric", *,
+                            attributes=None, exclude_radius=None,
+                            chunk_size=1024, sort_queries=True,
+                            method="auto"):
+    """As :func:`extract_scaleset`, but returns a device array."""
     if kind not in KINDS:
         raise ValueError(f"kind must be one of {KINDS}, got {kind!r}")
     if kind == "vector" and attributes is None:
@@ -237,10 +249,11 @@ def extract_scaleset(query, search, scaleset, kind="geometric", *,
                        attributes, exclude_radius, chunk_size, method)
         for edge, radii in scaleset
     ]
-    features = np.concatenate(bands, axis=1)
+    features = bands[0] if len(bands) == 1 \
+        else jnp.concatenate(bands, axis=1)
 
     if order is not None:
         inverse = np.empty_like(order)
         inverse[order] = np.arange(n_query)
-        features = features[inverse]
+        features = jnp.take(features, jnp.asarray(inverse), axis=0)
     return features

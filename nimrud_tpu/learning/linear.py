@@ -101,6 +101,14 @@ class SoftmaxClassifier:
         self.params = jax.tree.map(np.asarray, params)
         return self
 
+    def proba_device(self, features):
+        """Class probabilities for a device-resident feature array."""
+        mean = jnp.asarray(self.mean_)
+        scale = jnp.asarray(self.scale_)
+        params = jax.tree.map(jnp.asarray, self.params)
+        return jax.nn.softmax(
+            predict_logits(params, (features - mean) / scale))
+
     def predict_proba(self, data):
         data = jnp.asarray(self._transform(data))
         params = jax.tree.map(jnp.asarray, self.params)

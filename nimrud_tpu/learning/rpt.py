@@ -184,6 +184,14 @@ class RPTEnsemble:
                 self.max_depth_, self.d_func)))
         return np.concatenate(out, axis=0)
 
+    def proba_device(self, features):
+        """Class probabilities for a device-resident feature array."""
+        return _ensemble_proba(
+            self._tables["tags"], self._tables["splits"],
+            self._tables["vecs"], self._tables["ginis"],
+            self._tables["props"], features,
+            self.max_depth_, self.d_func)
+
     def predict(self, data):
         return self.predict_proba(data).argmax(axis=1)
 

@@ -1,0 +1,199 @@
+"""
+Multi-chip execution: slab-sharded feature extraction with ICI halo
+exchange, and data-parallel classifier training.
+
+Design (TPU-native; the reference is single-process single-GPU, SURVEY.md
+section 2g): the cloud is sorted along one axis and split into per-device
+slabs (:mod:`nimrud_tpu.parallel.tiles`).  Under ``shard_map`` each device
+
+  1. slices its slab's boundary bands (contiguous rows, because slabs are
+     pre-sorted along the slab axis),
+  2. exchanges them with its lattice neighbors over ICI via two
+     ``ppermute`` shifts (ends masked -- the lattice is a line, not a
+     ring),
+  3. computes masked-moment features for its own points against
+     slab + halos,
+  4. (training) takes a softmax-classifier gradient on its shard and
+     ``psum``-averages it across the mesh -- pure data parallelism for
+     the (tiny) classifier parameters.
+
+Halo correctness is exactly the reference's buffered-region semantics:
+with buffer_radius >= the largest analysis radius, features computed this
+way are identical to a single-device run over the whole cloud.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from nimrud_tpu.features import layouts
+from nimrud_tpu.learning import linear
+from nimrud_tpu.ops import moments
+from nimrud_tpu.parallel import tiles
+
+AXIS = "shards"
+
+
+def make_mesh(n_devices=None):
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(
+            f"requested {n_devices} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n_devices]), (AXIS,))
+
+
+def _halo_exchange(slab, valid, halo):
+    """
+    Exchange boundary bands with lattice neighbors over ICI.  Returns the
+    local search set: [own slab, band from left neighbor, band from right
+    neighbor] with a validity mask (line topology: the wrap-around bands
+    at the two ends are masked out).
+    """
+    index = jax.lax.axis_index(AXIS)
+    n_shards = jax.lax.axis_size(AXIS)
+
+    # slabs are sorted along the slab axis, so boundary bands are slices
+    low_band, low_valid = slab[:halo], valid[:halo]
+    high_band, high_valid = slab[-halo:], valid[-halo:]
+
+    shift_right = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    shift_left = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+
+    # from the left neighbor: its high band moves right
+    from_left = jax.lax.ppermute(high_band, AXIS, shift_right)
+    from_left_valid = jax.lax.ppermute(high_valid, AXIS, shift_right)
+    # from the right neighbor: its low band moves left
+    from_right = jax.lax.ppermute(low_band, AXIS, shift_left)
+    from_right_valid = jax.lax.ppermute(low_valid, AXIS, shift_left)
+
+    from_left_valid = from_left_valid & (index > 0)
+    from_right_valid = from_right_valid & (index < n_shards - 1)
+
+    search = jnp.concatenate([slab, from_left, from_right], axis=0)
+    search_valid = jnp.concatenate(
+        [valid, from_left_valid, from_right_valid], axis=0)
+    return search, search_valid
+
+
+def _shard_features(slab, valid, halo, radii, kind, chunk_size,
+                    exclude_radius):
+    """Per-device body: halo exchange + masked-moment features."""
+    search, search_valid = _halo_exchange(slab, valid, halo)
+
+    got = {}
+    n = slab.shape[0]
+    pad = (-n) % chunk_size
+    query = jnp.concatenate(
+        [slab, jnp.zeros((pad, 3), slab.dtype)], axis=0) if pad else slab
+    chunks = query.reshape(-1, chunk_size, 3)
+
+    def body(chunk):
+        return moments.chunk_moments(
+            chunk, search, search_valid, radii,
+            exclude_radius=exclude_radius)
+
+    stacked = jax.lax.map(body, chunks)
+    got = {key: value.reshape((query.shape[0],) + value.shape[2:])[:n]
+           for key, value in stacked.items()}
+
+    blocks = []
+    for ri, radius in enumerate(radii):
+        blocks.append(layouts.build_block(
+            kind, got["count"][:, ri], got["mean"][:, ri],
+            got["cov"][:, ri], slab, float(radius)))
+    return jnp.concatenate(blocks, axis=-1)
+
+
+def sharded_extract(mesh, slabs, valid, halo, radii, kind="minimal", *,
+                    chunk_size=256, exclude_radius=None):
+    """
+    Multi-chip feature extraction.  ``slabs``/``valid`` come from
+    :func:`nimrud_tpu.parallel.tiles.shard_cloud`.  Returns per-device
+    feature blocks (n_devices, rows, width).
+    """
+    radii = tuple(float(r) for r in radii)
+
+    @functools.partial(jax.jit, static_argnames=())
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS)),
+        out_specs=P(AXIS))
+    def run(slabs, valid):
+        feats = _shard_features(
+            slabs[0], valid[0], halo, radii, kind, chunk_size,
+            exclude_radius)
+        return feats[None]
+
+    return run(jnp.asarray(slabs), jnp.asarray(valid))
+
+
+def make_train_step(mesh, halo, radii, kind, n_classes, optimizer, *,
+                    chunk_size=256, exclude_radius=None, weight_decay=0.0):
+    """
+    Build a jitted multi-chip training step:
+
+      (params, opt_state, slabs, valid, labels) -> (params, opt_state, loss)
+
+    Each device extracts features for its slab (with ICI halo exchange),
+    computes the softmax-classifier loss on its points, and gradients are
+    psum-averaged across the mesh.  Parameters are replicated.
+    """
+    radii = tuple(float(r) for r in radii)
+
+    def device_loss(params, slab, valid, labels):
+        feats = _shard_features(
+            slab, valid, halo, radii, kind, chunk_size, exclude_radius)
+        logits = linear.predict_logits(params, feats)
+        log_probs = jax.nn.log_softmax(logits)
+        nll = -jnp.take_along_axis(log_probs, labels[:, None], axis=1)[:, 0]
+        weight = valid.astype(jnp.float32)
+        loss = jnp.sum(nll * weight) / jnp.maximum(jnp.sum(weight), 1.0)
+        if weight_decay:
+            loss = loss + weight_decay * jnp.sum(params["w"] ** 2)
+        return loss
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    def step(params, opt_state, slabs, valid, labels):
+        loss, grads = jax.value_and_grad(device_loss)(
+            params, slabs[0], valid[0], labels[0])
+        grads = jax.lax.pmean(grads, AXIS)
+        loss = jax.lax.pmean(loss, AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def extract_multichip(points, radii, kind="minimal", *, mesh=None,
+                      buffer_radius=None, chunk_size=256,
+                      exclude_radius=None):
+    """
+    Convenience end-to-end: shard a cloud across every available device,
+    extract features with halo exchange, reassemble in caller order.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n_devices = mesh.devices.size
+    if buffer_radius is None:
+        buffer_radius = max(radii)
+    if buffer_radius < max(radii):
+        raise ValueError("buffer_radius must be >= the largest radius")
+
+    shards = tiles.shard_cloud(points, n_devices, buffer_radius)
+    feats = sharded_extract(
+        mesh, shards["slabs"], shards["valid"], shards["halo"],
+        radii, kind, chunk_size=chunk_size, exclude_radius=exclude_radius)
+    return tiles.unshard(
+        np.asarray(feats), shards["valid"], shards["order"], len(points))

@@ -1,0 +1,110 @@
+"""
+CloudArchive tests: create/open round-trip, natural voxel ingest,
+asset semantics, intersection, null-label handling, ASCII ingest.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from nimrud_tpu.archive import io as cloud_io
+from nimrud_tpu.archive.store import (
+    NULL_LABEL, CloudArchive, natural_voxel_indices)
+
+
+RNG = np.random.default_rng(10)
+
+
+def test_create_open_roundtrip(tmp_path):
+    cloud = RNG.random((500, 3)).astype(np.float32) * 10
+    archive = CloudArchive.create(tmp_path / "arc", cloud, name="test")
+    reopened = CloudArchive.open(tmp_path / "arc")
+    assert reopened.manifest["name"] == "test"
+    assert np.allclose(reopened.take(), cloud, atol=1e-5)
+    with pytest.raises(FileExistsError):
+        CloudArchive.create(tmp_path / "arc", cloud)
+    CloudArchive.create(tmp_path / "arc", cloud, overwrite=True)
+
+
+def test_extra_columns_become_attributes(tmp_path):
+    cloud = np.hstack([RNG.random((100, 3)), RNG.random((100, 2))])
+    archive = CloudArchive.create(tmp_path / "arc", cloud)
+    data, index, _ = archive.get_asset("source_attributes")
+    assert data.shape == (100, 2)
+    assert np.allclose(data, cloud[:, 3:], atol=1e-6)
+
+
+def test_recentering(tmp_path):
+    # a UTM-style far-from-origin cloud is recentered; take() restores it
+    cloud = RNG.random((100, 3)) + [500_000, 4_000_000, 100]
+    archive = CloudArchive.create(tmp_path / "arc", cloud)
+    assert np.linalg.norm(archive.points.mean(0)) < 10
+    assert np.allclose(archive.take(), cloud, atol=1e-3)
+
+
+def test_natural_voxel_ingest(tmp_path):
+    base = RNG.random((50, 3)) * 10
+    cloud = np.vstack([base, base + 1e-4])      # duplicates within voxels
+    keep = natural_voxel_indices(cloud, 0.5)
+    assert len(keep) < len(cloud)
+    archive = CloudArchive.create(tmp_path / "arc", cloud, voxel=0.5)
+    assert archive.manifest["num_points"] == len(keep)
+    # natural filter keeps REAL points, not voxel centers
+    stored = archive.take()
+    distances = np.abs(stored[:, None, :] - cloud[None]).sum(-1).min(1)
+    assert distances.max() < 1e-5
+
+
+def test_assets_and_intersection(tmp_path):
+    archive = CloudArchive.create(
+        tmp_path / "arc", RNG.random((200, 3)))
+    feats = RNG.random((100, 4)).astype(np.float32)
+    archive.add_asset("feats", feats, np.arange(100), meta={"scales": [1]})
+    labels = RNG.integers(0, 3, 150).astype(np.int32)
+    archive.add_asset("labels", labels, np.arange(150) + 50)
+
+    index, block = archive.intersection(["feats", "labels"])
+    assert np.array_equal(index, np.arange(50) + 50)
+    assert block.shape == (50, 5)
+    assert np.allclose(block[:, :4], feats[50:])
+
+    data, idx, meta = archive.get_asset("feats")
+    assert meta == {"scales": [1]}
+    with pytest.raises(ValueError):
+        archive.add_asset("feats", feats, np.arange(100))
+    archive.add_asset("feats", feats * 2, np.arange(100), overwrite=True)
+
+    archive.remove_asset("feats")
+    assert "feats" not in archive.list_assets()
+    # persisted across reopen
+    reopened = CloudArchive.open(tmp_path / "arc")
+    assert "labels" in reopened.list_assets()
+    assert "feats" not in reopened.list_assets()
+
+
+def test_null_labels(tmp_path):
+    archive = CloudArchive.create(
+        tmp_path / "arc", RNG.random((100, 3)))
+    labels = np.full(100, NULL_LABEL, np.int32)
+    labels[:30] = RNG.integers(0, 3, 30)
+    archive.add_asset("labels", labels, np.arange(100))
+    assert np.array_equal(archive.labeled_indices(), np.arange(30))
+
+
+def test_ascii_ingest(tmp_path):
+    cloud = RNG.random((50, 4)) * 10
+    path = tmp_path / "cloud.csv"
+    np.savetxt(path, cloud, delimiter=",", fmt="%.6f")
+    loaded = cloud_io.load_points(path)
+    assert loaded.shape == (50, 4)
+    assert np.allclose(loaded, cloud, atol=1e-5)
+
+    # whitespace-delimited too
+    path2 = tmp_path / "cloud.xyz"
+    np.savetxt(path2, cloud[:, :3], fmt="%.6f")
+    loaded2 = cloud_io.load_points(path2)
+    assert loaded2.shape == (50, 3)
+
+    with pytest.raises(ValueError):
+        cloud_io.load_points(str(tmp_path / "cloud.laz"))

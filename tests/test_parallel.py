@@ -1,0 +1,125 @@
+"""
+Multi-chip tests on the simulated 8-device CPU mesh: slab sharding, ICI
+halo exchange correctness (sharded == single-device), and the distributed
+training step.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import optax
+
+from nimrud_tpu.parallel import mesh as pmesh
+from nimrud_tpu.parallel import tiles
+from nimrud_tpu.features.multiscale import extract_scaleset
+from nimrud_tpu.learning import linear
+
+
+RNG = np.random.default_rng(10)
+
+
+def test_device_count():
+    assert len(jax.devices()) == 8, \
+        "tests expect the 8-device simulated CPU mesh"
+
+
+def test_shard_cloud_roundtrip():
+    points = RNG.random((1000, 3)) * 10
+    labels = RNG.integers(0, 3, 1000)
+    shards = tiles.shard_cloud(points, 8, 0.5, extras=[labels])
+    assert shards["slabs"].shape[0] == 8
+    # every point appears exactly once among valid rows
+    flat = shards["slabs"][shards["valid"]]
+    assert flat.shape[0] == 1000
+    restored = tiles.unshard(
+        shards["slabs"], shards["valid"], shards["order"], 1000)
+    assert np.allclose(restored, points, atol=1e-6)
+    labels_r = tiles.unshard(
+        shards["extras"][0], shards["valid"], shards["order"], 1000)
+    assert np.array_equal(labels_r, labels)
+    # slabs are disjoint in x and ordered
+    for d in range(7):
+        a = shards["slabs"][d][shards["valid"][d]]
+        b = shards["slabs"][d + 1][shards["valid"][d + 1]]
+        if len(a) and len(b):
+            assert a[:, 0].max() <= b[:, 0].min() + 1e-6
+
+
+def test_sharded_extract_matches_single_device():
+    # the halo-correctness test the reference never had: multi-chip
+    # extraction must equal the single-device dense computation exactly
+    points = (RNG.random((2000, 3)) * [16, 4, 4]).astype(np.float32)
+    radii = (0.5, 0.25)
+
+    single = extract_scaleset(
+        points, points, [(0.0, radii)], kind="minimal", method="dense")
+
+    multi = pmesh.extract_multichip(points, radii, kind="minimal")
+
+    assert multi.shape == single.shape
+    # population: identical neighbor sets (allow <=1 boundary flip)
+    pop_cols = [0, 4]
+    for c in pop_cols:
+        assert np.abs(multi[:, c] - single[:, c]).max() <= 1
+        assert (multi[:, c] != single[:, c]).mean() < 0.005
+    agree = np.all(
+        multi[:, pop_cols] == single[:, pop_cols], axis=1)
+    # tiny (2-point) neighborhoods have rank-1 covariance: the second
+    # normalized eigenvalue is fp32 noise in both paths, so tolerance is
+    # conditioning-dependent
+    sturdy = agree & np.all(multi[:, pop_cols] >= 3, axis=1)
+    assert np.allclose(multi[sturdy], single[sturdy], atol=2e-3)
+    assert np.allclose(multi[agree], single[agree], atol=5e-2)
+
+
+def test_sharded_extract_narrow_buffer_rejected():
+    points = (RNG.random((200, 3)) * 4).astype(np.float32)
+    with pytest.raises(ValueError):
+        pmesh.extract_multichip(points, (0.5,), buffer_radius=0.1)
+
+
+def test_distributed_train_step():
+    # classes with distinct local geometry (the features are translation
+    # invariant, so same-shaped blobs would be inseparable by design):
+    # 0 = planar sheet, 1 = vertical line, 2 = isotropic blob
+    per = 500
+    sheet = RNG.random((per, 3)) * [6, 6, 0.02]
+    line = RNG.random((per, 3)) * [0.02, 0.02, 6] + [8, 3, 0]
+    blob = RNG.normal([14, 3, 3], 0.8, (per, 3))
+    points = np.vstack([sheet, line, blob]).astype(np.float32)
+    labels = np.repeat([0, 1, 2], per)
+    n = len(points)
+
+    radii = (1.0, 0.5)
+    mesh = pmesh.make_mesh()
+    shards = tiles.shard_cloud(
+        points, 8, max(radii), extras=[labels.astype(np.int32)])
+
+    width = 4 * len(radii)
+    params = linear.init_params(jax.random.PRNGKey(0), width, 3)
+    optimizer = optax.adam(0.05)
+    opt_state = optimizer.init(params)
+
+    step = pmesh.make_train_step(
+        mesh, shards["halo"], radii, "minimal", 3, optimizer)
+
+    losses = []
+    import jax.numpy as jnp
+    slabs = jnp.asarray(shards["slabs"])
+    valid = jnp.asarray(shards["valid"])
+    labs = jnp.asarray(shards["extras"][0])
+    for _ in range(150):
+        params, opt_state, loss = step(params, opt_state, slabs, valid, labs)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+
+    # the trained classifier separates the blobs using sharded features
+    feats = pmesh.sharded_extract(
+        mesh, slabs, valid, shards["halo"], radii, "minimal")
+    feats_flat = tiles.unshard(
+        np.asarray(feats), shards["valid"], shards["order"], n)
+    logits = np.asarray(linear.predict_logits(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(feats_flat)))
+    accuracy = (logits.argmax(1) == labels).mean()
+    assert accuracy > 0.8, accuracy

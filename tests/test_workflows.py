@@ -1,0 +1,198 @@
+"""
+End-to-end workflow tests: archive -> features -> train -> apply ->
+evaluate -> export, plus the CLI surface.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nimrud_tpu import cli
+from nimrud_tpu.archive.store import NULL_LABEL, CloudArchive
+from nimrud_tpu.workflows import features as wf_features
+from nimrud_tpu.workflows import train as wf_train
+from nimrud_tpu.workflows import viz as wf_viz
+
+
+RNG = np.random.default_rng(10)
+
+
+def _make_archive(tmp_path, n_per=400, with_nulls=False):
+    """Archive with geometrically distinct classes + labels."""
+    sheet = RNG.random((n_per, 3)) * [6, 6, 0.02]
+    line = RNG.random((n_per, 3)) * [0.02, 0.02, 6] + [8, 3, 0]
+    blob = RNG.normal([14, 3, 3], 0.8, (n_per, 3))
+    cloud = np.vstack([sheet, line, blob]).astype(np.float32)
+    labels = np.repeat([0, 1, 2], n_per).astype(np.int32)
+    if with_nulls:
+        rows = RNG.permutation(len(labels))[:len(labels) // 2]
+        labels = labels.copy()
+        labels[rows] = NULL_LABEL
+    archive = CloudArchive.create(tmp_path / "arc", cloud)
+    archive.add_asset("labels", labels, np.arange(len(labels)))
+    return archive, cloud, labels
+
+
+def test_feature_workflow(tmp_path):
+    archive, cloud, labels = _make_archive(tmp_path)
+    name = wf_features.extract_features(
+        archive, [(0.3, (1.0, 0.5))], kind="geometric")
+    data, index, meta = archive.get_asset(name)
+    assert data.shape == (len(cloud), 8)
+    assert meta["kind"] == "geometric"
+    assert np.isfinite(data).all()
+
+
+def test_feature_workflow_skip_sampling(tmp_path):
+    archive, cloud, labels = _make_archive(tmp_path, with_nulls=True)
+    name = wf_features.extract_features(
+        archive, [(0.3, (0.5,))], kind="minimal",
+        label_asset="labels", unlabeled_fraction=0.1, seed=0)
+    data, index, _ = archive.get_asset(name)
+    labeled = (labels != NULL_LABEL).sum()
+    assert labeled <= len(index) < len(cloud)
+    # every labeled point got features
+    assert np.isin(np.nonzero(labels != NULL_LABEL)[0], index).all()
+
+
+def test_feature_workflow_partitioned_matches_whole(tmp_path):
+    archive, cloud, labels = _make_archive(tmp_path, n_per=250)
+    whole = wf_features.extract_features(
+        archive, [(0.3, (0.5,))], kind="minimal", feature_name="whole")
+    parts = wf_features.extract_features(
+        archive, [(0.3, (0.5,))], kind="minimal", feature_name="parts",
+        partition_max_population=400)
+    a, _, _ = archive.get_asset("whole")
+    b, _, _ = archive.get_asset("parts")
+    # identical up to fp32 path differences (counts may flip at radius
+    # boundaries between differently-centered computations)
+    pop_match = a[:, 0] == b[:, 0]
+    assert pop_match.mean() > 0.99
+    assert np.allclose(a[pop_match], b[pop_match], atol=5e-3)
+
+
+def test_train_workflow(tmp_path):
+    archive, cloud, labels = _make_archive(tmp_path)
+    wf_features.extract_features(
+        archive, [(0.3, (1.0, 0.5))], kind="geometric",
+        feature_name="geo")
+    report = wf_train.multiclass_train(
+        archive, ["geo"], "labels",
+        wf_train.TrainConfig(classifier="linear",
+                             classifier_kwargs={"epochs": 25}))
+    assert report["validation_accuracy"] > 0.85, report["confusion"]
+    predicted, index, meta = archive.get_asset(report["result_asset"])
+    assert predicted.shape == (len(cloud),)
+    assert "confusion" in meta
+    proba, _, _ = archive.get_asset(report["result_asset"] + "_proba")
+    assert proba.shape == (len(cloud), 3)
+    assert np.allclose(proba.sum(1), 1.0, atol=1e-3)
+
+
+def test_binary_and_resampler_and_fa(tmp_path):
+    archive, cloud, labels = _make_archive(tmp_path, n_per=250)
+    wf_features.extract_features(
+        archive, [(0.3, (1.0, 0.5))], kind="minimal", feature_name="f")
+
+    report = wf_train.binary_train(
+        archive, ["f"], "labels", positive_class=1,
+        config=wf_train.TrainConfig(
+            classifier="linear", classifier_kwargs={"epochs": 25}))
+    assert report["b_completeness"] > 70
+
+    stats = wf_train.balance_resampler(
+        archive, ["f"], "labels", repeats=2,
+        config=wf_train.TrainConfig(
+            classifier="linear", classifier_kwargs={"epochs": 10}))
+    assert stats["mean_confusion"].shape == (3, 3)
+
+    fa_name = wf_train.factor_analysis(archive, ["f"], 3)
+    reduced, _, _ = archive.get_asset(fa_name)
+    assert reduced.shape[1] == 3
+
+
+def test_apply_classifier(tmp_path):
+    archive, cloud, labels = _make_archive(tmp_path, n_per=250)
+    wf_features.extract_features(
+        archive, [(0.3, (1.0, 0.5))], kind="minimal", feature_name="f")
+    report = wf_train.multiclass_train(
+        archive, ["f"], "labels",
+        wf_train.TrainConfig(classifier="linear",
+                             classifier_kwargs={"epochs": 25}))
+    name = wf_train.apply_classifier(
+        archive, report["classifier"], ["f"], result_asset="applied")
+    applied, _, _ = archive.get_asset("applied")
+    stored, _, _ = archive.get_asset(report["result_asset"])
+    assert np.array_equal(applied, stored)
+
+
+def test_viz_exports(tmp_path):
+    archive, cloud, labels = _make_archive(tmp_path, n_per=150)
+    wf_features.extract_features(
+        archive, [(0.3, (0.5,))], kind="minimal", feature_name="f")
+    report = wf_train.multiclass_train(
+        archive, ["f"], "labels",
+        wf_train.TrainConfig(classifier="linear",
+                             classifier_kwargs={"epochs": 10}))
+
+    csv_path = wf_viz.export_classified_cloud(
+        archive, report["result_asset"], tmp_path / "out.csv",
+        proba_asset=report["result_asset"] + "_proba")
+    exported = np.loadtxt(csv_path, delimiter=",")
+    assert exported.shape == (len(cloud), 6)
+
+    png = wf_viz.confusion_plot(report["confusion"], tmp_path / "conf.png")
+    assert os.path.getsize(png) > 0
+
+    edges, counts = wf_viz.voxel_population_curve(
+        cloud, [0.25, 0.5, 1.0])
+    assert (np.diff(counts) <= 0).all(), "coarser voxels, fewer cells"
+
+    data, _, _ = archive.get_asset("f")
+    png2 = wf_viz.embedding_plot(
+        data, labels, tmp_path / "emb.png", sample=200)
+    assert os.path.getsize(png2) > 0
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    cloud = np.vstack([
+        RNG.random((300, 3)) * [6, 6, 0.02],
+        RNG.random((300, 3)) * [0.02, 0.02, 6] + [8, 3, 0],
+        RNG.normal([14, 3, 3], 0.8, (300, 3))]).astype(np.float32)
+    labels = np.repeat([0, 1, 2], 300)
+    cloud_file = tmp_path / "cloud.csv"
+    label_file = tmp_path / "labels.npy"
+    np.savetxt(cloud_file, cloud, delimiter=",", fmt="%.6f")
+    np.save(label_file, labels)
+    arc = str(tmp_path / "arc")
+
+    cli.main(["ingest", arc, str(cloud_file), "--labels", str(label_file)])
+    out = json.loads(capsys.readouterr().out)
+    assert out["points"] == 900
+
+    cli.main(["features", arc, "--scales", "0.3:1.0,0.5",
+              "--kind", "geometric", "--name", "geo"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["feature_asset"] == "geo"
+
+    cli.main(["train", arc, "--features", "geo",
+              "--classifier", "linear",
+              "--classifier-kwargs", '{"epochs": 25}',
+              "--name", "pred"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["validation_accuracy"] > 0.8
+
+    cli.main(["evaluate", arc, "--predicted", "pred", "--truth", "labels"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["accuracy"] > 0.8
+
+    out_csv = str(tmp_path / "colored.csv")
+    cli.main(["export", arc, "--labels", "pred", "-o", out_csv,
+              "--proba", "pred_proba"])
+    assert json.loads(capsys.readouterr().out)["written"] == out_csv
+
+    cli.main(["info", arc])
+    manifest = json.loads(capsys.readouterr().out)
+    assert "pred" in manifest["assets"]
