@@ -69,6 +69,27 @@ def _effective_chunk(chunk_size, n_search_padded):
     return out
 
 
+HOST_VOXEL_THRESHOLD = 200_000
+
+
+def _host_unique_voxels(search, edge):
+    """Host voxel downsample: faster than shipping a large cloud to a
+    remote device and the deduped centers back.  Native C++ when
+    available, NumPy VoxelFilter otherwise."""
+    from nimrud_tpu import native
+    s64 = search.astype(np.float64)
+    origin = s64.min(0) - edge / 2
+    span = (s64.max(0) + edge / 2) - origin
+    dims = np.maximum(np.ceil(span / edge).astype(np.int64), 1)
+    centers = native.voxel_unique(search, origin, edge, dims)
+    if centers is not None:
+        return centers
+    vf = VoxelFilter(s64, edge)
+    addresses = vf.coordinate_to_address(s64)
+    return vf.address_to_coordinate(
+        np.unique(addresses)).astype(np.float32)
+
+
 def voxel_downsample(search, edge, attributes=None,
                      interp_metric="chebyshev"):
     """
@@ -82,10 +103,13 @@ def voxel_downsample(search, edge, attributes=None,
     else the host 64-bit VoxelFilter.
     """
     search = np.asarray(search, dtype=np.float32)
-    try:
-        spec = packing.GridSpec.fit(search, edge)
-    except ValueError:
+    if search.shape[0] >= HOST_VOXEL_THRESHOLD:
         spec = None
+    else:
+        try:
+            spec = packing.GridSpec.fit(search, edge)
+        except ValueError:
+            spec = None
 
     if spec is not None:
         padded = _pad_rows_f32(search, _pow2_bucket(search.shape[0]))
@@ -95,9 +119,7 @@ def voxel_downsample(search, edge, attributes=None,
             jnp.asarray(padded), spec, valid=jnp.asarray(valid))
         centers = np.asarray(centers)[:int(count)]
     else:
-        vf = VoxelFilter(search.astype(np.float64), edge)
-        centers = vf.unique_voxels(search.astype(np.float64)) \
-            .astype(np.float32)
+        centers = _host_unique_voxels(search, edge)
 
     if attributes is None:
         return centers, None
@@ -122,7 +144,8 @@ def voxel_downsample(search, edge, attributes=None,
 
 
 def _band_features(query_padded, n_query, search, kind, edge, radii,
-                   attributes, exclude_radius, chunk_size, method):
+                   attributes, exclude_radius, chunk_size, method,
+                   tuning):
     """Features for one (edge, radii) band.  Query already padded/sorted."""
     if edge and edge > 0:
         if kind == "vector":
@@ -140,11 +163,16 @@ def _band_features(query_padded, n_query, search, kind, edge, radii,
     if use_tiled:
         query_actual = query_padded[:n_query]
         problem = grid.build_tiled_problem(
-            query_actual, centers, tile_edge=max(radii))
+            query_actual, centers, tile_edge=max(radii),
+            query_tile_factor=tuning.get("query_tile_factor", 3),
+            query_capacity=tuning.get("query_capacity"),
+            entry_batch=tuning.get("entry_batch", 256))
         return grid.tiled_features(
             problem, query_actual, centers, radii, kind,
             attributes=attrs if kind == "vector" else None,
-            exclude_radius=exclude_radius)
+            exclude_radius=exclude_radius,
+            entry_batch=tuning.get("entry_batch", 256),
+            precision=tuning.get("precision", "highest"))
     else:
         s_bucket = _pow2_bucket(centers.shape[0])
         search_padded = _pad_rows_f32(centers, s_bucket)
@@ -175,7 +203,8 @@ def _band_features(query_padded, n_query, search, kind, edge, radii,
 
 def extract_scaleset(query, search, scaleset, kind="geometric", *,
                      attributes=None, exclude_radius=None,
-                     chunk_size=1024, sort_queries=True, method="auto"):
+                     chunk_size=1024, sort_queries=True, method="auto",
+                     tuning=None):
     """
     Multiscale features for every query point.
 
@@ -207,14 +236,20 @@ def extract_scaleset(query, search, scaleset, kind="geometric", *,
     return np.asarray(extract_scaleset_device(
         query, search, scaleset, kind,
         attributes=attributes, exclude_radius=exclude_radius,
-        chunk_size=chunk_size, sort_queries=sort_queries, method=method))
+        chunk_size=chunk_size, sort_queries=sort_queries, method=method,
+        tuning=tuning))
 
 
 def extract_scaleset_device(query, search, scaleset, kind="geometric", *,
                             attributes=None, exclude_radius=None,
                             chunk_size=1024, sort_queries=True,
-                            method="auto"):
-    """As :func:`extract_scaleset`, but returns a device array."""
+                            method="auto", tuning=None):
+    """As :func:`extract_scaleset`, but returns a device array.
+
+    ``tuning`` optionally overrides tiled-path parameters:
+    query_tile_factor, query_capacity, entry_batch, precision
+    ("highest" / "high" / "default").
+    """
     if kind not in KINDS:
         raise ValueError(f"kind must be one of {KINDS}, got {kind!r}")
     if kind == "vector" and attributes is None:
@@ -222,12 +257,19 @@ def extract_scaleset_device(query, search, scaleset, kind="geometric", *,
     if method not in METHODS:
         raise ValueError(f"method must be one of {METHODS}, got {method!r}")
     chunk_size = _pow2_bucket(chunk_size, minimum=64)
+    tuning = tuning or {}
 
     query = np.asarray(query, dtype=np.float32)[:, :3]
     search = np.asarray(search, dtype=np.float32)[:, :3]
     n_query = query.shape[0]
     scaleset = [(float(edge), tuple(float(r) for r in radii))
                 for edge, radii in scaleset]
+
+    # the tiled path groups queries by tile itself; the voxel-key
+    # pre-sort only helps dense-path chunk locality
+    if method == "tiled" or (
+            method == "auto" and search.shape[0] >= TILED_THRESHOLD):
+        sort_queries = False
 
     order = None
     if sort_queries and n_query > 1:
@@ -246,7 +288,8 @@ def extract_scaleset_device(query, search, scaleset, kind="geometric", *,
 
     bands = [
         _band_features(query_padded, n_query, search, kind, edge, radii,
-                       attributes, exclude_radius, chunk_size, method)
+                       attributes, exclude_radius, chunk_size, method,
+                       tuning)
         for edge, radii in scaleset
     ]
     features = bands[0] if len(bands) == 1 \

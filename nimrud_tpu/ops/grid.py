@@ -78,28 +78,56 @@ def build_tiled_problem(query, search, tile_edge, *, query_tile_factor=2,
     tile_edge = float(tile_edge)
     m = int(query_tile_factor)
 
-    lo = np.minimum(query.min(0), search.min(0)) - 1e-3
-    hi = np.maximum(query.max(0), search.max(0)) + 1e-3
+    # all cell-assignment math in float64 (identical in the NumPy and
+    # native paths; NumPy-2 promotion would silently keep f32 here)
+    lo = np.minimum(query.min(0), search.min(0)).astype(np.float64) - 1e-3
+    hi = np.maximum(query.max(0), search.max(0)).astype(np.float64) + 1e-3
     dims = np.maximum(np.ceil((hi - lo) / tile_edge).astype(np.int64), 1)
     qdims = -(-dims // m)
 
     def linear(coords, d):
         return coords[:, 0] + coords[:, 1] * d[0] + coords[:, 2] * d[0] * d[1]
 
-    s_coords = np.clip(
-        np.floor((search - lo) / tile_edge).astype(np.int64), 0, dims - 1)
-    s_ids = linear(s_coords, dims)
-    s_order = np.argsort(s_ids, kind="stable").astype(np.int64)
-    s_sorted_ids = s_ids[s_order]
-
     n_grid = int(dims.prod())
-    q_coords = np.clip(
-        np.floor((query - lo) / tile_edge).astype(np.int64), 0, dims - 1) // m
-    q_ids = linear(q_coords, qdims)
-    q_order = np.argsort(q_ids, kind="stable").astype(np.int64)
-    q_sorted_ids = q_ids[q_order]
-    tile_ids, tile_starts = np.unique(q_sorted_ids, return_index=True)
-    tile_counts = np.diff(np.append(tile_starts, len(query)))
+    n_qgrid = int(qdims.prod())
+    dense_ok = n_grid <= (1 << 26)
+
+    from nimrud_tpu import native
+    native_s = native.tile_sort(search, lo, tile_edge, dims, 1) \
+        if dense_ok else None
+    if native_s is not None:
+        s_ids, s_order, s_tile_counts = native_s
+        s_sorted_ids = None
+    else:
+        s_coords = np.clip(
+            np.floor((search.astype(np.float64) - lo)
+                     / tile_edge).astype(np.int64),
+            0, dims - 1)
+        s_ids = linear(s_coords, dims)
+        s_order = np.argsort(s_ids, kind="stable").astype(np.int64)
+        s_sorted_ids = s_ids[s_order]
+        s_tile_counts = np.bincount(s_ids, minlength=n_grid) \
+            if dense_ok else None
+
+    native_q = native.tile_sort(query, lo, tile_edge, dims, m) \
+        if dense_ok else None
+    if native_q is not None:
+        q_ids, q_order, q_tile_counts = native_q
+        tile_ids = np.nonzero(q_tile_counts)[0]
+        tile_counts = q_tile_counts[tile_ids]
+        all_starts = np.concatenate(
+            [[0], np.cumsum(q_tile_counts)])[:-1]
+        tile_starts = all_starts[tile_ids]
+    else:
+        q_coords = np.clip(
+            np.floor((query.astype(np.float64) - lo)
+                     / tile_edge).astype(np.int64),
+            0, dims - 1) // m
+        q_ids = linear(q_coords, qdims)
+        q_order = np.argsort(q_ids, kind="stable").astype(np.int64)
+        q_sorted_ids = q_ids[q_order]
+        tile_ids, tile_starts = np.unique(q_sorted_ids, return_index=True)
+        tile_counts = np.diff(np.append(tile_starts, len(query)))
 
     if query_capacity is None:
         query_capacity = int(
@@ -107,58 +135,97 @@ def build_tiled_problem(query, search, tile_edge, *, query_tile_factor=2,
                           minimum=16), 16, 512))
     q_cap = int(query_capacity)
 
-    # split each query tile into entries of at most q_cap
+    # split each query tile into entries of at most q_cap; sizes are
+    # padded to the batch multiple up front so no array is copied later
     entries_per_tile = -(-tile_counts // q_cap)
     n_entries = int(entries_per_tile.sum())
-    entry_tile = np.repeat(np.arange(len(tile_ids)), entries_per_tile)
-    entry_rank = (np.arange(n_entries)
-                  - np.repeat(np.cumsum(entries_per_tile)
-                              - entries_per_tile, entries_per_tile))
-    entry_start = tile_starts[entry_tile] + entry_rank * q_cap
-    entry_count = np.minimum(
-        tile_counts[entry_tile] - entry_rank * q_cap, q_cap)
+    e_pad = ((n_entries + entry_batch - 1) // entry_batch) * entry_batch
+    entry_tile = np.full(e_pad, len(tile_ids), dtype=np.int64)
+    entry_tile[:n_entries] = np.repeat(
+        np.arange(len(tile_ids)), entries_per_tile)
+    entry_rank = np.zeros(e_pad, dtype=np.int64)
+    entry_rank[:n_entries] = (
+        np.arange(n_entries)
+        - np.repeat(np.cumsum(entries_per_tile)
+                    - entries_per_tile, entries_per_tile))
+    tile_starts_ext = np.append(tile_starts, 0)
+    tile_counts_ext = np.append(tile_counts, 0)
+    entry_start = tile_starts_ext[entry_tile] + entry_rank * q_cap
+    entry_count = np.maximum(np.minimum(
+        tile_counts_ext[entry_tile] - entry_rank * q_cap, q_cap), 0)
 
-    query_index = np.full((n_entries, q_cap), -1, dtype=np.int32)
-    row = np.repeat(np.arange(n_entries), entry_count)
-    col = np.arange(len(query)) - np.repeat(entry_start, entry_count)
-    query_index[row, col] = q_order
+    query_index = native.fill_table(
+        np.asarray(q_order, np.int32), entry_start.astype(np.int64),
+        entry_count.astype(np.int64),
+        np.arange(e_pad, dtype=np.int64), q_cap)
+    if query_index is not None:
+        query_index = query_index[:-1]
+    else:
+        query_index = np.full((e_pad, q_cap), -1, dtype=np.int32)
+        row = np.repeat(np.arange(e_pad), entry_count)
+        col = (np.arange(int(entry_count.sum()))
+               - np.repeat(np.cumsum(entry_count) - entry_count,
+                           entry_count))
+        query_index[row, col] = q_order[
+            np.repeat(entry_start, entry_count) + col]
 
     # candidate search tiles per occupied query tile: offsets -1..m
+    n_off = (m + 2) ** 3
     tile_q_coords = np.stack(
         [tile_ids % qdims[0],
          (tile_ids // qdims[0]) % qdims[1],
          tile_ids // (qdims[0] * qdims[1])], axis=1)
-    base = tile_q_coords * m                                # search-tile coords
-    offsets = np.array(
-        [(dx, dy, dz)
-         for dx in range(-1, m + 1)
-         for dy in range(-1, m + 1)
-         for dz in range(-1, m + 1)], dtype=np.int64)       # ((m+2)^3, 3)
-    n_off = len(offsets)
-    ncoord = base[:, None, :] + offsets[None, :, :]         # (T, n_off, 3)
-    ok = np.all((ncoord >= 0) & (ncoord < dims), axis=2)
-    nid = np.where(
-        ok,
-        ncoord[..., 0] + ncoord[..., 1] * dims[0]
-        + ncoord[..., 2] * dims[0] * dims[1],
-        -1)                                                 # (T, n_off)
 
-    needed = np.unique(nid[ok])
-    empty_row = len(needed)
+    def _numpy_nid():
+        base = tile_q_coords * m                    # search-tile coords
+        offsets = np.array(
+            [(dx, dy, dz)
+             for dx in range(-1, m + 1)
+             for dy in range(-1, m + 1)
+             for dz in range(-1, m + 1)], dtype=np.int64)
+        ncoord = base[:, None, :] + offsets[None, :, :]
+        ok = np.all((ncoord >= 0) & (ncoord < dims), axis=2)
+        nid = np.where(
+            ok,
+            ncoord[..., 0] + ncoord[..., 1] * dims[0]
+            + ncoord[..., 2] * dims[0] * dims[1],
+            -1)                                     # (T, n_off)
+        return nid, ok
 
-    if n_grid <= (1 << 26):
-        # dense O(grid) maps: no binary searches on the hot path
-        per_tile_counts = np.bincount(s_ids, minlength=n_grid)
+    if dense_ok:
+        # dense O(grid) maps: no binary searches, no sorting.  Only
+        # tiles that are BOTH occupied and adjacent to a query tile get
+        # candidate rows -- empty neighbors share the one all-pad row.
+        per_tile_counts = s_tile_counts if s_tile_counts is not None \
+            else np.bincount(s_ids, minlength=n_grid)
         tile_first = np.concatenate(
             [[0], np.cumsum(per_tile_counts)])[:-1]
+        neighbor_mask = native.mark_neighbors(
+            tile_ids, dims, qdims, m, n_grid)
+        if neighbor_mask is None:
+            nid, ok = _numpy_nid()
+            neighbor_mask = np.zeros(n_grid, dtype=bool)
+            neighbor_mask[nid[ok]] = True
+        else:
+            nid = None
+        needed = np.nonzero(neighbor_mask & (per_tile_counts > 0))[0]
+        empty_row = len(needed)
         grid_row = np.full(n_grid, empty_row, dtype=np.int32)
         grid_row[needed] = np.arange(len(needed), dtype=np.int32)
         counts = per_tile_counts[needed]
         starts = tile_first[needed]
-        tile_rows = np.where(
-            nid >= 0, grid_row[np.where(nid < 0, 0, nid)], empty_row
-        ).astype(np.int32)
+        tile_rows = native.neighbor_rows(
+            tile_ids, dims, qdims, m, grid_row, empty_row)
+        if tile_rows is None:
+            if nid is None:
+                nid, ok = _numpy_nid()
+            tile_rows = np.where(
+                nid >= 0, grid_row[np.where(nid < 0, 0, nid)], empty_row
+            ).astype(np.int32)
     else:
+        nid, ok = _numpy_nid()
+        needed = np.unique(nid[ok])
+        empty_row = len(needed)
         # huge sparse grids: binary-search fallback
         starts = np.searchsorted(s_sorted_ids, needed, side="left")
         counts = (np.searchsorted(s_sorted_ids, needed, side="right")
@@ -174,26 +241,29 @@ def build_tiled_problem(query, search, tile_edge, *, query_tile_factor=2,
 
     # candidate table: one row per needed tile (+ trailing all-pad row)
     s_cap = _pow2(int(counts.max()) if len(counts) else 1)
-    candidates = np.full((len(needed) + 1, s_cap), -1, dtype=np.int32)
-    if len(needed):
-        row = np.repeat(np.arange(len(needed)), counts)
-        col = (np.arange(int(counts.sum()))
-               - np.repeat(np.cumsum(counts) - counts, counts))
-        candidates[row, col] = s_order[np.repeat(starts, counts) + col]
+    candidates = native.fill_table(
+        np.asarray(s_order, np.int32), starts.astype(np.int64),
+        counts.astype(np.int64),
+        np.arange(len(needed), dtype=np.int64), s_cap) \
+        if len(needed) else None
+    if candidates is None:
+        candidates = np.full((len(needed) + 1, s_cap), -1, dtype=np.int32)
+        if len(needed):
+            row = np.repeat(np.arange(len(needed)), counts)
+            col = (np.arange(int(counts.sum()))
+                   - np.repeat(np.cumsum(counts) - counts, counts))
+            candidates[row, col] = s_order[
+                np.repeat(starts, counts) + col]
 
-    neighbor_rows = tile_rows[entry_tile]
+    # entry_tile's padding rows point at the sentinel row appended here,
+    # so one fancy index produces the padded tables directly
+    tile_rows_ext = np.vstack(
+        [tile_rows, np.full((1, n_off), empty_row, np.int32)])
+    neighbor_rows = tile_rows_ext[entry_tile]
 
-    centers = ((tile_q_coords + 0.5) * (m * tile_edge) + lo)[entry_tile]
-
-    # pad entries to a batch multiple
-    e_pad = ((n_entries + entry_batch - 1) // entry_batch) * entry_batch
-    if e_pad != n_entries:
-        pad = e_pad - n_entries
-        query_index = np.vstack(
-            [query_index, np.full((pad, q_cap), -1, np.int32)])
-        neighbor_rows = np.vstack(
-            [neighbor_rows, np.full((pad, n_off), empty_row, np.int32)])
-        centers = np.vstack([centers, np.zeros((pad, 3), np.float32)])
+    centers_by_tile = np.vstack(
+        [(tile_q_coords + 0.5) * (m * tile_edge) + lo, np.zeros((1, 3))])
+    centers = centers_by_tile[entry_tile]
 
     fill = entry_count.sum() / max(e_pad * q_cap, 1)
     return TiledProblem(
@@ -211,14 +281,15 @@ def build_tiled_problem(query, search, tile_edge, *, query_tile_factor=2,
 # device kernels
 # ---------------------------------------------------------------------------
 
-def _entry_stats(q_local, s_local, s_valid, aug, radii, exclude_radius):
+def _entry_stats(q_local, s_local, s_valid, aug, radii, exclude_radius,
+                 precision=jax.lax.Precision.HIGHEST):
     """Masked moments for one batch of entries (shared by both kernels)."""
     d2 = (jnp.sum(q_local * q_local, axis=-1)[:, :, None]
           + jnp.sum(s_local * s_local, axis=-1)[:, None, :]
           - 2.0 * jnp.einsum(
               "bqd,bsd->bqs", q_local, s_local,
               preferred_element_type=jnp.float32,
-              precision=jax.lax.Precision.HIGHEST))
+              precision=precision))
     d2 = jnp.maximum(d2, 0.0)
 
     base = s_valid[:, None, :]
@@ -231,7 +302,7 @@ def _entry_stats(q_local, s_local, s_valid, aug, radii, exclude_radius):
         mom = jnp.einsum(
             "bqs,bsk->bqk", mask, aug,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=precision)
         count = mom[..., 0]
         denom = jnp.maximum(count, 1.0)[..., None]
         mean_local = mom[..., 1:4] / denom
@@ -274,10 +345,11 @@ def _gather_batch(query_pad, search_pad, attr_pad, candidates, batch):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radii", "exclude_radius", "has_attr", "entry_batch"))
+    static_argnames=("radii", "exclude_radius", "has_attr", "entry_batch",
+                     "precision"))
 def _tiled_kernel(query, search, attributes, query_index, neighbor_rows,
                   candidates, entry_centers, radii, exclude_radius,
-                  has_attr, entry_batch):
+                  has_attr, entry_batch, precision):
     """Raw moments in entry layout: dict of (E, Q_CAP, R, ...)."""
     n_entries, q_cap = query_index.shape
     n_batches = n_entries // entry_batch
@@ -294,7 +366,8 @@ def _tiled_kernel(query, search, attributes, query_index, neighbor_rows,
             query_pad, search_pad, attr_pad, candidates, batch)
         centers = batch[2]
         per_radius = _entry_stats(
-            q_local, s_local, s_valid, aug, radii, exclude_radius)
+            q_local, s_local, s_valid, aug, radii, exclude_radius,
+            precision)
         out = {
             "count": jnp.stack([p["count"] for p in per_radius], axis=2),
             "mean": jnp.stack(
@@ -320,11 +393,11 @@ def _tiled_kernel(query, search, attributes, query_index, neighbor_rows,
 @functools.partial(
     jax.jit,
     static_argnames=("radii", "exclude_radius", "kind", "has_attr",
-                     "entry_batch", "n_query"))
+                     "entry_batch", "n_query", "precision"))
 def _tiled_features_kernel(query, search, attributes, query_index,
                            neighbor_rows, candidates, entry_centers,
                            radii, exclude_radius, kind, has_attr,
-                           entry_batch, n_query):
+                           entry_batch, n_query, precision):
     """
     Fused: moments -> feature layout -> scatter to caller order, all on
     device.  Returns (n_query, total_width) float32.
@@ -347,7 +420,8 @@ def _tiled_features_kernel(query, search, attributes, query_index,
             query_pad, search_pad, attr_pad, candidates, batch)
         centers = batch[2]
         per_radius = _entry_stats(
-            q_local, s_local, s_valid, aug, radii, exclude_radius)
+            q_local, s_local, s_valid, aug, radii, exclude_radius,
+            precision)
         blocks = []
         for p, radius in zip(per_radius, radii):
             if kind == "vector":
@@ -385,8 +459,16 @@ def _check_radii(problem, radii):
     return radii
 
 
+PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
 def tiled_moments(problem, query, search, radii, *, attributes=None,
-                  exclude_radius=None, entry_batch=32):
+                  exclude_radius=None, entry_batch=32,
+                  precision="highest"):
     """
     Neighborhood moments via the tile grid, aligned to the original query
     order.  Returns the same dict as
@@ -408,7 +490,8 @@ def tiled_moments(problem, query, search, radii, *, attributes=None,
         radii,
         None if exclude_radius is None else float(exclude_radius),
         has_attr,
-        int(entry_batch))
+        int(entry_batch),
+        PRECISIONS[precision])
 
     q_idx = problem.query_index
     valid = q_idx >= 0
@@ -424,7 +507,8 @@ def tiled_moments(problem, query, search, radii, *, attributes=None,
 
 
 def tiled_features(problem, query, search, radii, kind, *, attributes=None,
-                   exclude_radius=None, entry_batch=32):
+                   exclude_radius=None, entry_batch=32,
+                   precision="highest"):
     """
     Fused feature extraction through the tile grid: moments, layout, and
     the scatter back to the caller's query order all run on device.
@@ -448,4 +532,5 @@ def tiled_features(problem, query, search, radii, kind, *, attributes=None,
         kind,
         has_attr,
         int(entry_batch),
-        int(problem.n_query))
+        int(problem.n_query),
+        PRECISIONS[precision])
