@@ -68,14 +68,30 @@ def main():
     model.classifier.fit(features[fit_rows], labels[fit_rows])
     del features
 
+    import jax
+    import jax.numpy as jnp
+
     for _ in range(WARMUP_RUNS):
         predicted = model.predict(cloud)
 
-    times = []
+    times, stages = [], []
     for _ in range(TIMED_RUNS):
         start = time.perf_counter()
-        predicted = model.predict(cloud)
-        times.append(time.perf_counter() - start)
+        feats = model.extract_device(cloud)
+        jax.block_until_ready(feats)
+        t_extract = time.perf_counter()
+        probs = model.classifier.proba_device(feats)
+        labels_dev = jnp.argmax(probs, axis=1).astype(jnp.int32)
+        jax.block_until_ready(labels_dev)
+        t_classify = time.perf_counter()
+        predicted = np.asarray(labels_dev)
+        t_done = time.perf_counter()
+        times.append(t_done - start)
+        stages.append({
+            "extract": round(t_extract - start, 3),
+            "classify": round(t_classify - t_extract, 3),
+            "labels_d2h": round(t_done - t_classify, 3),
+        })
 
     best = min(times)
     rate = N_POINTS / best
@@ -89,6 +105,7 @@ def main():
         "vs_baseline": round(rate / BASELINE_PTS_PER_SEC, 1),
         "detail": {
             "times_sec": [round(t, 3) for t in times],
+            "stages_sec": stages,
             "n_points": N_POINTS,
             "scales": list(RADII),
             "train_accuracy": round(accuracy, 4),

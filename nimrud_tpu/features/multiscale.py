@@ -35,7 +35,7 @@ PAIRS_BUDGET = 1 << 24
 TILED_THRESHOLD = 16384
 
 KINDS = ("minimal", "geometric", "oriented", "covariance", "vector")
-METHODS = ("auto", "dense", "tiled")
+METHODS = ("auto", "dense", "tiled", "fused")
 
 
 def _pow2_bucket(n, minimum=128):
@@ -201,6 +201,61 @@ def _band_features(query_padded, n_query, search, kind, edge, radii,
     return jnp.concatenate(blocks, axis=1)
 
 
+def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
+                           exclude_radius=None, tuning=None):
+    """
+    Fully device-resident extraction: voxel downsample, tile-grid build,
+    masked moments, layout and scatter all happen in jitted XLA -- the
+    host only computes dataset bounds and uploads the clouds once.
+
+    Requirements: geometry layouts only (no attributes), every band must
+    voxel-downsample (edge > 0), and the voxel grids must fit the int32
+    key budget.  Raises ValueError when not applicable (callers fall
+    back to :func:`extract_scaleset_device`).
+
+    Returns a device array (n_query, width).
+    """
+    from nimrud_tpu.ops import device_grid
+
+    if kind == "vector":
+        raise ValueError("fused path does not support attribute features")
+    tuning = tuning or {}
+    query = np.asarray(query, dtype=np.float32)[:, :3]
+    search = np.asarray(search, dtype=np.float32)[:, :3]
+    scaleset = [(float(edge), tuple(float(r) for r in radii))
+                for edge, radii in scaleset]
+    if any(edge <= 0 for edge, _ in scaleset):
+        raise ValueError("fused path requires voxel edges > 0")
+
+    n_query = query.shape[0]
+    lo = np.minimum(query.min(0), search.min(0)).astype(np.float64)
+    hi = np.maximum(query.max(0), search.max(0)).astype(np.float64)
+
+    q_bucket = _pow2_bucket(n_query)
+    s_bucket = _pow2_bucket(search.shape[0])
+    query_dev = jnp.asarray(_pad_rows_f32(query, q_bucket))
+    search_dev = jnp.asarray(_pad_rows_f32(search, s_bucket))
+    q_valid = jnp.arange(q_bucket) < n_query
+    s_valid = jnp.arange(s_bucket) < search.shape[0]
+
+    bands = []
+    for edge, radii in scaleset:
+        vox_spec = packing.GridSpec.fit_bounds(lo, hi, edge)
+        centers, _, center_mask = unique.unique_voxels(
+            search_dev, vox_spec, valid=s_valid)
+        spec = device_grid.make_spec(
+            lo, hi, max(radii), n_query=q_bucket,
+            m=tuning.get("query_tile_factor", 3),
+            q_cap=tuning.get("query_capacity") or 64,
+            voxel_edge=edge,
+            entry_batch=tuning.get("entry_batch", 256))
+        bands.append(device_grid.fused_extract(
+            query_dev, q_valid, centers, center_mask, spec, radii, kind,
+            None if exclude_radius is None else float(exclude_radius),
+            tuning.get("precision", "highest"), n_query))
+    return bands[0] if len(bands) == 1 else jnp.concatenate(bands, axis=1)
+
+
 def extract_scaleset(query, search, scaleset, kind="geometric", *,
                      attributes=None, exclude_radius=None,
                      chunk_size=1024, sort_queries=True, method="auto",
@@ -258,6 +313,21 @@ def extract_scaleset_device(query, search, scaleset, kind="geometric", *,
         raise ValueError(f"method must be one of {METHODS}, got {method!r}")
     chunk_size = _pow2_bucket(chunk_size, minimum=64)
     tuning = tuning or {}
+
+    # prefer the fully device-resident path for large clouds when its
+    # requirements hold (geometry layouts, voxelized bands, key budget)
+    if method == "fused" or (
+            method == "auto"
+            and np.asarray(search).shape[0] >= TILED_THRESHOLD
+            and kind != "vector"
+            and all(edge > 0 for edge, _ in scaleset)):
+        try:
+            return extract_scaleset_fused(
+                query, search, scaleset, kind,
+                exclude_radius=exclude_radius, tuning=tuning)
+        except ValueError:
+            if method == "fused":
+                raise
 
     query = np.asarray(query, dtype=np.float32)[:, :3]
     search = np.asarray(search, dtype=np.float32)[:, :3]

@@ -1,0 +1,207 @@
+"""
+Fully device-resident tiled extraction.
+
+The host-built plan (:mod:`nimrud_tpu.ops.grid`) costs ~0.5 s per band per
+million points on a weak host while the device kernel costs milliseconds.
+This module moves the ENTIRE build into XLA with static bounds, so one
+jitted call takes a raw cloud to features:
+
+  encode fine/coarse tile ids          (elementwise)
+  stable sort by id                    (lax.sort_key_val)
+  per-tile counts/starts               (scatter-add + cumsum)
+  candidate table over the full grid   (gather; empty tiles stay padded)
+  entry table with overflow splitting  (searchsorted over entry offsets;
+                                        static capacity G_q + N/Q_CAP)
+  masked-moment kernel + layout + scatter (shared with ops.grid)
+
+Static-shape discipline: grid dimensions are bucketed (rounded up), the
+candidate table covers the WHOLE fine grid (so candidate rows are fine
+tile ids -- no compaction index), and the entry count is bounded by
+#coarse tiles + N/Q_CAP regardless of the point distribution.
+
+The per-fine-tile capacity S_CAP must be an upper bound on tile occupancy.
+For voxel-downsampled search sets it is exact by construction:
+(ceil(tile_edge/voxel_edge) + 1)^3.  Raw search sets need a caller-provided
+bound (overflowing points would be silently dropped).
+"""
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nimrud_tpu.ops import grid as host_grid
+
+
+@dataclass(frozen=True)
+class DeviceGridSpec:
+    """Static description of one fused extraction problem."""
+    lo: tuple                 # fine-grid origin (float)
+    dims: tuple               # fine-grid dimensions (int, bucketed)
+    tile_edge: float
+    m: int                    # query tiles are m fine tiles across
+    q_cap: int                # queries per entry
+    s_cap: int                # max search points per fine tile
+    e_cap: int                # entry capacity (multiple of entry_batch)
+    entry_batch: int
+
+    @property
+    def qdims(self):
+        return tuple(-(-d // self.m) for d in self.dims)
+
+    @property
+    def n_grid(self):
+        d = self.dims
+        return d[0] * d[1] * d[2]
+
+    @property
+    def n_qgrid(self):
+        d = self.qdims
+        return d[0] * d[1] * d[2]
+
+
+def make_spec(bounds_lo, bounds_hi, tile_edge, *, n_query, m=3, q_cap=64,
+              s_cap=None, voxel_edge=None, entry_batch=256,
+              dims_round=16):
+    """
+    Build the static spec from dataset bounds (host side, scalars only).
+
+    s_cap: per-fine-tile occupancy bound; derived exactly from
+    ``voxel_edge`` when the search set is voxel-downsampled.
+    """
+    lo = np.asarray(bounds_lo, np.float64) - 1e-3
+    hi = np.asarray(bounds_hi, np.float64) + 1e-3
+    dims = np.maximum(np.ceil((hi - lo) / tile_edge).astype(np.int64), 1)
+    dims = ((dims + dims_round - 1) // dims_round) * dims_round
+
+    if s_cap is None:
+        if voxel_edge is None:
+            raise ValueError("need s_cap or voxel_edge")
+        per_axis = int(np.ceil(tile_edge / voxel_edge)) + 1
+        s_cap = host_grid._pow2(per_axis ** 3)
+    qdims = -(-dims // m)
+    n_qgrid = int(qdims.prod())
+    raw_entries = n_qgrid + n_query // q_cap + 1
+    e_cap = ((raw_entries + entry_batch - 1) // entry_batch) * entry_batch
+    return DeviceGridSpec(
+        lo=tuple(float(v) for v in lo),
+        dims=tuple(int(d) for d in dims),
+        tile_edge=float(tile_edge),
+        m=int(m), q_cap=int(q_cap), s_cap=int(host_grid._pow2(s_cap)),
+        e_cap=int(e_cap), entry_batch=int(entry_batch))
+
+
+def _encode(points, spec, coarse):
+    """Linear tile ids (int32), clipped into the grid."""
+    lo = jnp.asarray(spec.lo, dtype=points.dtype)
+    cell = jnp.floor((points - lo) / spec.tile_edge).astype(jnp.int32)
+    dims = jnp.asarray(spec.dims, dtype=jnp.int32)
+    cell = jnp.clip(cell, 0, dims - 1)
+    if coarse:
+        cell = cell // spec.m
+        d = spec.qdims
+    else:
+        d = spec.dims
+    return cell[:, 0] + cell[:, 1] * d[0] + cell[:, 2] * d[0] * d[1]
+
+
+def _sort_and_count(ids, valid, n_grid):
+    """Stable sort by id; per-tile counts and exclusive starts."""
+    n = ids.shape[0]
+    ids = jnp.where(valid, ids, n_grid)          # invalid rows sort last
+    order = jnp.arange(n, dtype=jnp.int32)
+    sorted_ids, sorted_order = jax.lax.sort_key_val(ids, order)
+    counts = jnp.zeros(n_grid + 1, jnp.int32).at[ids].add(1)[:n_grid]
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+    return sorted_order, counts, starts
+
+
+def build_tables(query, q_valid, search, s_valid, spec):
+    """
+    Device-side plan: returns (query_index, neighbor_rows, candidates,
+    entry_centers) with the same semantics as the host TiledProblem --
+    except candidate rows are indexed by fine tile id (row n_grid = the
+    all-pad empty row).
+    """
+    n_grid, n_qgrid = spec.n_grid, spec.n_qgrid
+    n_search = search.shape[0]
+    n_query = query.shape[0]
+
+    # --- candidates over the full fine grid -------------------------------
+    s_order, s_counts, s_starts = _sort_and_count(
+        _encode(search, spec, coarse=False), s_valid, n_grid)
+    col = jnp.arange(spec.s_cap, dtype=jnp.int32)
+    gather_at = jnp.clip(s_starts[:, None] + col[None, :], 0, n_search - 1)
+    in_tile = col[None, :] < jnp.minimum(s_counts, spec.s_cap)[:, None]
+    candidates = jnp.where(in_tile, s_order[gather_at], -1)
+    candidates = jnp.concatenate(
+        [candidates, jnp.full((1, spec.s_cap), -1, jnp.int32)], axis=0)
+
+    # --- entries over the coarse grid --------------------------------------
+    q_order, q_counts, q_starts = _sort_and_count(
+        _encode(query, spec, coarse=True), q_valid, n_qgrid)
+    per_tile = -(-q_counts // spec.q_cap)        # entries per coarse tile
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(per_tile)])  # (G_q+1,)
+    entry = jnp.arange(spec.e_cap, dtype=jnp.int32)
+    tile = jnp.clip(
+        jnp.searchsorted(offsets, entry, side="right") - 1, 0, n_qgrid - 1)
+    rank = entry - offsets[tile]
+    live = entry < offsets[n_qgrid]
+    count = jnp.clip(q_counts[tile] - rank * spec.q_cap, 0, spec.q_cap)
+    count = jnp.where(live, count, 0)
+    start = q_starts[tile] + rank * spec.q_cap
+
+    qcol = jnp.arange(spec.q_cap, dtype=jnp.int32)
+    q_gather = jnp.clip(start[:, None] + qcol[None, :], 0, n_query - 1)
+    query_index = jnp.where(
+        qcol[None, :] < count[:, None], q_order[q_gather], -1)
+
+    # --- neighbor rows + centers per entry ---------------------------------
+    qd = spec.qdims
+    tx = tile % qd[0]
+    ty = (tile // qd[0]) % qd[1]
+    tz = tile // (qd[0] * qd[1])
+    dims = spec.dims
+    rows = []
+    for dx in range(-1, spec.m + 1):
+        for dy in range(-1, spec.m + 1):
+            for dz in range(-1, spec.m + 1):
+                x = tx * spec.m + dx
+                y = ty * spec.m + dy
+                z = tz * spec.m + dz
+                ok = ((x >= 0) & (x < dims[0]) & (y >= 0) & (y < dims[1])
+                      & (z >= 0) & (z < dims[2]))
+                fine = x + y * dims[0] + z * dims[0] * dims[1]
+                rows.append(jnp.where(ok, fine, n_grid))
+    neighbor_rows = jnp.stack(rows, axis=1)
+
+    lo = jnp.asarray(spec.lo, dtype=jnp.float32)
+    centers = (jnp.stack([tx, ty, tz], axis=1).astype(jnp.float32) + 0.5) \
+        * (spec.m * spec.tile_edge) + lo
+    return query_index, neighbor_rows, candidates, centers
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "radii", "kind", "exclude_radius",
+                     "precision_name", "n_out"))
+def fused_extract(query, q_valid, search, s_valid, spec, radii, kind,
+                  exclude_radius, precision_name, n_out):
+    """
+    Raw padded clouds -> feature block (n_out, width), one jit: build the
+    plan on device, run the masked-moment kernel, apply the layout,
+    scatter to caller order.
+    """
+    query_index, neighbor_rows, candidates, centers = build_tables(
+        query, q_valid, search, s_valid, spec)
+    return host_grid._tiled_features_kernel.__wrapped__(
+        query, search,
+        jnp.zeros((search.shape[0], 0), jnp.float32),
+        query_index, neighbor_rows, candidates, centers,
+        radii, exclude_radius, kind, False,
+        spec.entry_batch, n_out,
+        host_grid.PRECISIONS[precision_name])

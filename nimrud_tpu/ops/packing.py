@@ -52,6 +52,23 @@ class GridSpec:
         return sum(self.widths)
 
     @classmethod
+    def fit_bounds(cls, lo, hi, edge_length):
+        """Build a spec from precomputed bounds (min/max corners)."""
+        lo = np.asarray(lo, dtype=np.float64)
+        hi = np.asarray(hi, dtype=np.float64)
+        origin = lo - edge_length / 2
+        span = (hi + edge_length / 2) - origin
+        widths = np.maximum(
+            np.ceil(np.log2(np.maximum(span / edge_length, 1.0))), 1
+        ).astype(int)
+        if widths.sum() > MAX_KEY_BITS:
+            raise ValueError(
+                f"grid needs {int(widths.sum())} key bits "
+                f"(device budget {MAX_KEY_BITS}); tile the region first")
+        return cls(tuple(float(o) for o in origin), float(edge_length),
+                   tuple(int(w) for w in widths))
+
+    @classmethod
     def fit(cls, points, edge_length):
         """
         Build a spec enclosing ``points`` (host-side, float64 math so cell

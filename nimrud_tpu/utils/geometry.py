@@ -419,6 +419,116 @@ class NestedOctree:
                 yield cube
 
 
+class ProceduralNestedPartitioner:
+    """
+    Cell-glomming nested partitioner.
+
+    The reference described this algorithm in a docstring and raised on
+    construction (reference: nimrud/utils/geometry.py:451-508); this is a
+    working implementation of that design: build a voxel grid with edge
+    = buffer_radius over both clouds, then grow partitions by greedily
+    glomming face-adjacent query cells while the union of their
+    26-neighborhoods' search population stays within ``max_population``.
+    A query cell whose own neighborhood exceeds the budget is yielded as
+    a singleton (the reference's "let the user decide" case).
+
+    ``partition_generator`` yields ``(query_indices, search_indices)``;
+    every query point appears in exactly one partition, and each
+    partition's search set contains every search point within
+    buffer_radius (Chebyshev) of its query cells.
+    """
+
+    def __init__(self, query_set, search_space, buffer_radius,
+                 max_population, num_tries=5, seed=0):
+        _validate_cloud_3d(query_set)
+        _validate_cloud_3d(search_space)
+        if buffer_radius <= 0:
+            raise ValueError("buffer radius must be positive")
+        self.query_set = query_set
+        self.search_space = search_space
+        self.buffer_radius = buffer_radius
+        self.max_population = max_population
+        self.num_tries = num_tries
+        self.seed = seed
+
+        both = np.vstack([query_set, search_space])
+        self._filter = VoxelFilter(both, buffer_radius)
+        self._query_cells = self._bucket(query_set)
+        self._search_cells = self._bucket(search_space)
+
+    def _bucket(self, points):
+        addresses = self._filter.coordinate_to_address(points)
+        order = np.argsort(addresses, kind="stable")
+        sorted_addr = addresses[order]
+        uniq, starts = np.unique(sorted_addr, return_index=True)
+        stops = np.append(starts[1:], len(points))
+        return {int(a): order[lo:hi]
+                for a, lo, hi in zip(uniq, starts, stops)}
+
+    def _neighborhood(self, address):
+        """The cell and its 26 neighbors (covers the buffer radius)."""
+        cells = {int(address)}
+        cells.update(
+            int(a) for a in self._filter.find_neighbors(
+                np.asarray([address])))
+        return cells
+
+    def _search_count(self, cells):
+        return sum(len(self._search_cells.get(c, ())) for c in cells)
+
+    def partition_generator(self):
+        rng = np.random.RandomState(self.seed)
+        remaining = dict(self._query_cells)
+        while remaining:
+            keys = sorted(remaining)
+            cell = keys[rng.randint(len(keys))]
+            region = self._neighborhood(cell)
+            if self._search_count(region) > self.max_population:
+                # oversized single-cell neighborhood: yield as-is
+                query_idx = remaining.pop(cell)
+                yield query_idx, self._collect_search(region)
+                continue
+
+            accepted = {cell}
+            search_cells = set(region)
+            rejected = set()
+            frontier = [cell]
+            while frontier:
+                candidates = []
+                for f in frontier:
+                    for n in self._filter.find_facing_neighbors(
+                            np.asarray([f])):
+                        n = int(n)
+                        if (n in remaining and n not in accepted
+                                and n not in rejected):
+                            candidates.append(n)
+                if not candidates:
+                    break
+                frontier = []
+                for candidate in candidates[:self.num_tries * 4]:
+                    if candidate in accepted or candidate in rejected:
+                        continue
+                    proposal = search_cells \
+                        | self._neighborhood(candidate)
+                    if self._search_count(proposal) > self.max_population:
+                        rejected.add(candidate)
+                    else:
+                        accepted.add(candidate)
+                        search_cells = proposal
+                        frontier.append(candidate)
+
+            query_idx = np.concatenate(
+                [remaining.pop(c) for c in sorted(accepted)])
+            yield query_idx, self._collect_search(search_cells)
+
+    def _collect_search(self, cells):
+        found = [self._search_cells[c] for c in sorted(cells)
+                 if c in self._search_cells]
+        if not found:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(np.concatenate(found))
+
+
 class NestedGrid:
     """
     Single-level buffered partitioner: a uniform tiling of identical cubes

@@ -27,6 +27,8 @@ class TrainConfig:
     validation_fraction: float = 0.3
     kernel_approx: str | None = None          # None | nystroem | rbf
     kernel_components: int = 100
+    trees_embedding: bool = False              # RandomTreesEmbedding map
+                                               # (reference apc.py:1382-1390)
     prune_with_forest: bool = False           # RF importance pruning
     prune_keep_fraction: float = 0.5
     seed: int = 0
@@ -166,6 +168,12 @@ def binary_train(archive, feature_assets, label_asset="labels",
     index, features, labels = _gather_training_data(
         archive, feature_assets, label_asset)
     binary = (labels == positive_class).astype(np.int64)
+
+    if config.trees_embedding:
+        from sklearn.ensemble import RandomTreesEmbedding
+        embedder = RandomTreesEmbedding(
+            n_estimators=20, random_state=config.seed, sparse_output=False)
+        features = embedder.fit_transform(features).astype(np.float32)
 
     train_rows, val_rows = _balanced_split(
         binary, config.samples_per_class, config.validation_fraction, rng)

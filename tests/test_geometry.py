@@ -337,6 +337,45 @@ def test_octree_partition_deep_covers_extreme_points():
     assert covered.all(), f"{(~covered).sum()} query points orphaned"
 
 
+def test_procedural_partitioner():
+    # the glomming partitioner the reference only sketched: every query
+    # point lands in exactly one partition, every partition's search set
+    # contains all points within the buffer of its query points, and
+    # populations respect the budget except flagged single-cell overflows
+    rng = np.random.default_rng(3)
+    query_set = rng.random((2000, 3)) * 6
+    search_space = rng.random((5000, 3)) * 6
+    buffer_radius = 0.5
+    max_population = 800
+
+    part = geometry.ProceduralNestedPartitioner(
+        query_set, search_space, buffer_radius, max_population, seed=0)
+    seen = np.zeros(len(query_set), dtype=int)
+    partitions = list(part.partition_generator())
+    assert len(partitions) > 1
+    from scipy.spatial import cKDTree
+    for q_idx, s_idx in partitions:
+        seen[q_idx] += 1
+        if q_idx.size == 0:
+            continue
+        # partitions are concave cell unions: the contract is per query
+        # POINT -- every search point within the buffer (Chebyshev) of
+        # any query point must be present
+        tree = cKDTree(query_set[q_idx])
+        dist, _ = tree.query(search_space, p=np.inf)
+        required = dist <= buffer_radius
+        got = np.zeros(len(search_space), dtype=bool)
+        got[s_idx] = True
+        assert not (required & ~got).any(), "halo points missing"
+    assert np.all(seen == 1), "query points must appear exactly once"
+
+    # budget respected whenever a partition spans more than one cell
+    for q_idx, s_idx in partitions:
+        span = query_set[q_idx].max(0) - query_set[q_idx].min(0)
+        if (span > buffer_radius).any():
+            assert s_idx.size <= max_population
+
+
 def test_nested_grid_standalone():
     query_set = RNG.random((3000, 3)) * 4
     search_space = RNG.random((9000, 3)) * 4

@@ -207,6 +207,35 @@ def test_tiled_method_matches_dense():
                            tiled[agree, base + 2:base + 4], atol=1e-3)
 
 
+def test_fused_method_matches_tiled():
+    query, search, _ = _clouds()
+    tiled = extract_scaleset(
+        query, search, [(EDGE, RADII)], kind="geometric", method="tiled")
+    fused = extract_scaleset(
+        query, search, [(EDGE, RADII)], kind="geometric", method="fused")
+    assert fused.shape == tiled.shape
+    for ri, radius in enumerate(RADII):
+        vol = 1e6 * (4 / 3) * np.pi * radius ** 3
+        pop_diff = np.abs(fused[:, 4 * ri] - tiled[:, 4 * ri]) * vol
+        # device f32 voxelization may flip a boundary cell vs host f64
+        assert pop_diff.max() <= 2 + 1e-3
+        agree = pop_diff < 0.5
+        assert agree.mean() > 0.98
+        cols = slice(4 * ri, 4 * ri + 4)
+        assert np.allclose(fused[agree, cols], tiled[agree, cols],
+                           atol=2e-3)
+
+
+def test_fused_method_rejects_unsupported():
+    q = RNG.random((100, 3)).astype(np.float32)
+    with pytest.raises(ValueError):
+        extract_scaleset(q, q, [(0.0, (0.5,))], kind="minimal",
+                         method="fused")
+    with pytest.raises(ValueError):
+        extract_scaleset(q, q, [(0.2, (0.5,))], kind="vector",
+                         attributes=RNG.random((100, 2)), method="fused")
+
+
 def test_layout_widths():
     assert layouts.LAYOUT_WIDTHS == {
         "minimal": 4, "geometric": 4, "oriented": 8, "covariance": 8}

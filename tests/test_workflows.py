@@ -156,6 +156,61 @@ def test_viz_exports(tmp_path):
     assert os.path.getsize(png2) > 0
 
 
+def test_dataset_tools(tmp_path):
+    from nimrud_tpu.workflows import datasets
+
+    sheet = RNG.random((200, 3)) * [4, 4, 0.02]
+    blob = RNG.normal([8, 2, 2], 0.5, (200, 3))
+    extra = RNG.random((100, 3)) * 4 + [12, 0, 0]
+
+    archive = datasets.build_from_class_files(
+        tmp_path / "arc",
+        [(0, sheet), (1, blob)],
+        search_sources=[extra])
+    labels, index, meta = archive.get_asset("labels")
+    assert archive.manifest["num_points"] == 500
+    assert (labels == 0).sum() == 200
+    assert (labels == 999).sum() == 100
+    assert meta["classes"] == [0, 1]
+
+    # feature join / chop / snip / collapse
+    archive.add_asset("f1", RNG.random((300, 2)).astype(np.float32),
+                      np.arange(300))
+    archive.add_asset("f2", RNG.random((400, 3)).astype(np.float32),
+                      np.arange(400) + 50)
+    merged = datasets.merge_assets(archive, ["f1", "f2"], "joined")
+    data, index, _ = archive.get_asset(merged)
+    assert data.shape == (250, 5)
+    assert index[0] == 50
+
+    chopped = datasets.chop_asset(archive, "joined", [0, 2, 4])
+    data, _, _ = archive.get_asset(chopped)
+    assert data.shape == (250, 3)
+
+    snipped = datasets.snip_asset(archive, "joined", np.arange(100))
+    data, idx, _ = archive.get_asset(snipped)
+    assert np.all(idx < 100) and len(idx) == 50
+
+    collapsed = datasets.collapse_labels(
+        archive, "labels", {1: 0})
+    new_labels, _, _ = archive.get_asset(collapsed)
+    assert (new_labels == 1).sum() == 0
+    assert (new_labels == 0).sum() == 400
+    assert (new_labels == 999).sum() == 100
+
+
+def test_binary_trees_embedding(tmp_path):
+    archive, cloud, labels = _make_archive(tmp_path, n_per=200)
+    wf_features.extract_features(
+        archive, [(0.3, (1.0,))], kind="minimal", feature_name="f")
+    report = wf_train.binary_train(
+        archive, ["f"], "labels", positive_class=2,
+        config=wf_train.TrainConfig(
+            classifier="linear", classifier_kwargs={"epochs": 15},
+            trees_embedding=True))
+    assert report["b_completeness"] > 60
+
+
 def test_cli_end_to_end(tmp_path, capsys):
     cloud = np.vstack([
         RNG.random((300, 3)) * [6, 6, 0.02],
