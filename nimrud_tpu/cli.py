@@ -143,6 +143,16 @@ def cmd_bench(args):
     bench.main()
 
 
+def cmd_sweep(args):
+    from nimrud_tpu.workflows.sweep import sweep_extraction
+    ranked = sweep_extraction(
+        n_points=args.points, kind=args.kind,
+        methods=tuple(args.methods),
+        tile_factors=tuple(args.tile_factors))
+    if ranked and "error" not in ranked[0]:
+        print(json.dumps({"best": ranked[0]}))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="nimrud",
@@ -218,6 +228,14 @@ def main(argv=None):
     p = sub.add_parser("bench", help="run the throughput benchmark")
     p.add_argument("--points", type=int, default=None)
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser(
+        "sweep", help="sweep extraction tuning knobs for throughput")
+    p.add_argument("--points", type=int, default=200_000)
+    p.add_argument("--kind", default="minimal")
+    p.add_argument("--methods", nargs="+", default=["tiled"])
+    p.add_argument("--tile-factors", type=int, nargs="+", default=[2, 3, 4])
+    p.set_defaults(fn=cmd_sweep)
 
     args = parser.parse_args(argv)
     if args.platform:

@@ -320,7 +320,8 @@ def _entry_stats(q_local, s_local, s_valid, aug, radii, exclude_radius,
     return per_radius
 
 
-def _gather_batch(query_pad, search_pad, attr_pad, candidates, batch):
+def _gather_batch(query_pad, search_pad, attr_pad, candidates, batch,
+                  build_aug=True):
     q_idx, rows, centers = batch
     n_query_pad = query_pad.shape[0] - 1
     n_search_pad = search_pad.shape[0] - 1
@@ -334,6 +335,8 @@ def _gather_batch(query_pad, search_pad, attr_pad, candidates, batch):
     s_pts = search_pad[safe]
     s_local = s_pts - centers[:, None, :]
 
+    if not build_aug:
+        return q_pts, q_local, s_local, s_valid, None
     x, y, z = s_local[..., 0], s_local[..., 1], s_local[..., 2]
     aug = jnp.stack(
         [jnp.ones_like(x), x, y, z,
@@ -393,11 +396,13 @@ def _tiled_kernel(query, search, attributes, query_index, neighbor_rows,
 @functools.partial(
     jax.jit,
     static_argnames=("radii", "exclude_radius", "kind", "has_attr",
-                     "entry_batch", "n_query", "precision"))
+                     "entry_batch", "n_query", "precision", "backend",
+                     "interpret"))
 def _tiled_features_kernel(query, search, attributes, query_index,
                            neighbor_rows, candidates, entry_centers,
                            radii, exclude_radius, kind, has_attr,
-                           entry_batch, n_query, precision):
+                           entry_batch, n_query, precision,
+                           backend="xla", interpret=False):
     """
     Fused: moments -> feature layout -> scatter to caller order, all on
     device.  Returns (n_query, total_width) float32.
@@ -416,12 +421,21 @@ def _tiled_features_kernel(query, search, attributes, query_index,
         if has_attr else None
 
     def one_batch(batch):
+        use_pallas = backend == "pallas" and not has_attr
         q_pts, q_local, s_local, s_valid, aug = _gather_batch(
-            query_pad, search_pad, attr_pad, candidates, batch)
+            query_pad, search_pad, attr_pad, candidates, batch,
+            build_aug=not use_pallas)
         centers = batch[2]
-        per_radius = _entry_stats(
-            q_local, s_local, s_valid, aug, radii, exclude_radius,
-            precision)
+        if use_pallas:
+            from nimrud_tpu.ops.pallas import multiscale_kernel as pk
+            slabs = pk.entry_moments.__wrapped__(
+                q_local, s_local, s_valid, radii, interpret,
+                exclude_radius)
+            per_radius = pk.moments_from_slabs(slabs, centers, radii)
+        else:
+            per_radius = _entry_stats(
+                q_local, s_local, s_valid, aug, radii, exclude_radius,
+                precision)
         blocks = []
         for p, radius in zip(per_radius, radii):
             if kind == "vector":
@@ -508,7 +522,7 @@ def tiled_moments(problem, query, search, radii, *, attributes=None,
 
 def tiled_features(problem, query, search, radii, kind, *, attributes=None,
                    exclude_radius=None, entry_batch=32,
-                   precision="highest"):
+                   precision="highest", backend="xla"):
     """
     Fused feature extraction through the tile grid: moments, layout, and
     the scatter back to the caller's query order all run on device.
@@ -533,4 +547,6 @@ def tiled_features(problem, query, search, radii, kind, *, attributes=None,
         has_attr,
         int(entry_batch),
         int(problem.n_query),
-        PRECISIONS[precision])
+        PRECISIONS[precision],
+        backend,
+        jax.default_backend() not in ("tpu", "axon"))

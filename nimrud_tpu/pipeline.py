@@ -11,13 +11,49 @@ never leave the device between extraction and classification -- only the
 (small) probabilities or labels come back to the host.
 """
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+from nimrud_tpu.features import multiscale
 from nimrud_tpu.features.multiscale import (
     extract_scaleset, extract_scaleset_device)
 from nimrud_tpu.learning.classifiers import param_classifier
+from nimrud_tpu.learning import linear as linear_clf
+from nimrud_tpu.learning.linear import SoftmaxClassifier
+from nimrud_tpu.ops import device_grid, packing, unique
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("band_specs", "kind", "exclude_radius",
+                     "precision", "n_query"))
+def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
+                        band_specs, kind, exclude_radius, precision,
+                        n_query):
+    """
+    ONE compiled program for the whole inference step: per band, device
+    voxel downsample + tile-grid build + masked-moment features; then the
+    softmax classifier and argmax.  A single dispatch per cloud matters
+    on remote-attached devices where per-call latency dominates.
+    """
+    bands = []
+    for vox_spec, dev_spec, radii in band_specs:
+        centers, _, mask = unique.unique_voxels(
+            search, vox_spec, valid=s_valid)
+        bands.append(device_grid.fused_extract.__wrapped__(
+            query, q_valid, centers, mask, dev_spec, radii, kind,
+            exclude_radius, precision, n_query))
+    features = bands[0] if len(bands) == 1 \
+        else jnp.concatenate(bands, axis=1)
+
+    standardized = (features - clf_params["mean"]) / clf_params["scale"]
+    logits = linear_clf.predict_logits(
+        {"w": clf_params["w"], "b": clf_params["b"]}, standardized)
+    probs = jax.nn.softmax(logits)
+    return jnp.argmax(probs, axis=1).astype(jnp.int32), probs
 
 
 class GeometryClassifier:
@@ -93,7 +129,60 @@ class GeometryClassifier:
     def predict_proba(self, cloud, search=None):
         return np.asarray(self.predict_proba_device(cloud, search))
 
+    # -- single-dispatch fast path ---------------------------------------------
+
+    def _fused_band_specs(self, cloud, search):
+        """Static per-band specs for the one-jit predict, or None."""
+        if self.kind == "vector" or self.exclude_radius is not None:
+            return None
+        if not isinstance(self.classifier, SoftmaxClassifier) \
+                or self.classifier.params is None:
+            return None
+        if any(edge <= 0 for edge, _ in self.scaleset):
+            return None
+        lo = np.minimum(cloud.min(0), search.min(0)).astype(np.float64)
+        hi = np.maximum(cloud.max(0), search.max(0)).astype(np.float64)
+        q_bucket = multiscale._pow2_bucket(cloud.shape[0])
+        try:
+            specs = []
+            for edge, radii in self.scaleset:
+                vox_spec = packing.GridSpec.fit_bounds(lo, hi, edge)
+                dev_spec = device_grid.make_spec(
+                    lo, hi, max(radii), n_query=q_bucket,
+                    voxel_edge=edge)
+                specs.append((vox_spec, dev_spec, radii))
+        except ValueError:
+            return None
+        return tuple(specs)
+
+    def _predict_fused(self, cloud, search):
+        specs = self._fused_band_specs(cloud, search)
+        if specs is None:
+            return None
+        n_query = cloud.shape[0]
+        q_bucket = multiscale._pow2_bucket(n_query)
+        s_bucket = multiscale._pow2_bucket(search.shape[0])
+        clf = self.classifier
+        clf_params = {
+            "w": jnp.asarray(clf.params["w"]),
+            "b": jnp.asarray(clf.params["b"]),
+            "mean": jnp.asarray(clf.mean_),
+            "scale": jnp.asarray(clf.scale_),
+        }
+        return _fused_predict_step(
+            jnp.asarray(multiscale._pad_rows_f32(cloud, q_bucket)),
+            jnp.arange(q_bucket) < n_query,
+            jnp.asarray(multiscale._pad_rows_f32(search, s_bucket)),
+            jnp.arange(s_bucket) < search.shape[0],
+            clf_params, specs, self.kind, None, "highest", n_query)
+
     def predict(self, cloud, search=None):
         """Per-point class labels; only int32 labels leave the device."""
+        cloud = np.asarray(cloud, dtype=np.float32)[:, :3]
+        search_arr = cloud if search is None \
+            else np.asarray(search, dtype=np.float32)[:, :3]
+        fused = self._predict_fused(cloud, search_arr)
+        if fused is not None:
+            return np.asarray(fused[0])
         probs = self.predict_proba_device(cloud, search)
         return np.asarray(jnp.argmax(probs, axis=1).astype(jnp.int32))

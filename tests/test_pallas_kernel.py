@@ -1,0 +1,82 @@
+"""
+Pallas fused moment kernel vs the float64 brute-force oracle and the XLA
+entry-stats path (interpreter mode on CPU).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nimrud_tpu.ops.pallas import multiscale_kernel as pk
+
+
+RNG = np.random.default_rng(10)
+
+
+def _entries(n_entries=4, q_cap=16, flat=128):
+    q = (RNG.random((n_entries, q_cap, 3)) * 2 - 1).astype(np.float32)
+    s = (RNG.random((n_entries, flat, 3)) * 2 - 1).astype(np.float32)
+    valid = RNG.random((n_entries, flat)) < 0.8
+    return q, s, valid
+
+
+def test_entry_moments_against_oracle():
+    radii = (1.0, 0.5)
+    q, s, valid = _entries()
+    slabs = np.asarray(pk.entry_moments(
+        jnp.asarray(q), jnp.asarray(s), jnp.asarray(valid), radii,
+        interpret=True))
+
+    for e in range(q.shape[0]):
+        for ri, radius in enumerate(radii):
+            slab = slabs[e, :, ri * pk.MOMENT_PAD:(ri + 1) * pk.MOMENT_PAD]
+            for qi in range(q.shape[1]):
+                d = np.linalg.norm(
+                    s[e].astype(np.float64) - q[e, qi].astype(np.float64),
+                    axis=1)
+                mask = (d <= radius) & valid[e]
+                pts = s[e][mask].astype(np.float64)
+                assert slab[qi, 0] == len(pts), (e, ri, qi)
+                if len(pts) == 0:
+                    continue
+                assert np.allclose(slab[qi, 1:4], pts.sum(0), atol=1e-4)
+                second = np.stack([
+                    (pts[:, 0] * pts[:, 0]).sum(),
+                    (pts[:, 0] * pts[:, 1]).sum(),
+                    (pts[:, 0] * pts[:, 2]).sum(),
+                    (pts[:, 1] * pts[:, 1]).sum(),
+                    (pts[:, 1] * pts[:, 2]).sum(),
+                    (pts[:, 2] * pts[:, 2]).sum()])
+                assert np.allclose(slab[qi, 4:10], second, atol=1e-4)
+                assert np.all(slab[qi, 10:] == 0)
+
+
+def test_moments_from_slabs_matches_xla_stats():
+    import jax
+    from nimrud_tpu.ops.grid import _entry_stats
+
+    radii = (0.8, 0.4)
+    q, s, valid = _entries(n_entries=3, q_cap=8, flat=64)
+    centers = RNG.random((3, 3)).astype(np.float32)
+
+    slabs = pk.entry_moments(
+        jnp.asarray(q), jnp.asarray(s), jnp.asarray(valid), radii,
+        interpret=True)
+    ours = pk.moments_from_slabs(slabs, jnp.asarray(centers), radii)
+
+    # the XLA path consumes aug with attribute columns; emulate none
+    x, y, z = (jnp.asarray(s[..., i]) for i in range(3))
+    aug = jnp.stack(
+        [jnp.ones_like(x), x, y, z, x * x, x * y, x * z, y * y, y * z,
+         z * z], axis=-1)
+    theirs = _entry_stats(
+        jnp.asarray(q), jnp.asarray(s), jnp.asarray(valid), aug, radii,
+        None, precision=jax.lax.Precision.HIGHEST)
+
+    for mine, ref in zip(ours, theirs):
+        assert np.allclose(np.asarray(mine["count"]),
+                           np.asarray(ref["count"]))
+        have = np.asarray(ref["count"]) > 0
+        assert np.allclose(np.asarray(mine["mean_local"])[have],
+                           np.asarray(ref["mean_local"])[have], atol=1e-5)
+        assert np.allclose(np.asarray(mine["cov"])[have],
+                           np.asarray(ref["cov"])[have], atol=1e-5)
