@@ -101,6 +101,56 @@ class SoftmaxClassifier:
         self.params = jax.tree.map(np.asarray, params)
         return self
 
+    def fit_device(self, features, labels, steps=None, n_classes=None):
+        """
+        Fit from device-resident features without any device->host
+        transfer: standardization, batching and optimization all run on
+        device, and the parameters stay there (NumPy views materialize
+        lazily if read).  Pass ``n_classes`` to avoid even the scalar
+        transfer of labels.max().
+        """
+        features = jnp.asarray(features, dtype=jnp.float32)
+        labels = jnp.asarray(labels, dtype=jnp.int32)
+        n, width = features.shape
+        self.n_classes_ = int(labels.max() + 1) if n_classes is None \
+            else int(n_classes)
+        if self.standardize:
+            self.mean_ = features.mean(0)
+            self.scale_ = features.std(0) + 1e-6
+        else:
+            self.mean_ = jnp.zeros(width, jnp.float32)
+            self.scale_ = jnp.ones(width, jnp.float32)
+        data = (features - self.mean_) / self.scale_
+
+        batch = min(self.batch_size, n)
+        if steps is None:
+            steps = max(1, self.epochs * (n // batch))
+        optimizer = optax.adam(self.learning_rate)
+        params = init_params(
+            jax.random.PRNGKey(self.seed), width, self.n_classes_)
+        opt_state = optimizer.init(params)
+
+        @jax.jit
+        def run(params, opt_state, data, labels, key):
+            def step(carry, key):
+                params, opt_state = carry
+                rows = jax.random.randint(key, (batch,), 0, n)
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, data[rows], labels[rows], self.weight_decay)
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, params)
+                return (optax.apply_updates(params, updates),
+                        opt_state), loss
+            keys = jax.random.split(key, steps)
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), keys)
+            return params, losses[-1]
+
+        params, _ = run(params, opt_state, data, labels,
+                        jax.random.PRNGKey(self.seed + 1))
+        self.params = params
+        return self
+
     def proba_device(self, features):
         """Class probabilities for a device-resident feature array."""
         mean = jnp.asarray(self.mean_)

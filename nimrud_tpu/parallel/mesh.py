@@ -176,6 +176,59 @@ def make_train_step(mesh, halo, radii, kind, n_classes, optimizer, *,
     return step
 
 
+def make_fused_extract(mesh, halo, scaleset, kind, bounds_lo, bounds_hi,
+                       rows, *, precision="highest"):
+    """
+    Build a jitted multi-chip FUSED extraction: each device voxelizes its
+    slab + ICI-exchanged halos on a globally anchored grid, builds its
+    tile tables on device, and runs the masked-moment kernel -- the whole
+    flagship pipeline under shard_map.
+
+    Args:
+      halo / scaleset / kind: as elsewhere.
+      bounds_lo/hi: GLOBAL cloud bounds (so every shard bins into the
+        same grid and per-shard voxelization equals the global one).
+      rows: slab row count (static).
+
+    Returns f(slabs, valid) -> (n_devices, rows, width).
+    """
+    from nimrud_tpu.ops import device_grid, packing, unique
+
+    specs = []
+    for edge, radii in scaleset:
+        if edge <= 0:
+            raise ValueError("fused multi-chip extraction needs "
+                             "voxelized bands (edge > 0)")
+        radii = tuple(float(r) for r in radii)
+        vox_spec = packing.GridSpec.fit_bounds(bounds_lo, bounds_hi, edge)
+        dev_spec = device_grid.make_spec(
+            bounds_lo, bounds_hi, max(radii), n_query=rows,
+            voxel_edge=edge)
+        specs.append((vox_spec, dev_spec, radii))
+    specs = tuple(specs)
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS)),
+        out_specs=P(AXIS))
+    def run(slabs, valid):
+        slab, v = slabs[0], valid[0]
+        search, s_valid = _halo_exchange(slab, v, halo)
+        bands = []
+        for vox_spec, dev_spec, radii in specs:
+            centers, _, mask = unique.unique_voxels(
+                search, vox_spec, valid=s_valid)
+            bands.append(device_grid.fused_extract.__wrapped__(
+                slab, v, centers, mask, dev_spec, radii, kind,
+                None, precision, rows))
+        feats = bands[0] if len(bands) == 1 \
+            else jnp.concatenate(bands, axis=1)
+        return feats[None]
+
+    return run
+
+
 def extract_multichip(points, radii, kind="minimal", *, mesh=None,
                       buffer_radius=None, chunk_size=256,
                       exclude_radius=None):

@@ -29,10 +29,10 @@ from nimrud_tpu.ops import device_grid, packing, unique
 @functools.partial(
     jax.jit,
     static_argnames=("band_specs", "kind", "exclude_radius",
-                     "precision", "n_query"))
+                     "precision", "n_query", "clf_kind", "clf_static"))
 def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                         band_specs, kind, exclude_radius, precision,
-                        n_query):
+                        n_query, clf_kind="linear", clf_static=None):
     """
     ONE compiled program for the whole inference step: per band, device
     voxel downsample + tile-grid build + masked-moment features; then the
@@ -49,10 +49,21 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
     features = bands[0] if len(bands) == 1 \
         else jnp.concatenate(bands, axis=1)
 
-    standardized = (features - clf_params["mean"]) / clf_params["scale"]
-    logits = linear_clf.predict_logits(
-        {"w": clf_params["w"], "b": clf_params["b"]}, standardized)
-    probs = jax.nn.softmax(logits)
+    if clf_kind == "linear":
+        standardized = (features - clf_params["mean"]) \
+            / clf_params["scale"]
+        logits = linear_clf.predict_logits(
+            {"w": clf_params["w"], "b": clf_params["b"]}, standardized)
+        probs = jax.nn.softmax(logits)
+    elif clf_kind == "rpte":
+        from nimrud_tpu.learning import rpt
+        max_depth, d_func = clf_static
+        probs = rpt._ensemble_proba.__wrapped__(
+            clf_params["tags"], clf_params["splits"], clf_params["vecs"],
+            clf_params["ginis"], clf_params["props"], features,
+            max_depth, d_func)
+    else:
+        raise ValueError(f"unsupported fused classifier {clf_kind!r}")
     return jnp.argmax(probs, axis=1).astype(jnp.int32), probs
 
 
@@ -105,13 +116,29 @@ class GeometryClassifier:
     def fit(self, cloud, labels, search=None, sample=None, seed=0):
         """
         Extract features and fit the classifier.  ``sample`` optionally
-        caps the number of training points (random subset).
+        caps the number of training points (random subset).  Classifiers
+        with a ``fit_device`` method (the softmax model) train entirely
+        on device -- features never cross back to the host.
         """
         labels = np.asarray(labels)
-        features = self.extract(cloud, search)
-        if sample is not None and sample < len(features):
+        n_classes = int(labels.max() + 1)
+        rows = None
+        if sample is not None and sample < len(labels):
             rows = np.random.RandomState(seed).permutation(
-                len(features))[:sample]
+                len(labels))[:sample]
+
+        if hasattr(self.classifier, "fit_device"):
+            features = self.extract_device(cloud, search)
+            if rows is not None:
+                features = jnp.take(features, jnp.asarray(rows), axis=0)
+                labels = labels[rows]
+            self.classifier.fit_device(
+                features, jnp.asarray(labels.astype(np.int32)),
+                n_classes=n_classes)
+            return self
+
+        features = self.extract(cloud, search)
+        if rows is not None:
             features, labels = features[rows], labels[rows]
         self.classifier.fit(features, labels)
         return self
@@ -131,12 +158,27 @@ class GeometryClassifier:
 
     # -- single-dispatch fast path ---------------------------------------------
 
+    def _fused_classifier(self):
+        """(kind, params, static) for the one-jit predict, or None."""
+        clf = self.classifier
+        if isinstance(clf, SoftmaxClassifier) and clf.params is not None:
+            return "linear", {
+                "w": jnp.asarray(clf.params["w"]),
+                "b": jnp.asarray(clf.params["b"]),
+                "mean": jnp.asarray(clf.mean_),
+                "scale": jnp.asarray(clf.scale_),
+            }, None
+        from nimrud_tpu.learning.rpt import RPTEnsemble
+        if isinstance(clf, RPTEnsemble) and clf._tables is not None:
+            return "rpte", dict(clf._tables), \
+                (clf.max_depth_, clf.d_func)
+        return None
+
     def _fused_band_specs(self, cloud, search):
         """Static per-band specs for the one-jit predict, or None."""
         if self.kind == "vector" or self.exclude_radius is not None:
             return None
-        if not isinstance(self.classifier, SoftmaxClassifier) \
-                or self.classifier.params is None:
+        if self._fused_classifier() is None:
             return None
         if any(edge <= 0 for edge, _ in self.scaleset):
             return None
@@ -162,19 +204,14 @@ class GeometryClassifier:
         n_query = cloud.shape[0]
         q_bucket = multiscale._pow2_bucket(n_query)
         s_bucket = multiscale._pow2_bucket(search.shape[0])
-        clf = self.classifier
-        clf_params = {
-            "w": jnp.asarray(clf.params["w"]),
-            "b": jnp.asarray(clf.params["b"]),
-            "mean": jnp.asarray(clf.mean_),
-            "scale": jnp.asarray(clf.scale_),
-        }
+        clf_kind, clf_params, clf_static = self._fused_classifier()
         return _fused_predict_step(
             jnp.asarray(multiscale._pad_rows_f32(cloud, q_bucket)),
             jnp.arange(q_bucket) < n_query,
             jnp.asarray(multiscale._pad_rows_f32(search, s_bucket)),
             jnp.arange(s_bucket) < search.shape[0],
-            clf_params, specs, self.kind, None, "highest", n_query)
+            clf_params, specs, self.kind, None, "highest", n_query,
+            clf_kind, clf_static)
 
     def predict(self, cloud, search=None):
         """Per-point class labels; only int32 labels leave the device."""

@@ -73,6 +73,40 @@ def test_sharded_extract_matches_single_device():
     assert np.allclose(multi[agree], single[agree], atol=5e-2)
 
 
+def test_sharded_fused_extract_matches_single_device():
+    # the flagship fused pipeline under shard_map: per-device voxelize +
+    # device tile build + moments, halos over ppermute -- must equal the
+    # single-device fused extraction
+    import jax.numpy as jnp
+    from nimrud_tpu.features.multiscale import extract_scaleset_fused
+
+    points = (RNG.random((3000, 3)) * [16, 4, 4]).astype(np.float32)
+    scaleset = [(0.2, (0.5, 0.25))]
+
+    single = np.asarray(extract_scaleset_fused(
+        points, points, scaleset, kind="minimal"))
+
+    mesh = pmesh.make_mesh()
+    shards = tiles.shard_cloud(points, 8, buffer_radius=0.5)
+    lo = points.min(0).astype(np.float64)
+    hi = points.max(0).astype(np.float64)
+    run = pmesh.make_fused_extract(
+        mesh, shards["halo"], scaleset, "minimal", lo, hi,
+        shards["slabs"].shape[1])
+    feats = run(jnp.asarray(shards["slabs"]), jnp.asarray(shards["valid"]))
+    multi = tiles.unshard(
+        np.asarray(feats), shards["valid"], shards["order"], len(points))
+
+    assert multi.shape == single.shape
+    for c in (0, 4):
+        diff = np.abs(multi[:, c] - single[:, c])
+        assert diff.max() <= 1, f"pop col {c}: {diff.max()}"
+        assert (diff > 0).mean() < 0.005
+    agree = np.all(multi[:, [0, 4]] == single[:, [0, 4]], axis=1)
+    sturdy = agree & np.all(multi[:, [0, 4]] >= 3, axis=1)
+    assert np.allclose(multi[sturdy], single[sturdy], atol=2e-3)
+
+
 def test_sharded_extract_narrow_buffer_rejected():
     points = (RNG.random((200, 3)) * 4).astype(np.float32)
     with pytest.raises(ValueError):

@@ -1,0 +1,78 @@
+"""
+GeometryClassifier end-to-end: device fit, single-dispatch fused predict
+(linear + rpte), fallback equivalence.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nimrud_tpu.pipeline import GeometryClassifier
+
+
+RNG = np.random.default_rng(10)
+
+
+def _scene(per=1500):
+    sheet = RNG.random((per, 3)) * [8, 8, 0.02]
+    line = RNG.random((per, 3)) * [0.02, 0.02, 8] + [10, 4, 0]
+    blob = RNG.normal([16, 4, 4], 1.0, (per, 3))
+    cloud = np.vstack([sheet, line, blob]).astype(np.float32)
+    labels = np.repeat([0, 1, 2], per)
+    return cloud, labels
+
+
+def test_linear_device_fit_and_fused_predict():
+    cloud, labels = _scene()
+    model = GeometryClassifier(
+        [(0.2, (0.8, 0.4))], kind="minimal", classifier="linear",
+        classifier_kwargs={"epochs": 25})
+    model.fit(cloud, labels)
+    # device fit keeps parameters as jax arrays
+    assert not isinstance(model.classifier.params["w"], np.ndarray)
+
+    predicted = model.predict(cloud)
+    accuracy = (predicted == labels).mean()
+    assert accuracy > 0.95, accuracy
+
+    # fused path was taken and equals the multi-dispatch fallback
+    assert model._fused_band_specs(cloud, cloud) is not None
+    probs = model.predict_proba_device(cloud)
+    fallback = np.asarray(jnp.argmax(probs, axis=1))
+    assert (predicted == fallback).mean() > 0.999
+
+
+def test_rpte_fused_predict():
+    cloud, labels = _scene(per=800)
+    model = GeometryClassifier(
+        [(0.2, (0.8, 0.4))], kind="minimal", classifier="rpte",
+        classifier_kwargs={"n_estimators": 6, "seed": 0})
+    model.fit(cloud, labels, sample=1500)
+    assert model._fused_band_specs(cloud, cloud) is not None
+
+    predicted = model.predict(cloud)
+    assert (predicted == labels).mean() > 0.7
+
+    # equals the non-fused rpte inference
+    feats = model.extract(cloud)
+    direct = model.classifier.predict(feats)
+    assert (predicted == direct).mean() > 0.999
+
+
+def test_sklearn_classifier_falls_back():
+    cloud, labels = _scene(per=400)
+    model = GeometryClassifier(
+        [(0.2, (0.6,))], kind="minimal", classifier="erf",
+        classifier_kwargs={"n_estimators": 10})
+    model.fit(cloud, labels)
+    assert model._fused_band_specs(cloud, cloud) is None
+    predicted = model.predict(cloud)
+    assert (predicted == labels).mean() > 0.8
+
+
+def test_fit_with_sampling():
+    cloud, labels = _scene(per=600)
+    model = GeometryClassifier(
+        [(0.2, (0.8, 0.4))], kind="minimal", classifier="linear",
+        classifier_kwargs={"epochs": 30})
+    model.fit(cloud, labels, sample=800)
+    assert (model.predict(cloud) == labels).mean() > 0.85
