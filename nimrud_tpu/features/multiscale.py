@@ -126,6 +126,16 @@ def voxel_downsample(search, edge, attributes=None,
 
     attributes = np.asarray(attributes, dtype=np.float32)
     n_centers = centers.shape[0]
+
+    if search.shape[0] >= TILED_THRESHOLD:
+        # large clouds: interpolate through the tile grid (the Chebyshev
+        # ball of radius `edge` fits a tile edge of `edge`)
+        problem = grid.build_tiled_problem(centers, search, edge)
+        got = grid.tiled_moments(
+            problem, centers, search, (float(edge),),
+            attributes=attributes, metric=interp_metric)
+        return centers, got["attr_mean"][:, 0, :]
+
     c_bucket = _pow2_bucket(n_centers)
     s_bucket = _pow2_bucket(search.shape[0])
     centers_padded = _pad_rows_f32(centers, c_bucket)

@@ -282,15 +282,26 @@ def build_tiled_problem(query, search, tile_edge, *, query_tile_factor=2,
 # ---------------------------------------------------------------------------
 
 def _entry_stats(q_local, s_local, s_valid, aug, radii, exclude_radius,
-                 precision=jax.lax.Precision.HIGHEST):
+                 precision=jax.lax.Precision.HIGHEST,
+                 metric="euclidean"):
     """Masked moments for one batch of entries (shared by both kernels)."""
-    d2 = (jnp.sum(q_local * q_local, axis=-1)[:, :, None]
-          + jnp.sum(s_local * s_local, axis=-1)[:, None, :]
-          - 2.0 * jnp.einsum(
-              "bqd,bsd->bqs", q_local, s_local,
-              preferred_element_type=jnp.float32,
-              precision=precision))
-    d2 = jnp.maximum(d2, 0.0)
+    if metric == "euclidean":
+        d2 = (jnp.sum(q_local * q_local, axis=-1)[:, :, None]
+              + jnp.sum(s_local * s_local, axis=-1)[:, None, :]
+              - 2.0 * jnp.einsum(
+                  "bqd,bsd->bqs", q_local, s_local,
+                  preferred_element_type=jnp.float32,
+                  precision=precision))
+        d2 = jnp.maximum(d2, 0.0)
+    elif metric == "chebyshev":
+        d = jnp.abs(q_local[:, :, None, 0] - s_local[:, None, :, 0])
+        for axis in (1, 2):
+            d = jnp.maximum(
+                d, jnp.abs(q_local[:, :, None, axis]
+                           - s_local[:, None, :, axis]))
+        d2 = d * d
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
 
     base = s_valid[:, None, :]
     if exclude_radius is not None:
@@ -349,10 +360,10 @@ def _gather_batch(query_pad, search_pad, attr_pad, candidates, batch,
 @functools.partial(
     jax.jit,
     static_argnames=("radii", "exclude_radius", "has_attr", "entry_batch",
-                     "precision"))
+                     "precision", "metric"))
 def _tiled_kernel(query, search, attributes, query_index, neighbor_rows,
                   candidates, entry_centers, radii, exclude_radius,
-                  has_attr, entry_batch, precision):
+                  has_attr, entry_batch, precision, metric="euclidean"):
     """Raw moments in entry layout: dict of (E, Q_CAP, R, ...)."""
     n_entries, q_cap = query_index.shape
     n_batches = n_entries // entry_batch
@@ -370,7 +381,7 @@ def _tiled_kernel(query, search, attributes, query_index, neighbor_rows,
         centers = batch[2]
         per_radius = _entry_stats(
             q_local, s_local, s_valid, aug, radii, exclude_radius,
-            precision)
+            precision, metric)
         out = {
             "count": jnp.stack([p["count"] for p in per_radius], axis=2),
             "mean": jnp.stack(
@@ -482,7 +493,7 @@ PRECISIONS = {
 
 def tiled_moments(problem, query, search, radii, *, attributes=None,
                   exclude_radius=None, entry_batch=32,
-                  precision="highest"):
+                  precision="highest", metric="euclidean"):
     """
     Neighborhood moments via the tile grid, aligned to the original query
     order.  Returns the same dict as
@@ -505,7 +516,8 @@ def tiled_moments(problem, query, search, radii, *, attributes=None,
         None if exclude_radius is None else float(exclude_radius),
         has_attr,
         int(entry_batch),
-        PRECISIONS[precision])
+        PRECISIONS[precision],
+        metric)
 
     q_idx = problem.query_index
     valid = q_idx >= 0

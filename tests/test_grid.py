@@ -98,6 +98,30 @@ def test_tiled_with_attributes_and_exclusion():
              attributes=attrs, exclude_radius=1e-4)
 
 
+def test_tiled_chebyshev_matches_bruteforce():
+    # chebyshev masked attribute means through the tile grid (the
+    # attribute-interpolation path for large clouds)
+    search = (RNG.random((2500, 3)) * 6).astype(np.float32)
+    attrs = RNG.random((2500, 2)).astype(np.float32)
+    query = (RNG.random((300, 3)) * 6).astype(np.float32)
+    edge = 0.5
+
+    problem = grid.build_tiled_problem(query, search, edge)
+    got = grid.tiled_moments(
+        problem, query, search, (edge,), attributes=attrs,
+        metric="chebyshev")
+
+    for qi in range(0, len(query), 17):
+        mask = np.max(np.abs(search.astype(np.float64)
+                             - query[qi].astype(np.float64)), axis=1) \
+            <= edge
+        count = mask.sum()
+        assert abs(got["count"][qi, 0] - count) <= 1
+        if got["count"][qi, 0] == count and count > 0:
+            assert np.allclose(
+                got["attr_mean"][qi, 0], attrs[mask].mean(0), atol=5e-5)
+
+
 def test_tiled_radius_exceeding_edge_rejected():
     pts = (RNG.random((100, 3)) * 4).astype(np.float32)
     problem = grid.build_tiled_problem(pts, pts, 0.5)
