@@ -205,21 +205,36 @@ class GeometryClassifier:
         q_bucket = multiscale._pow2_bucket(n_query)
         s_bucket = multiscale._pow2_bucket(search.shape[0])
         clf_kind, clf_params, clf_static = self._fused_classifier()
+        query_dev = jnp.asarray(multiscale._pad_rows_f32(cloud, q_bucket))
+        if search is cloud and s_bucket == q_bucket:
+            search_dev = query_dev            # one upload, not two
+        else:
+            search_dev = jnp.asarray(
+                multiscale._pad_rows_f32(search, s_bucket))
         return _fused_predict_step(
-            jnp.asarray(multiscale._pad_rows_f32(cloud, q_bucket)),
+            query_dev,
             jnp.arange(q_bucket) < n_query,
-            jnp.asarray(multiscale._pad_rows_f32(search, s_bucket)),
+            search_dev,
             jnp.arange(s_bucket) < search.shape[0],
             clf_params, specs, self.kind, None, "highest", n_query,
             clf_kind, clf_static)
 
-    def predict(self, cloud, search=None):
-        """Per-point class labels; only int32 labels leave the device."""
+    def predict_device(self, cloud, search=None):
+        """
+        Per-point class labels as a DEVICE array -- no device-to-host
+        transfer happens.  The transfer-disciplined serving pattern:
+        stream clouds through this and batch the label downloads
+        (host reads can be expensive on remote-attached devices).
+        """
         cloud = np.asarray(cloud, dtype=np.float32)[:, :3]
         search_arr = cloud if search is None \
             else np.asarray(search, dtype=np.float32)[:, :3]
         fused = self._predict_fused(cloud, search_arr)
         if fused is not None:
-            return np.asarray(fused[0])
+            return fused[0]
         probs = self.predict_proba_device(cloud, search)
-        return np.asarray(jnp.argmax(probs, axis=1).astype(jnp.int32))
+        return jnp.argmax(probs, axis=1).astype(jnp.int32)
+
+    def predict(self, cloud, search=None):
+        """Per-point class labels; only int32 labels leave the device."""
+        return np.asarray(self.predict_device(cloud, search))
