@@ -240,6 +240,10 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
     n_query = query.shape[0]
     lo = np.minimum(query.min(0), search.min(0)).astype(np.float64)
     hi = np.maximum(query.max(0), search.max(0)).astype(np.float64)
+    # the voxel grid anchors at the SEARCH bounds (VoxelFilter
+    # convention) so every method voxelizes identically
+    s_lo = search.min(0).astype(np.float64)
+    s_hi = search.max(0).astype(np.float64)
 
     q_bucket = _pow2_bucket(n_query)
     s_bucket = _pow2_bucket(search.shape[0])
@@ -250,7 +254,7 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
 
     bands = []
     for edge, radii in scaleset:
-        vox_spec = packing.GridSpec.fit_bounds(lo, hi, edge)
+        vox_spec = packing.GridSpec.fit_bounds(s_lo, s_hi, edge)
         centers, _, center_mask = unique.unique_voxels(
             search_dev, vox_spec, valid=s_valid)
         spec = device_grid.make_spec(

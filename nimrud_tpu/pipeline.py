@@ -184,11 +184,14 @@ class GeometryClassifier:
             return None
         lo = np.minimum(cloud.min(0), search.min(0)).astype(np.float64)
         hi = np.maximum(cloud.max(0), search.max(0)).astype(np.float64)
+        # voxel grids anchor at the search bounds (VoxelFilter convention)
+        s_lo = search.min(0).astype(np.float64)
+        s_hi = search.max(0).astype(np.float64)
         q_bucket = multiscale._pow2_bucket(cloud.shape[0])
         try:
             specs = []
             for edge, radii in self.scaleset:
-                vox_spec = packing.GridSpec.fit_bounds(lo, hi, edge)
+                vox_spec = packing.GridSpec.fit_bounds(s_lo, s_hi, edge)
                 dev_spec = device_grid.make_spec(
                     lo, hi, max(radii), n_query=q_bucket,
                     voxel_edge=edge)

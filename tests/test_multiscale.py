@@ -226,6 +226,32 @@ def test_fused_method_matches_tiled():
                            atol=2e-3)
 
 
+@pytest.mark.parametrize("kind", ["oriented", "covariance", "geometric"])
+def test_fused_all_geometry_kinds(kind):
+    query, search, _ = _clouds()
+    tiled = extract_scaleset(
+        query, search, [(EDGE, RADII)], kind=kind, method="tiled")
+    fused = extract_scaleset(
+        query, search, [(EDGE, RADII)], kind=kind, method="fused")
+    assert fused.shape == tiled.shape
+    # density column pins the neighbor sets; values compared where the
+    # populations agree (device f32 voxelization may flip boundary cells)
+    width = tiled.shape[1] // len(RADII)
+    for ri in range(len(RADII)):
+        pop = np.abs(fused[:, width * ri] - tiled[:, width * ri])
+        agree = pop < 1e-9
+        assert agree.mean() > 0.97
+        if kind == "oriented":
+            # eigenvector columns are sign/rotation ambiguous when the
+            # smallest eigenvalues nearly tie: compare the invariant
+            # columns (density, centroid, two normalized eigenvalues)
+            block = slice(width * ri, width * ri + 4)
+        else:
+            block = slice(width * ri, width * (ri + 1))
+        a, b = fused[agree, block], tiled[agree, block]
+        assert np.allclose(a, b, atol=5e-2), np.abs(a - b).max()
+
+
 def test_fused_method_rejects_unsupported():
     q = RNG.random((100, 3)).astype(np.float32)
     with pytest.raises(ValueError):
