@@ -184,7 +184,7 @@ def main(argv=None):
                    metavar="EDGE:R1[,R2...]")
     p.add_argument("--kind", default="geometric",
                    choices=["minimal", "geometric", "oriented",
-                            "covariance", "vector"])
+                            "covariance", "eigen", "vector"])
     p.add_argument("--name", default=None)
     p.add_argument("--label-asset", default=None)
     p.add_argument("--unlabeled-fraction", type=float, default=1.0)

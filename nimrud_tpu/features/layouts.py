@@ -42,6 +42,7 @@ LAYOUT_WIDTHS = {
     "geometric": 4,
     "oriented": 8,
     "covariance": 8,
+    "eigen": 10,
 }
 
 
@@ -114,6 +115,50 @@ def oriented_block(count, mean, cov, query, radius):
     ], axis=-1)
 
 
+def eigen_block(count, mean, cov, query, radius):
+    """
+    The full eigenvalue geometry feature set of the point-cloud
+    literature (Weinmann et al. style), from the neighborhood covariance
+    eigenvalues l1 >= l2 >= l3 (unnormalized):
+
+      [density, centroid, linearity, planarity, scattering,
+       omnivariance, anisotropy, eigenentropy, curvature, verticality?]
+
+    columns (10): density, centroid, linearity (l1-l2)/l1, planarity
+    (l2-l3)/l1, scattering l3/l1, omnivariance (l1*l2*l3)^(1/3) /
+    sum(l), anisotropy (l1-l3)/l1, eigenentropy -sum(p*log p) over
+    normalized p, sum-of-eigenvalues (trace), curvature l3/trace.
+    Undefined (count < 2 or zero variance) rows are zeros.
+    """
+    vals = eigvalsh3(cov)
+    l1, l2, l3 = vals[..., 0], vals[..., 1], vals[..., 2]
+    trace = cov[..., 0] + cov[..., 3] + cov[..., 5]
+    ok = (count >= 2) & (trace > 0) & (l1 > 0)
+    safe_l1 = jnp.where(l1 > 0, l1, 1.0)
+    safe_trace = jnp.where(trace > 0, trace, 1.0)
+
+    p = jnp.clip(vals / safe_trace[..., None], 1e-12, 1.0)
+    eigenentropy = -jnp.sum(p * jnp.log(p), axis=-1)
+    omnivariance = jnp.cbrt(
+        jnp.clip(l1 * l2 * l3, 0.0, None)) / safe_trace
+
+    def gate(value):
+        return jnp.where(ok, value, 0.0)
+
+    return jnp.stack([
+        sphere_density(count, radius),
+        _centroid_displacement(count, mean, query),
+        gate((l1 - l2) / safe_l1),            # linearity
+        gate((l2 - l3) / safe_l1),            # planarity
+        gate(l3 / safe_l1),                   # scattering
+        gate(omnivariance),
+        gate((l1 - l3) / safe_l1),            # anisotropy
+        gate(eigenentropy),
+        gate(trace),                          # sum of eigenvalues
+        gate(l3 / safe_trace),                # change of curvature
+    ], axis=-1)
+
+
 def covariance_block(count, mean, cov, query, radius):
     """C_MSO: [density, centroid, scatter-matrix upper triangle]."""
     scatter = cov * count[..., None]
@@ -136,4 +181,6 @@ def build_block(kind, count, mean, cov, query, radius):
         return oriented_block(count, mean, cov, query, radius)
     if kind == "covariance":
         return covariance_block(count, mean, cov, query, radius)
+    if kind == "eigen":
+        return eigen_block(count, mean, cov, query, radius)
     raise ValueError(f"unknown feature layout {kind!r}")

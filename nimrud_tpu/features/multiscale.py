@@ -34,7 +34,8 @@ PAIRS_BUDGET = 1 << 24
 # path once the search set exceeds this
 TILED_THRESHOLD = 16384
 
-KINDS = ("minimal", "geometric", "oriented", "covariance", "vector")
+KINDS = ("minimal", "geometric", "oriented", "covariance", "eigen",
+         "vector")
 METHODS = ("auto", "dense", "tiled", "fused")
 
 

@@ -21,6 +21,7 @@ KIND_TO_NAME = {
     "geometric": "gmso",
     "oriented": "ogmso",
     "covariance": "cmso",
+    "eigen": "emso",
     "vector": "vmso",
 }
 
