@@ -264,7 +264,8 @@ def test_fused_method_rejects_unsupported():
 
 def test_layout_widths():
     assert layouts.LAYOUT_WIDTHS == {
-        "minimal": 4, "geometric": 4, "oriented": 8, "covariance": 8}
+        "minimal": 4, "geometric": 4, "oriented": 8, "covariance": 8,
+        "eigen": 10}
 
 
 def test_bad_kind_rejected():
