@@ -1,3 +1,3 @@
-from nimrud_tpu.features import layouts, minimal, multiscale
+from nimrud_tpu.features import knn, layouts, minimal, multiscale
 
-__all__ = ["layouts", "minimal", "multiscale"]
+__all__ = ["knn", "layouts", "minimal", "multiscale"]

@@ -1,3 +1,4 @@
-from nimrud_tpu.learning import classifiers, linear, metrics, rpt
+from nimrud_tpu.learning import (
+    classifiers, linear, metrics, persistence, rpt)
 
-__all__ = ["classifiers", "linear", "metrics", "rpt"]
+__all__ = ["classifiers", "linear", "metrics", "persistence", "rpt"]

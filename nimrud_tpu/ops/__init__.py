@@ -1,3 +1,5 @@
-from nimrud_tpu.ops import eigen, grid, moments, packing, unique
+from nimrud_tpu.ops import (
+    device_grid, eigen, grid, moments, neighbors, packing, unique)
 
-__all__ = ["eigen", "grid", "moments", "packing", "unique"]
+__all__ = ["device_grid", "eigen", "grid", "moments", "neighbors",
+           "packing", "unique"]

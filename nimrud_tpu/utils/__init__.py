@@ -1,3 +1,3 @@
-from nimrud_tpu.utils import generic, geometry, point_clouds
+from nimrud_tpu.utils import generic, geometry, point_clouds, profiling
 
-__all__ = ["generic", "geometry", "point_clouds"]
+__all__ = ["generic", "geometry", "point_clouds", "profiling"]

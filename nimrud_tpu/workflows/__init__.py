@@ -1,3 +1,3 @@
-from nimrud_tpu.workflows import features, train, viz
+from nimrud_tpu.workflows import datasets, features, sweep, train, viz
 
-__all__ = ["features", "train", "viz"]
+__all__ = ["datasets", "features", "sweep", "train", "viz"]
