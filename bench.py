@@ -83,14 +83,21 @@ def main():
         times.append(time.perf_counter() - start)
 
     # one batched label download at the end (reported separately; the
-    # first host read pays this environment's transfer-channel init)
+    # first host read pays this environment's transfer-channel init and
+    # has been observed to crash the remote worker -- the benchmark
+    # result must survive that)
     start = time.perf_counter()
-    predicted = np.asarray(labels_dev)
-    stages = {"labels_d2h_once": round(time.perf_counter() - start, 3)}
+    try:
+        predicted = np.asarray(labels_dev)
+        stages = {"labels_d2h_once":
+                  round(time.perf_counter() - start, 3)}
+        accuracy = float((predicted == labels).mean())
+    except Exception as error:
+        stages = {"labels_d2h_error": str(error)[:120]}
+        accuracy = None
 
     best = min(times)
     rate = N_POINTS / best
-    accuracy = float((predicted == labels).mean())
 
     print(json.dumps({
         "metric": ("end-to-end multiscale extract+classify, 1M-point "
@@ -103,7 +110,8 @@ def main():
             "stages_sec": stages,
             "n_points": N_POINTS,
             "scales": list(RADII),
-            "train_accuracy": round(accuracy, 4),
+            "train_accuracy":
+                None if accuracy is None else round(accuracy, 4),
             "device": str(jax.devices()[0]),
         },
     }))
