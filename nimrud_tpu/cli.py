@@ -18,7 +18,6 @@ Run any subcommand with -h for its options.
 
 import argparse
 import json
-import sys
 
 import numpy as np
 

@@ -16,7 +16,6 @@ numbers against a float64 scipy/NumPy oracle.
 
 import time
 
-import numpy as np
 
 from nimrud_tpu.features.multiscale import extract_scaleset
 

@@ -53,6 +53,10 @@ def _bind(library):
     library.voxel_unique.restype = _I64
     library.voxel_unique.argtypes = [
         _PF32, _I64, _PF64, ctypes.c_double, _PI64, _PF32]
+    library.quantize_u16.restype = None
+    library.quantize_u16.argtypes = [
+        _PF32, _I64, _PF64, ctypes.c_double,
+        np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")]
     library.parse_ascii.restype = _I64
     library.parse_ascii.argtypes = [
         ctypes.c_char_p, _I64, _I64, _I64, _PF32]
@@ -166,6 +170,19 @@ def voxel_unique(points, lo, edge, dims):
     count = library.voxel_unique(
         points, points.shape[0], lo, float(edge), dims, out)
     return out[:count].copy()
+
+
+def quantize_u16(points, lo, step):
+    """Native uint16 coordinate quantization, or None."""
+    library = lib()
+    if library is None:
+        return None
+    points = np.ascontiguousarray(points, dtype=np.float32)
+    out = np.empty(points.shape, np.uint16)
+    library.quantize_u16(
+        points, points.shape[0],
+        np.ascontiguousarray(lo, np.float64), float(step), out)
+    return out
 
 
 class ascii_loader:

@@ -192,6 +192,23 @@ int64_t voxel_unique(const float* pts, int64_t n,
     return unique;
 }
 
+// Quantize float32 coordinates to uint16 grid steps: out = round((p -
+// lo) / step), clipped to [0, 65535].  One pass; used to halve
+// host->device transfer volume.
+void quantize_u16(const float* pts, int64_t count, const double* lo,
+                  double step, uint16_t* out) {
+    for (int64_t i = 0; i < count; ++i) {
+        const float* p = pts + 3 * i;
+        for (int axis = 0; axis < 3; ++axis) {
+            double g = (static_cast<double>(p[axis]) - lo[axis]) / step;
+            int64_t q = static_cast<int64_t>(g + 0.5);
+            if (q < 0) q = 0;
+            if (q > 65535) q = 65535;
+            out[3 * i + axis] = static_cast<uint16_t>(q);
+        }
+    }
+}
+
 // Fast delimited-ASCII point parser: reads up to max_rows rows of
 // exactly `cols` numeric fields separated by commas/whitespace.
 // Returns rows parsed, or -1 on malformed input.

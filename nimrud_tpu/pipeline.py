@@ -18,8 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from nimrud_tpu.features import multiscale
-from nimrud_tpu.features.multiscale import (
-    extract_scaleset, extract_scaleset_device)
+from nimrud_tpu.features.multiscale import extract_scaleset_device
 from nimrud_tpu.learning.classifiers import param_classifier
 from nimrud_tpu.learning import linear as linear_clf
 from nimrud_tpu.learning.linear import SoftmaxClassifier
@@ -32,13 +31,20 @@ from nimrud_tpu.ops import device_grid, packing, unique
                      "precision", "n_query", "clf_kind", "clf_static"))
 def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                         band_specs, kind, exclude_radius, precision,
-                        n_query, clf_kind="linear", clf_static=None):
+                        n_query, clf_kind="linear", clf_static=None,
+                        dequant=None):
     """
     ONE compiled program for the whole inference step: per band, device
     voxel downsample + tile-grid build + masked-moment features; then the
     softmax classifier and argmax.  A single dispatch per cloud matters
     on remote-attached devices where per-call latency dominates.
     """
+    if dequant is not None:
+        # coordinates arrived as uint16 grid steps (half the transfer
+        # volume); restore float32 on device
+        query = query.astype(jnp.float32) * dequant[3] + dequant[:3]
+        search = search.astype(jnp.float32) * dequant[3] + dequant[:3]
+
     bands = []
     for vox_spec, dev_spec, radii in band_specs:
         centers, _, mask = unique.unique_voxels(
@@ -84,13 +90,17 @@ class GeometryClassifier:
 
     def __init__(self, scaleset, kind="minimal", classifier="linear",
                  classifier_kwargs=None, exclude_radius=None,
-                 method="auto", chunk_size=1024):
+                 method="auto", chunk_size=1024,
+                 transfer_dtype="float32"):
         self.scaleset = [(float(e), tuple(float(r) for r in rs))
                          for e, rs in scaleset]
         self.kind = kind
         self.exclude_radius = exclude_radius
         self.method = method
         self.chunk_size = chunk_size
+        if transfer_dtype not in ("float32", "uint16"):
+            raise ValueError("transfer_dtype must be float32 or uint16")
+        self.transfer_dtype = transfer_dtype
         if isinstance(classifier, str):
             self.classifier = param_classifier(
                 classifier, **(classifier_kwargs or {}))
@@ -208,19 +218,40 @@ class GeometryClassifier:
         q_bucket = multiscale._pow2_bucket(n_query)
         s_bucket = multiscale._pow2_bucket(search.shape[0])
         clf_kind, clf_params, clf_static = self._fused_classifier()
-        query_dev = jnp.asarray(multiscale._pad_rows_f32(cloud, q_bucket))
-        if search is cloud and s_bucket == q_bucket:
-            search_dev = query_dev            # one upload, not two
+
+        dequant = None
+        if self.transfer_dtype == "uint16" and search is cloud \
+                and s_bucket == q_bucket:
+            from nimrud_tpu import native
+            lo = cloud.min(0).astype(np.float64)
+            span = float((cloud.max(0) - lo).max())
+            step = max(span, 1e-6) / 65000.0
+            padded = multiscale._pad_rows_f32(cloud, q_bucket)
+            quant = native.quantize_u16(padded, lo, step)
+            if quant is None:
+                quant = np.clip(np.round(
+                    (padded.astype(np.float64) - lo) / step),
+                    0, 65535).astype(np.uint16)
+            query_dev = jnp.asarray(quant)
+            search_dev = query_dev
+            dequant = jnp.asarray(
+                np.append(lo, step).astype(np.float32))
         else:
-            search_dev = jnp.asarray(
-                multiscale._pad_rows_f32(search, s_bucket))
+            query_dev = jnp.asarray(
+                multiscale._pad_rows_f32(cloud, q_bucket))
+            if search is cloud and s_bucket == q_bucket:
+                search_dev = query_dev        # one upload, not two
+            else:
+                search_dev = jnp.asarray(
+                    multiscale._pad_rows_f32(search, s_bucket))
+
         return _fused_predict_step(
             query_dev,
             jnp.arange(q_bucket) < n_query,
             search_dev,
             jnp.arange(s_bucket) < search.shape[0],
             clf_params, specs, self.kind, None, "highest", n_query,
-            clf_kind, clf_static)
+            clf_kind, clf_static, dequant)
 
     def predict_device(self, cloud, search=None):
         """

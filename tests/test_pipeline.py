@@ -69,6 +69,26 @@ def test_sklearn_classifier_falls_back():
     assert (predicted == labels).mean() > 0.8
 
 
+def test_uint16_transfer_matches_float32():
+    # quantized (uint16) cloud uploads: mm-scale resolution, identical
+    # predictions at half the transfer volume
+    cloud, labels = _scene(per=1200)
+    kwargs = dict(kind="minimal", classifier="linear",
+                  classifier_kwargs={"epochs": 25})
+    m32 = GeometryClassifier([(0.2, (0.8, 0.4))], **kwargs)
+    m32.fit(cloud, labels)
+    m16 = GeometryClassifier([(0.2, (0.8, 0.4))],
+                             transfer_dtype="uint16", **kwargs)
+    m16.classifier = m32.classifier       # same weights, only transfer differs
+    p32 = m32.predict(cloud)
+    p16 = m16.predict(cloud)
+    assert (p16 == p32).mean() > 0.995
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        GeometryClassifier([(0.2, (0.4,))], transfer_dtype="int8")
+
+
 def test_fit_with_sampling():
     cloud, labels = _scene(per=600)
     model = GeometryClassifier(

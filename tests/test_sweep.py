@@ -1,0 +1,26 @@
+"""Sweep harness smoke test (tiny CPU configuration)."""
+
+import numpy as np
+
+from nimrud_tpu.workflows.sweep import sweep_extraction, synthetic_scan
+
+
+def test_synthetic_scan_shape():
+    cloud = synthetic_scan(10_000, extent=50.0)
+    assert cloud.shape == (10_000, 3)
+    assert cloud.dtype == np.float32
+    assert cloud[:, 2].max() < 20
+
+
+def test_sweep_ranks_configs():
+    cloud = synthetic_scan(6_000, extent=30.0)
+    results = sweep_extraction(
+        cloud=cloud, scaleset=[(0.5, (1.0,))], n_points=6_000,
+        repeats=1, tile_factors=(2,), capacities=(None,),
+        entry_batches=(64,), methods=("tiled", "dense"), verbose=False)
+    good = [r for r in results if "error" not in r]
+    assert len(good) == 2
+    assert all(r["point_scales_per_sec"] > 0 for r in good)
+    # sorted best-first
+    rates = [r["point_scales_per_sec"] for r in good]
+    assert rates == sorted(rates, reverse=True)
