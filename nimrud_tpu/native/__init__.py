@@ -172,16 +172,25 @@ def voxel_unique(points, lo, edge, dims):
     return out[:count].copy()
 
 
-def quantize_u16(points, lo, step):
-    """Native uint16 coordinate quantization, or None."""
+def quantize_u16(points, lo, step, pad_to=None):
+    """Native uint16 coordinate quantization, or None.
+
+    ``pad_to`` pads the output to that many rows by repeating the last
+    point (the padding convention of the device tile grid) without a
+    separate float32 pad copy of the input.
+    """
     library = lib()
     if library is None:
         return None
     points = np.ascontiguousarray(points, dtype=np.float32)
-    out = np.empty(points.shape, np.uint16)
+    n = points.shape[0]
+    rows = n if pad_to is None else int(pad_to)
+    out = np.empty((rows,) + points.shape[1:], np.uint16)
     library.quantize_u16(
-        points, points.shape[0],
+        points, n,
         np.ascontiguousarray(lo, np.float64), float(step), out)
+    if rows > n and n:
+        out[n:] = out[n - 1]
     return out
 
 

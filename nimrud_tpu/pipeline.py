@@ -210,25 +210,38 @@ class GeometryClassifier:
             return None
         return tuple(specs)
 
-    def _predict_fused(self, cloud, search):
-        specs = self._fused_band_specs(cloud, search)
+    def stage(self, cloud, search=None):
+        """
+        Host prep + upload for one cloud on the fused path: quantize (or
+        pad) on the host and ``device_put`` the coordinates.  Returns an
+        opaque staged handle for :meth:`predict_staged`, or None when the
+        fused single-dispatch path does not apply to this configuration.
+
+        Staging is the only host-side work in the hot loop, so callers
+        streaming many clouds can overlap it with device compute (see
+        :meth:`predict_stream`).
+        """
+        same = search is None or search is cloud
+        cloud = np.asarray(cloud, dtype=np.float32)[:, :3]
+        search_arr = cloud if same \
+            else np.asarray(search, dtype=np.float32)[:, :3]
+        specs = self._fused_band_specs(cloud, search_arr)
         if specs is None:
             return None
         n_query = cloud.shape[0]
         q_bucket = multiscale._pow2_bucket(n_query)
-        s_bucket = multiscale._pow2_bucket(search.shape[0])
-        clf_kind, clf_params, clf_static = self._fused_classifier()
+        s_bucket = multiscale._pow2_bucket(search_arr.shape[0])
 
         dequant = None
-        if self.transfer_dtype == "uint16" and search is cloud \
+        if self.transfer_dtype == "uint16" and search_arr is cloud \
                 and s_bucket == q_bucket:
             from nimrud_tpu import native
             lo = cloud.min(0).astype(np.float64)
             span = float((cloud.max(0) - lo).max())
             step = max(span, 1e-6) / 65000.0
-            padded = multiscale._pad_rows_f32(cloud, q_bucket)
-            quant = native.quantize_u16(padded, lo, step)
+            quant = native.quantize_u16(cloud, lo, step, pad_to=q_bucket)
             if quant is None:
+                padded = multiscale._pad_rows_f32(cloud, q_bucket)
                 quant = np.clip(np.round(
                     (padded.astype(np.float64) - lo) / step),
                     0, 65535).astype(np.uint16)
@@ -239,19 +252,53 @@ class GeometryClassifier:
         else:
             query_dev = jnp.asarray(
                 multiscale._pad_rows_f32(cloud, q_bucket))
-            if search is cloud and s_bucket == q_bucket:
+            if search_arr is cloud and s_bucket == q_bucket:
                 search_dev = query_dev        # one upload, not two
             else:
                 search_dev = jnp.asarray(
-                    multiscale._pad_rows_f32(search, s_bucket))
+                    multiscale._pad_rows_f32(search_arr, s_bucket))
 
-        return _fused_predict_step(
-            query_dev,
-            jnp.arange(q_bucket) < n_query,
-            search_dev,
-            jnp.arange(s_bucket) < search.shape[0],
-            clf_params, specs, self.kind, None, "highest", n_query,
-            clf_kind, clf_static, dequant)
+        return {
+            "query": query_dev, "search": search_dev,
+            "n_query": n_query, "n_search": search_arr.shape[0],
+            "q_bucket": q_bucket, "s_bucket": s_bucket,
+            "specs": specs, "dequant": dequant,
+        }
+
+    def predict_staged(self, staged, with_proba=False):
+        """Labels (and optionally probabilities) for a staged cloud, as
+        DEVICE arrays; one compiled dispatch, no host transfer."""
+        clf_kind, clf_params, clf_static = self._fused_classifier()
+        labels, probs = _fused_predict_step(
+            staged["query"],
+            jnp.arange(staged["q_bucket"]) < staged["n_query"],
+            staged["search"],
+            jnp.arange(staged["s_bucket"]) < staged["n_search"],
+            clf_params, staged["specs"], self.kind, None, "highest",
+            staged["n_query"], clf_kind, clf_static, staged["dequant"])
+        return (labels, probs) if with_proba else labels
+
+    def predict_stream(self, clouds):
+        """
+        Classify a stream of clouds, overlapping each upload + host prep
+        with the previous cloud's device compute (jax dispatch is async).
+        Yields per-point label DEVICE arrays in order; batch the host
+        reads after the stream drains (transfer discipline).
+        """
+        for cloud in clouds:
+            staged = self.stage(cloud)
+            if staged is None:
+                yield self.predict_device(cloud)
+            else:
+                # async dispatch: returns immediately, the device crunches
+                # this cloud while the caller (and the next stage()) run
+                yield self.predict_staged(staged)
+
+    def _predict_fused(self, cloud, search):
+        staged = self.stage(cloud, search)
+        if staged is None:
+            return None
+        return self.predict_staged(staged, with_proba=True)
 
     def predict_device(self, cloud, search=None):
         """
@@ -260,10 +307,7 @@ class GeometryClassifier:
         stream clouds through this and batch the label downloads
         (host reads can be expensive on remote-attached devices).
         """
-        cloud = np.asarray(cloud, dtype=np.float32)[:, :3]
-        search_arr = cloud if search is None \
-            else np.asarray(search, dtype=np.float32)[:, :3]
-        fused = self._predict_fused(cloud, search_arr)
+        fused = self._predict_fused(cloud, search)
         if fused is not None:
             return fused[0]
         probs = self.predict_proba_device(cloud, search)

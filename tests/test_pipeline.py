@@ -89,6 +89,37 @@ def test_uint16_transfer_matches_float32():
         GeometryClassifier([(0.2, (0.4,))], transfer_dtype="int8")
 
 
+def test_staged_and_stream_match_predict():
+    # stage()/predict_staged() is predict_device() split at the upload
+    # boundary; predict_stream() yields the same labels per cloud
+    cloud, labels = _scene(per=900)
+    model = GeometryClassifier(
+        [(0.2, (0.8, 0.4))], kind="minimal", classifier="linear",
+        classifier_kwargs={"epochs": 25}, transfer_dtype="uint16")
+    model.fit(cloud, labels)
+
+    direct = model.predict(cloud)
+    staged = model.stage(cloud)
+    assert staged is not None
+    via_staged = np.asarray(model.predict_staged(staged))
+    assert (via_staged == direct).all()
+
+    shifted = cloud + np.float32([0.5, 0, 0])
+    streamed = [np.asarray(out)
+                for out in model.predict_stream([cloud, shifted])]
+    assert (streamed[0] == direct).all()
+    assert (streamed[1] == model.predict(shifted)).all()
+
+    # non-fused configurations stream through the fallback path
+    fallback = GeometryClassifier(
+        [(0.2, (0.6,))], kind="minimal", classifier="erf",
+        classifier_kwargs={"n_estimators": 10})
+    fallback.fit(cloud, labels)
+    assert fallback.stage(cloud) is None
+    out = list(fallback.predict_stream([cloud]))
+    assert (np.asarray(out[0]) == fallback.predict(cloud)).all()
+
+
 def test_fit_with_sampling():
     cloud, labels = _scene(per=600)
     model = GeometryClassifier(
