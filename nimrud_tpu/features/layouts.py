@@ -43,7 +43,13 @@ LAYOUT_WIDTHS = {
     "oriented": 8,
     "covariance": 8,
     "eigen": 10,
+    "sazo": 5,
 }
+
+
+def needs_sazo(kind):
+    """Whether this layout requires the signed-max-z-offset statistic."""
+    return kind == "sazo"
 
 
 def _centroid_displacement(count, mean, query):
@@ -171,7 +177,21 @@ def covariance_block(count, mean, cov, query, radius):
     ], axis=-1)
 
 
-def build_block(kind, count, mean, cov, query, radius):
+def sazo_block(count, mean, cov, query, radius, sazo):
+    """
+    G_MSO augmented with the signed max Z offset: [density, centroid,
+    eig1, eig2, sazo].  Realizes the reference's SAZO stub (reference:
+    nimrud/prototypes/mso.py:690) -- the signed z-displacement of the
+    neighborhood point farthest from the query in z; zero for empty
+    neighborhoods.
+    """
+    return jnp.concatenate([
+        geometric_block(count, mean, cov, query, radius),
+        sazo[..., None],
+    ], axis=-1)
+
+
+def build_block(kind, count, mean, cov, query, radius, sazo=None):
     """Dispatch on layout kind for the geometry layouts."""
     if kind == "minimal":
         return minimal_block(count, mean, cov, query)
@@ -183,4 +203,8 @@ def build_block(kind, count, mean, cov, query, radius):
         return covariance_block(count, mean, cov, query, radius)
     if kind == "eigen":
         return eigen_block(count, mean, cov, query, radius)
+    if kind == "sazo":
+        if sazo is None:
+            raise ValueError("kind='sazo' requires the sazo statistic")
+        return sazo_block(count, mean, cov, query, radius, sazo)
     raise ValueError(f"unknown feature layout {kind!r}")

@@ -35,7 +35,7 @@ PAIRS_BUDGET = 1 << 24
 TILED_THRESHOLD = 16384
 
 KINDS = ("minimal", "geometric", "oriented", "covariance", "eigen",
-         "vector")
+         "sazo", "vector")
 METHODS = ("auto", "dense", "tiled", "fused")
 
 
@@ -192,7 +192,8 @@ def _band_features(query_padded, n_query, search, kind, edge, radii,
 
         kwargs = dict(
             chunk_size=_effective_chunk(chunk_size, s_bucket),
-            exclude_radius=exclude_radius)
+            exclude_radius=exclude_radius,
+            with_sazo=layouts.needs_sazo(kind))
         if kind == "vector":
             kwargs["attributes"] = jnp.asarray(_pad_rows_f32(attrs, s_bucket))
 
@@ -207,7 +208,8 @@ def _band_features(query_padded, n_query, search, kind, edge, radii,
         else:
             block = layouts.build_block(
                 kind, got["count"][:, ri], got["mean"][:, ri],
-                got["cov"][:, ri], jnp.asarray(query_padded), float(radius))
+                got["cov"][:, ri], jnp.asarray(query_padded), float(radius),
+                sazo=None if "sazo" not in got else got["sazo"][:, ri])
         blocks.append(block[:n_query])
     return jnp.concatenate(blocks, axis=1)
 

@@ -119,12 +119,22 @@ def _sort_and_count(ids, valid, n_grid):
     return sorted_order, counts, starts
 
 
-def build_tables(query, q_valid, search, s_valid, spec):
+def build_tables(query, q_valid, search, s_valid, spec, with_stats=False):
     """
     Device-side plan: returns (query_index, neighbor_rows, candidates,
     entry_centers) with the same semantics as the host TiledProblem --
     except candidate rows are indexed by fine tile id (row n_grid = the
     all-pad empty row).
+
+    With ``with_stats``, a fifth element reports capacity saturation
+    (SURVEY section 7's overflow accounting -- fixed capacities must
+    never truncate silently):
+      dropped_search: search points beyond ``s_cap`` in their fine tile
+                      (excluded from every neighborhood);
+      dropped_query:  valid queries left without an entry slot because
+                      ``e_cap`` saturated (they get zero features).
+    Both are 0 for voxel-downsampled search sets and correctly sized
+    specs; nonzero values mean the spec needs a larger cap.
     """
     n_grid, n_qgrid = spec.n_grid, spec.n_qgrid
     n_search = search.shape[0]
@@ -182,26 +192,50 @@ def build_tables(query, q_valid, search, s_valid, spec):
     lo = jnp.asarray(spec.lo, dtype=jnp.float32)
     centers = (jnp.stack([tx, ty, tz], axis=1).astype(jnp.float32) + 0.5) \
         * (spec.m * spec.tile_edge) + lo
-    return query_index, neighbor_rows, candidates, centers
+    if not with_stats:
+        return query_index, neighbor_rows, candidates, centers
+    stats = {
+        "dropped_search": jnp.sum(
+            jnp.maximum(s_counts - spec.s_cap, 0)).astype(jnp.int32),
+        "dropped_query": (jnp.sum(q_valid.astype(jnp.int32))
+                          - jnp.sum(count)).astype(jnp.int32),
+    }
+    return query_index, neighbor_rows, candidates, centers, stats
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "radii", "kind", "exclude_radius",
-                     "precision_name", "n_out"))
+                     "precision_name", "n_out", "with_stats", "metric"))
 def fused_extract(query, q_valid, search, s_valid, spec, radii, kind,
-                  exclude_radius, precision_name, n_out):
+                  exclude_radius, precision_name, n_out,
+                  with_stats=False, attributes=None, metric="euclidean"):
     """
     Raw padded clouds -> feature block (n_out, width), one jit: build the
     plan on device, run the masked-moment kernel, apply the layout,
-    scatter to caller order.
+    scatter to caller order.  ``with_stats`` additionally returns the
+    overflow counters from :func:`build_tables` (dropped_search /
+    dropped_query int32 scalars) as a second output.
+
+    ``attributes`` (rows aligned with ``search``) enables the attribute
+    layouts -- kind="vector" returns per-radius masked attribute means
+    (the V_MSO path); ``metric="chebyshev"`` turns the kernel into the
+    voxel-interpolation operator (attribute mean over the Chebyshev ball,
+    the reference's vec_field_interp).
     """
-    query_index, neighbor_rows, candidates, centers = build_tables(
-        query, q_valid, search, s_valid, spec)
-    return host_grid._tiled_features_kernel.__wrapped__(
-        query, search,
-        jnp.zeros((search.shape[0], 0), jnp.float32),
+    tables = build_tables(
+        query, q_valid, search, s_valid, spec, with_stats=with_stats)
+    query_index, neighbor_rows, candidates, centers = tables[:4]
+    has_attr = attributes is not None
+    attr = attributes if has_attr \
+        else jnp.zeros((search.shape[0], 0), jnp.float32)
+    feats = host_grid._tiled_features_kernel.__wrapped__(
+        query, search, attr,
         query_index, neighbor_rows, candidates, centers,
-        radii, exclude_radius, kind, False,
+        radii, exclude_radius, kind, has_attr,
         spec.entry_batch, n_out,
-        host_grid.PRECISIONS[precision_name])
+        host_grid.PRECISIONS[precision_name],
+        "xla", False, metric)
+    if with_stats:
+        return feats, tables[4]
+    return feats

@@ -283,7 +283,7 @@ def build_tiled_problem(query, search, tile_edge, *, query_tile_factor=2,
 
 def _entry_stats(q_local, s_local, s_valid, aug, radii, exclude_radius,
                  precision=jax.lax.Precision.HIGHEST,
-                 metric="euclidean"):
+                 metric="euclidean", with_sazo=False):
     """Masked moments for one batch of entries (shared by both kernels)."""
     if metric == "euclidean":
         d2 = (jnp.sum(q_local * q_local, axis=-1)[:, :, None]
@@ -306,10 +306,16 @@ def _entry_stats(q_local, s_local, s_valid, aug, radii, exclude_radius,
     base = s_valid[:, None, :]
     if exclude_radius is not None:
         base = base & (d2 >= exclude_radius * exclude_radius)
+    if with_sazo:
+        # signed max z offset (SAZO, reference stub mso.py:690): frame-
+        # free z displacement, masked max/min over the candidate axis
+        dz = s_local[:, None, :, 2] - q_local[:, :, None, 2]  # (B, Q, S)
+        big = jnp.float32(1e30)
 
     per_radius = []
     for radius in radii:
-        mask = (base & (d2 <= radius * radius)).astype(jnp.float32)
+        in_ball = base & (d2 <= radius * radius)
+        mask = in_ball.astype(jnp.float32)
         mom = jnp.einsum(
             "bqs,bsk->bqk", mask, aug,
             preferred_element_type=jnp.float32,
@@ -322,12 +328,18 @@ def _entry_stats(q_local, s_local, s_valid, aug, radii, exclude_radius,
         outer = jnp.stack(
             [mx * mx, mx * my, mx * mz, my * my, my * mz, mz * mz],
             axis=-1)
-        per_radius.append({
+        stats = {
             "count": count,
             "mean_local": mean_local,
             "cov": mom[..., 4:10] / denom - outer,
             "attr_mean": mom[..., 10:] / denom,
-        })
+        }
+        if with_sazo:
+            top = jnp.max(jnp.where(in_ball, dz, -big), axis=-1)
+            bot = jnp.min(jnp.where(in_ball, dz, big), axis=-1)
+            stats["sazo"] = jnp.where(
+                count > 0, jnp.where(top >= -bot, top, bot), 0.0)
+        per_radius.append(stats)
     return per_radius
 
 
@@ -360,10 +372,11 @@ def _gather_batch(query_pad, search_pad, attr_pad, candidates, batch,
 @functools.partial(
     jax.jit,
     static_argnames=("radii", "exclude_radius", "has_attr", "entry_batch",
-                     "precision", "metric"))
+                     "precision", "metric", "with_sazo"))
 def _tiled_kernel(query, search, attributes, query_index, neighbor_rows,
                   candidates, entry_centers, radii, exclude_radius,
-                  has_attr, entry_batch, precision, metric="euclidean"):
+                  has_attr, entry_batch, precision, metric="euclidean",
+                  with_sazo=False):
     """Raw moments in entry layout: dict of (E, Q_CAP, R, ...)."""
     n_entries, q_cap = query_index.shape
     n_batches = n_entries // entry_batch
@@ -381,7 +394,7 @@ def _tiled_kernel(query, search, attributes, query_index, neighbor_rows,
         centers = batch[2]
         per_radius = _entry_stats(
             q_local, s_local, s_valid, aug, radii, exclude_radius,
-            precision, metric)
+            precision, metric, with_sazo)
         out = {
             "count": jnp.stack([p["count"] for p in per_radius], axis=2),
             "mean": jnp.stack(
@@ -392,6 +405,9 @@ def _tiled_kernel(query, search, attributes, query_index, neighbor_rows,
         if has_attr:
             out["attr_mean"] = jnp.stack(
                 [p["attr_mean"] for p in per_radius], axis=2)
+        if with_sazo:
+            out["sazo"] = jnp.stack(
+                [p["sazo"] for p in per_radius], axis=2)
         return out
 
     batched = (
@@ -408,12 +424,13 @@ def _tiled_kernel(query, search, attributes, query_index, neighbor_rows,
     jax.jit,
     static_argnames=("radii", "exclude_radius", "kind", "has_attr",
                      "entry_batch", "n_query", "precision", "backend",
-                     "interpret"))
+                     "interpret", "metric"))
 def _tiled_features_kernel(query, search, attributes, query_index,
                            neighbor_rows, candidates, entry_centers,
                            radii, exclude_radius, kind, has_attr,
                            entry_batch, n_query, precision,
-                           backend="xla", interpret=False):
+                           backend="xla", interpret=False,
+                           metric="euclidean"):
     """
     Fused: moments -> feature layout -> scatter to caller order, all on
     device.  Returns (n_query, total_width) float32.
@@ -432,7 +449,9 @@ def _tiled_features_kernel(query, search, attributes, query_index,
         if has_attr else None
 
     def one_batch(batch):
-        use_pallas = backend == "pallas" and not has_attr
+        needs_sazo = layouts.needs_sazo(kind)
+        use_pallas = backend == "pallas" and not has_attr \
+            and not needs_sazo and metric == "euclidean"
         q_pts, q_local, s_local, s_valid, aug = _gather_batch(
             query_pad, search_pad, attr_pad, candidates, batch,
             build_aug=not use_pallas)
@@ -446,7 +465,7 @@ def _tiled_features_kernel(query, search, attributes, query_index,
         else:
             per_radius = _entry_stats(
                 q_local, s_local, s_valid, aug, radii, exclude_radius,
-                precision)
+                precision, metric, with_sazo=needs_sazo)
         blocks = []
         for p, radius in zip(per_radius, radii):
             if kind == "vector":
@@ -454,7 +473,7 @@ def _tiled_features_kernel(query, search, attributes, query_index,
             else:
                 blocks.append(layouts.build_block(
                     kind, p["count"], p["mean_local"] + centers[:, None, :],
-                    p["cov"], q_pts, radius))
+                    p["cov"], q_pts, radius, sazo=p.get("sazo")))
         return jnp.concatenate(blocks, axis=-1)
 
     batched = (
@@ -493,7 +512,8 @@ PRECISIONS = {
 
 def tiled_moments(problem, query, search, radii, *, attributes=None,
                   exclude_radius=None, entry_batch=32,
-                  precision="highest", metric="euclidean"):
+                  precision="highest", metric="euclidean",
+                  with_sazo=False):
     """
     Neighborhood moments via the tile grid, aligned to the original query
     order.  Returns the same dict as
@@ -517,7 +537,8 @@ def tiled_moments(problem, query, search, radii, *, attributes=None,
         has_attr,
         int(entry_batch),
         PRECISIONS[precision],
-        metric)
+        metric,
+        bool(with_sazo))
 
     q_idx = problem.query_index
     valid = q_idx >= 0
@@ -534,7 +555,8 @@ def tiled_moments(problem, query, search, radii, *, attributes=None,
 
 def tiled_features(problem, query, search, radii, kind, *, attributes=None,
                    exclude_radius=None, entry_batch=32,
-                   precision="highest", backend="xla"):
+                   precision="highest", backend="xla",
+                   metric="euclidean"):
     """
     Fused feature extraction through the tile grid: moments, layout, and
     the scatter back to the caller's query order all run on device.
@@ -561,4 +583,5 @@ def tiled_features(problem, query, search, radii, kind, *, attributes=None,
         int(problem.n_query),
         PRECISIONS[precision],
         backend,
-        jax.default_backend() not in ("tpu", "axon"))
+        jax.default_backend() not in ("tpu", "axon"),
+        metric)

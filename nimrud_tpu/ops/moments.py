@@ -43,7 +43,7 @@ def _augment(points, attributes=None):
 
 def chunk_moments(query_chunk, search, search_valid, radii,
                   attributes=None, exclude_radius=None,
-                  metric="euclidean"):
+                  metric="euclidean", with_sazo=False):
     """
     Moments of every search neighborhood of one query chunk, per radius.
 
@@ -61,6 +61,11 @@ def chunk_moments(query_chunk, search, search_valid, radii,
                     broadcast compare, used for attribute interpolation
                     onto voxel centers; reference supports both in
                     nimrud/prototypes/ch.py:208-252).
+      with_sazo:    also compute the signed max Z offset -- the signed
+                    z-displacement of the neighborhood point farthest
+                    from the query in z (masked max reduction; realizes
+                    the reference's SAZO stub, reference:
+                    nimrud/prototypes/mso.py:690).
 
     Returns:
       dict of arrays, each (Q, n_radii, ...):
@@ -68,6 +73,7 @@ def chunk_moments(query_chunk, search, search_valid, radii,
         mean:   (Q, R, 3)   neighborhood mean, global frame
         cov:    (Q, R, 6)   central second moment (scatter/count), packed
         attr_mean: (Q, R, A) masked attribute means (if attributes given)
+        sazo:   (Q, R)      signed max z offset (if with_sazo)
     """
     # recenter on the chunk midpoint: all squared terms stay O(chunk span)
     center = (jnp.max(query_chunk, axis=0) + jnp.min(query_chunk, axis=0)) \
@@ -98,10 +104,14 @@ def chunk_moments(query_chunk, search, search_valid, radii,
 
     aug = _augment(s, attributes)
     n_attr = 0 if attributes is None else attributes.shape[1]
+    if with_sazo:
+        dz = s[None, :, 2] - q[:, None, 2]          # (Q, S), frame-free
+        big = jnp.float32(1e30)
 
-    counts, means, covs, attr_means = [], [], [], []
+    counts, means, covs, attr_means, sazos = [], [], [], [], []
     for radius in radii:
-        mask = (base & (d2 <= radius * radius)).astype(jnp.float32)
+        in_ball = base & (d2 <= radius * radius)
+        mask = in_ball.astype(jnp.float32)
         mom = jnp.dot(mask, aug, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
         count = mom[:, 0]
@@ -116,6 +126,11 @@ def chunk_moments(query_chunk, search, search_valid, radii,
         covs.append(raw_second - outer)
         if n_attr:
             attr_means.append(mom[:, 10:] / denom[:, None])
+        if with_sazo:
+            mx = jnp.max(jnp.where(in_ball, dz, -big), axis=1)
+            mn = jnp.min(jnp.where(in_ball, dz, big), axis=1)
+            sazos.append(jnp.where(
+                count > 0, jnp.where(mx >= -mn, mx, mn), 0.0))
 
     out = {
         "count": jnp.stack(counts, axis=1),
@@ -124,16 +139,19 @@ def chunk_moments(query_chunk, search, search_valid, radii,
     }
     if n_attr:
         out["attr_mean"] = jnp.stack(attr_means, axis=1)
+    if with_sazo:
+        out["sazo"] = jnp.stack(sazos, axis=1)
     return out
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "radii", "chunk_size", "exclude_radius", "has_attr", "metric"))
+        "radii", "chunk_size", "exclude_radius", "has_attr", "metric",
+        "with_sazo"))
 def _multiscale_moments_impl(query, search, search_valid, attributes,
                              radii, chunk_size, exclude_radius, has_attr,
-                             metric):
+                             metric, with_sazo=False):
     n_query = query.shape[0]
     n_chunks = n_query // chunk_size
     q_chunks = query.reshape(n_chunks, chunk_size, 3)
@@ -142,7 +160,8 @@ def _multiscale_moments_impl(query, search, search_valid, attributes,
     def body(q_chunk):
         return chunk_moments(
             q_chunk, search, search_valid, radii,
-            attributes=attr, exclude_radius=exclude_radius, metric=metric)
+            attributes=attr, exclude_radius=exclude_radius, metric=metric,
+            with_sazo=with_sazo)
 
     stacked = jax.lax.map(body, q_chunks)
     return {key: value.reshape((n_query,) + value.shape[2:])
@@ -151,7 +170,8 @@ def _multiscale_moments_impl(query, search, search_valid, attributes,
 
 def multiscale_moments(query, search, search_valid, radii, *,
                        attributes=None, chunk_size=256,
-                       exclude_radius=None, metric="euclidean"):
+                       exclude_radius=None, metric="euclidean",
+                       with_sazo=False):
     """
     Chunked driver over the whole query set (jit, static shapes).
 
@@ -170,4 +190,4 @@ def multiscale_moments(query, search, search_valid, radii, *,
         query, search, search_valid, attributes,
         tuple(float(r) for r in radii), int(chunk_size),
         None if exclude_radius is None else float(exclude_radius),
-        has_attr, metric)
+        has_attr, metric, bool(with_sazo))

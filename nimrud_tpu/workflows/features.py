@@ -22,6 +22,7 @@ KIND_TO_NAME = {
     "oriented": "ogmso",
     "covariance": "cmso",
     "eigen": "emso",
+    "sazo": "szmso",
     "vector": "vmso",
 }
 

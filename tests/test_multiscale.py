@@ -265,7 +265,52 @@ def test_fused_method_rejects_unsupported():
 def test_layout_widths():
     assert layouts.LAYOUT_WIDTHS == {
         "minimal": 4, "geometric": 4, "oriented": 8, "covariance": 8,
-        "eigen": 10}
+        "eigen": 10, "sazo": 5}
+
+
+def test_sazo_layout():
+    # signed max z offset (the reference's SAZO stub, mso.py:690): the
+    # signed z-displacement of the neighbor farthest from the query in z
+    query, search, voxels = _clouds()
+    ours = extract_scaleset(
+        query, search, [(EDGE, RADII)], kind="sazo")
+    assert ours.shape == (len(query), 10)
+
+    tree = cKDTree(voxels)
+    for ri, radius in enumerate(RADII):
+        block = ours[:, 5 * ri:5 * ri + 5]
+        geom = extract_scaleset(
+            query, search, [(EDGE, (radius,))], kind="geometric")
+        assert np.allclose(block[:, :4], geom, atol=1e-6)
+        hoods = tree.query_ball_point(query, radius)
+        for qi, idx in enumerate(hoods):
+            if not idx:
+                assert block[qi, 4] == 0
+                continue
+            dz = voxels[idx, 2] - query[qi, 2]
+            lo, hi = dz.min(), dz.max()
+            want = hi if hi >= -lo else lo
+            # skip |max| ~ |min| ties, ambiguous under f32
+            if abs(abs(hi) - abs(lo)) > 1e-5:
+                assert block[qi, 4] == pytest.approx(want, abs=1e-4)
+
+
+def test_sazo_tiled_and_fused_match_dense():
+    query, search, _ = _clouds()
+    dense = extract_scaleset(
+        query, search, [(EDGE, RADII)], kind="sazo", method="dense")
+    tiled = extract_scaleset(
+        query, search, [(EDGE, RADII)], kind="sazo", method="tiled")
+    assert np.allclose(dense, tiled, atol=5e-4), np.abs(dense - tiled).max()
+    fused = extract_scaleset(
+        query, search, [(EDGE, RADII)], kind="sazo", method="fused")
+    for ri in range(len(RADII)):
+        pop_d = dense[:, 5 * ri] ; pop_f = fused[:, 5 * ri]
+        agree = np.abs(pop_d - pop_f) < 1e-9
+        assert agree.mean() > 0.97
+        cols = slice(5 * ri, 5 * ri + 5)
+        assert np.allclose(fused[agree, cols], dense[agree, cols],
+                           atol=5e-2)
 
 
 def test_bad_kind_rejected():
