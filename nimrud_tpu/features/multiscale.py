@@ -214,24 +214,40 @@ def _band_features(query_padded, n_query, search, kind, edge, radii,
     return jnp.concatenate(blocks, axis=1)
 
 
+def _voxel_occupancy_cap(search, spec):
+    """Host upper bound on raw points per voxel (one key sort)."""
+    s64 = search.astype(np.float64)
+    origin = np.asarray(spec.origin)
+    cell = np.floor((s64 - origin) / spec.edge_length).astype(np.int64)
+    cell = np.clip(cell, 0, [2 ** w - 1 for w in spec.widths])
+    key = cell[:, 0]
+    for axis, shift in enumerate(spec.shifts[1:], start=1):
+        key = key | (cell[:, axis] << shift)
+    _, counts = np.unique(key, return_counts=True)
+    return int(counts.max())
+
+
 def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
-                           exclude_radius=None, tuning=None):
+                           attributes=None, exclude_radius=None,
+                           tuning=None):
     """
     Fully device-resident extraction: voxel downsample, tile-grid build,
     masked moments, layout and scatter all happen in jitted XLA -- the
     host only computes dataset bounds and uploads the clouds once.
 
-    Requirements: geometry layouts only (no attributes), every band must
-    voxel-downsample (edge > 0), and the voxel grids must fit the int32
-    key budget.  Raises ValueError when not applicable (callers fall
-    back to :func:`extract_scaleset_device`).
+    Requirements: every band must voxel-downsample (edge > 0) and the
+    voxel grids must fit the int32 key budget; ``kind="vector"``
+    additionally interpolates ``attributes`` onto the voxel centers on
+    device (:func:`nimrud_tpu.ops.interp.interp_to_voxels`).  Raises
+    ValueError when not applicable (callers fall back to
+    :func:`extract_scaleset_device`).
 
     Returns a device array (n_query, width).
     """
-    from nimrud_tpu.ops import device_grid
+    from nimrud_tpu.ops import device_grid, interp
 
-    if kind == "vector":
-        raise ValueError("fused path does not support attribute features")
+    if kind == "vector" and attributes is None:
+        raise ValueError("kind='vector' requires attributes")
     tuning = tuning or {}
     query = np.asarray(query, dtype=np.float32)[:, :3]
     search = np.asarray(search, dtype=np.float32)[:, :3]
@@ -254,12 +270,23 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
     search_dev = jnp.asarray(_pad_rows_f32(search, s_bucket))
     q_valid = jnp.arange(q_bucket) < n_query
     s_valid = jnp.arange(s_bucket) < search.shape[0]
+    attrs_dev = None
+    if kind == "vector":
+        attributes = np.asarray(attributes, dtype=np.float32)
+        attrs_dev = jnp.asarray(_pad_rows_f32(attributes, s_bucket))
 
     bands = []
     for edge, radii in scaleset:
         vox_spec = packing.GridSpec.fit_bounds(s_lo, s_hi, edge)
-        centers, _, center_mask = unique.unique_voxels(
-            search_dev, vox_spec, valid=s_valid)
+        if kind == "vector":
+            s_cap = tuning.get("vector_s_cap") or _pow2_bucket(
+                _voxel_occupancy_cap(search, vox_spec), minimum=8)
+            centers, center_mask, center_attrs = interp.interp_to_voxels(
+                search_dev, s_valid, attrs_dev, vox_spec, int(s_cap))
+        else:
+            centers, _, center_mask = unique.unique_voxels(
+                search_dev, vox_spec, valid=s_valid)
+            center_attrs = None
         spec = device_grid.make_spec(
             lo, hi, max(radii), n_query=q_bucket,
             m=tuning.get("query_tile_factor", 3),
@@ -269,7 +296,8 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
         bands.append(device_grid.fused_extract(
             query_dev, q_valid, centers, center_mask, spec, radii, kind,
             None if exclude_radius is None else float(exclude_radius),
-            tuning.get("precision", "highest"), n_query))
+            tuning.get("precision", "highest"), n_query,
+            attributes=center_attrs))
     return bands[0] if len(bands) == 1 else jnp.concatenate(bands, axis=1)
 
 
@@ -336,12 +364,12 @@ def extract_scaleset_device(query, search, scaleset, kind="geometric", *,
     if method == "fused" or (
             method == "auto"
             and np.asarray(search).shape[0] >= TILED_THRESHOLD
-            and kind != "vector"
             and all(edge > 0 for edge, _ in scaleset)):
         try:
             return extract_scaleset_fused(
                 query, search, scaleset, kind,
-                exclude_radius=exclude_radius, tuning=tuning)
+                attributes=attributes, exclude_radius=exclude_radius,
+                tuning=tuning)
         except ValueError:
             if method == "fused":
                 raise

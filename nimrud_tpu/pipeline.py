@@ -28,16 +28,20 @@ from nimrud_tpu.ops import device_grid, packing, unique
 @functools.partial(
     jax.jit,
     static_argnames=("band_specs", "kind", "exclude_radius",
-                     "precision", "n_query", "clf_kind", "clf_static"))
+                     "precision", "n_query", "clf_kind", "clf_static",
+                     "vector_s_cap"))
 def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                         band_specs, kind, exclude_radius, precision,
                         n_query, clf_kind="linear", clf_static=None,
-                        dequant=None):
+                        dequant=None, attributes=None, vector_s_cap=32):
     """
     ONE compiled program for the whole inference step: per band, device
     voxel downsample + tile-grid build + masked-moment features; then the
     softmax classifier and argmax.  A single dispatch per cloud matters
     on remote-attached devices where per-call latency dominates.
+
+    For kind="vector" the attributes are interpolated onto the voxel
+    centers on device first (ops.interp, the V_MSO path).
     """
     if dequant is not None:
         # coordinates arrived as uint16 grid steps (half the transfer
@@ -47,11 +51,17 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
 
     bands = []
     for vox_spec, dev_spec, radii in band_specs:
-        centers, _, mask = unique.unique_voxels(
-            search, vox_spec, valid=s_valid)
+        if kind == "vector":
+            from nimrud_tpu.ops import interp
+            centers, mask, cattrs = interp.interp_to_voxels.__wrapped__(
+                search, s_valid, attributes, vox_spec, vector_s_cap)
+        else:
+            centers, _, mask = unique.unique_voxels(
+                search, vox_spec, valid=s_valid)
+            cattrs = None
         bands.append(device_grid.fused_extract.__wrapped__(
             query, q_valid, centers, mask, dev_spec, radii, kind,
-            exclude_radius, precision, n_query))
+            exclude_radius, precision, n_query, False, cattrs))
     features = bands[0] if len(bands) == 1 \
         else jnp.concatenate(bands, axis=1)
 
@@ -91,13 +101,17 @@ class GeometryClassifier:
     def __init__(self, scaleset, kind="minimal", classifier="linear",
                  classifier_kwargs=None, exclude_radius=None,
                  method="auto", chunk_size=1024,
-                 transfer_dtype="float32"):
+                 transfer_dtype="float32", vector_s_cap=32):
         self.scaleset = [(float(e), tuple(float(r) for r in rs))
                          for e, rs in scaleset]
         self.kind = kind
         self.exclude_radius = exclude_radius
         self.method = method
         self.chunk_size = chunk_size
+        # static per-voxel point capacity for the fused V_MSO interp
+        # (kind="vector" only); overflowing voxels truncate -- size it
+        # from the sensor's densest voxel
+        self.vector_s_cap = int(vector_s_cap)
         if transfer_dtype not in ("float32", "uint16"):
             raise ValueError("transfer_dtype must be float32 or uint16")
         self.transfer_dtype = transfer_dtype
@@ -109,21 +123,25 @@ class GeometryClassifier:
 
     # -- features -------------------------------------------------------------
 
-    def extract_device(self, cloud, search=None):
+    def extract_device(self, cloud, search=None, attributes=None):
         """Multiscale features for every point, left on device."""
         if search is None:
             search = cloud
         return extract_scaleset_device(
             cloud, search, self.scaleset, self.kind,
+            attributes=attributes,
             exclude_radius=self.exclude_radius, method=self.method,
-            chunk_size=self.chunk_size)
+            chunk_size=self.chunk_size,
+            tuning={"vector_s_cap": self.vector_s_cap}
+            if self.kind == "vector" else None)
 
-    def extract(self, cloud, search=None):
-        return np.asarray(self.extract_device(cloud, search))
+    def extract(self, cloud, search=None, attributes=None):
+        return np.asarray(self.extract_device(cloud, search, attributes))
 
     # -- training -------------------------------------------------------------
 
-    def fit(self, cloud, labels, search=None, sample=None, seed=0):
+    def fit(self, cloud, labels, search=None, sample=None, seed=0,
+            attributes=None):
         """
         Extract features and fit the classifier.  ``sample`` optionally
         caps the number of training points (random subset).  Classifiers
@@ -138,7 +156,7 @@ class GeometryClassifier:
                 len(labels))[:sample]
 
         if hasattr(self.classifier, "fit_device"):
-            features = self.extract_device(cloud, search)
+            features = self.extract_device(cloud, search, attributes)
             if rows is not None:
                 features = jnp.take(features, jnp.asarray(rows), axis=0)
                 labels = labels[rows]
@@ -147,7 +165,7 @@ class GeometryClassifier:
                 n_classes=n_classes)
             return self
 
-        features = self.extract(cloud, search)
+        features = self.extract(cloud, search, attributes)
         if rows is not None:
             features, labels = features[rows], labels[rows]
         self.classifier.fit(features, labels)
@@ -155,16 +173,17 @@ class GeometryClassifier:
 
     # -- inference ------------------------------------------------------------
 
-    def predict_proba_device(self, cloud, search=None):
-        features = self.extract_device(cloud, search)
+    def predict_proba_device(self, cloud, search=None, attributes=None):
+        features = self.extract_device(cloud, search, attributes)
         if hasattr(self.classifier, "proba_device"):
             return self.classifier.proba_device(features)
         # host-side classifier (sklearn baseline): one feature round-trip
         return jnp.asarray(
             self.classifier.predict_proba(np.asarray(features)))
 
-    def predict_proba(self, cloud, search=None):
-        return np.asarray(self.predict_proba_device(cloud, search))
+    def predict_proba(self, cloud, search=None, attributes=None):
+        return np.asarray(
+            self.predict_proba_device(cloud, search, attributes))
 
     # -- single-dispatch fast path ---------------------------------------------
 
@@ -186,7 +205,7 @@ class GeometryClassifier:
 
     def _fused_band_specs(self, cloud, search):
         """Static per-band specs for the one-jit predict, or None."""
-        if self.kind == "vector" or self.exclude_radius is not None:
+        if self.exclude_radius is not None:
             return None
         if self._fused_classifier() is None:
             return None
@@ -210,7 +229,7 @@ class GeometryClassifier:
             return None
         return tuple(specs)
 
-    def stage(self, cloud, search=None):
+    def stage(self, cloud, search=None, attributes=None):
         """
         Host prep + upload for one cloud on the fused path: quantize (or
         pad) on the host and ``device_put`` the coordinates.  Returns an
@@ -221,6 +240,8 @@ class GeometryClassifier:
         streaming many clouds can overlap it with device compute (see
         :meth:`predict_stream`).
         """
+        if (self.kind == "vector") != (attributes is not None):
+            return None
         same = search is None or search is cloud
         cloud = np.asarray(cloud, dtype=np.float32)[:, :3]
         search_arr = cloud if same \
@@ -258,11 +279,16 @@ class GeometryClassifier:
                 search_dev = jnp.asarray(
                     multiscale._pad_rows_f32(search_arr, s_bucket))
 
+        attrs_dev = None
+        if attributes is not None:
+            attrs_dev = jnp.asarray(multiscale._pad_rows_f32(
+                np.asarray(attributes, dtype=np.float32), s_bucket))
+
         return {
             "query": query_dev, "search": search_dev,
             "n_query": n_query, "n_search": search_arr.shape[0],
             "q_bucket": q_bucket, "s_bucket": s_bucket,
-            "specs": specs, "dequant": dequant,
+            "specs": specs, "dequant": dequant, "attributes": attrs_dev,
         }
 
     def predict_staged(self, staged, with_proba=False):
@@ -275,7 +301,8 @@ class GeometryClassifier:
             staged["search"],
             jnp.arange(staged["s_bucket"]) < staged["n_search"],
             clf_params, staged["specs"], self.kind, None, "highest",
-            staged["n_query"], clf_kind, clf_static, staged["dequant"])
+            staged["n_query"], clf_kind, clf_static, staged["dequant"],
+            staged.get("attributes"), self.vector_s_cap)
         return (labels, probs) if with_proba else labels
 
     def predict_stream(self, clouds):
@@ -294,25 +321,25 @@ class GeometryClassifier:
                 # this cloud while the caller (and the next stage()) run
                 yield self.predict_staged(staged)
 
-    def _predict_fused(self, cloud, search):
-        staged = self.stage(cloud, search)
+    def _predict_fused(self, cloud, search, attributes=None):
+        staged = self.stage(cloud, search, attributes)
         if staged is None:
             return None
         return self.predict_staged(staged, with_proba=True)
 
-    def predict_device(self, cloud, search=None):
+    def predict_device(self, cloud, search=None, attributes=None):
         """
         Per-point class labels as a DEVICE array -- no device-to-host
         transfer happens.  The transfer-disciplined serving pattern:
         stream clouds through this and batch the label downloads
         (host reads can be expensive on remote-attached devices).
         """
-        fused = self._predict_fused(cloud, search)
+        fused = self._predict_fused(cloud, search, attributes)
         if fused is not None:
             return fused[0]
-        probs = self.predict_proba_device(cloud, search)
+        probs = self.predict_proba_device(cloud, search, attributes)
         return jnp.argmax(probs, axis=1).astype(jnp.int32)
 
-    def predict(self, cloud, search=None):
+    def predict(self, cloud, search=None, attributes=None):
         """Per-point class labels; only int32 labels leave the device."""
-        return np.asarray(self.predict_device(cloud, search))
+        return np.asarray(self.predict_device(cloud, search, attributes))

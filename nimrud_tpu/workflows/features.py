@@ -90,13 +90,25 @@ def extract_features(archive, scaleset, kind="geometric", *,
         if attributes_asset is None:
             raise ValueError("kind='vector' requires attributes_asset")
         attr_data, attr_index, _ = archive.get_asset(attributes_asset)
+        attr_data = attr_data.reshape(attr_index.size, -1)
         if search_asset is not None:
-            raise ValueError(
-                "attributes + designated search space not supported yet")
-        if attr_index.size != cloud.shape[0]:
-            raise ValueError(
-                "vector features need attributes for every point")
-        attributes = attr_data.reshape(cloud.shape[0], -1)
+            # designated search space with its own attributes (the
+            # reference's vmso_APC independent-search-cloud option,
+            # reference: nimrud/prototypes/apc.py:2357-2529): attribute
+            # rows are realigned onto the search subset
+            row_of = np.full(cloud.shape[0], -1, np.int64)
+            row_of[attr_index] = np.arange(attr_index.size)
+            rows = row_of[search_index]
+            if (rows < 0).any():
+                raise ValueError(
+                    "attributes_asset does not cover every point of "
+                    "the designated search space")
+            attributes = attr_data[rows]
+        else:
+            if attr_index.size != cloud.shape[0]:
+                raise ValueError(
+                    "vector features need attributes for every point")
+            attributes = attr_data
 
     buffer_radius = max(max(radii) for _, radii in scaleset)
 

@@ -1,0 +1,72 @@
+"""
+Device voxel-attribute interpolation (ops.interp) against the host
+voxel_downsample oracle (the reference's vec_field_interp semantics).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nimrud_tpu.features.multiscale import voxel_downsample
+from nimrud_tpu.ops import interp, packing
+
+
+RNG = np.random.default_rng(21)
+EDGE = 0.5
+
+
+def _inputs(n=3000, n_attr=3):
+    pts = (RNG.random((n, 3)) * 7).astype(np.float32)
+    # keep points off voxel boundaries so f32/f64 binning agrees
+    frac = (pts / EDGE) % 1.0
+    ok = np.all((frac > 0.05) & (frac < 0.95), axis=1)
+    pts = pts[ok]
+    attrs = RNG.random((len(pts), n_attr)).astype(np.float32)
+    return pts, attrs
+
+
+def test_interp_matches_host_oracle():
+    pts, attrs = _inputs()
+    want_centers, want_attrs = voxel_downsample(pts, EDGE, attrs)
+
+    bucket = 1
+    while bucket < len(pts):
+        bucket *= 2
+    padded = np.zeros((bucket, 3), np.float32)
+    padded[: len(pts)] = pts
+    apad = np.zeros((bucket, attrs.shape[1]), np.float32)
+    apad[: len(pts)] = attrs
+    valid = np.arange(bucket) < len(pts)
+
+    spec = packing.GridSpec.fit(pts, EDGE)
+    centers, mask, got_attrs, stats = interp.interp_to_voxels(
+        jnp.asarray(padded), jnp.asarray(valid), jnp.asarray(apad),
+        spec, 64, with_stats=True)
+    mask = np.asarray(mask)
+    centers = np.asarray(centers)[mask]
+    got_attrs = np.asarray(got_attrs)[mask]
+    assert int(stats["dropped_search"]) == 0
+    assert len(centers) == len(want_centers)
+
+    # both sides sort centers by voxel key; rows must correspond
+    order_w = np.lexsort(want_centers.T)
+    order_g = np.lexsort(centers.T)
+    assert np.allclose(centers[order_g], want_centers[order_w], atol=1e-5)
+    assert np.allclose(
+        got_attrs[order_g], want_attrs[order_w], atol=2e-5), \
+        np.abs(got_attrs[order_g] - want_attrs[order_w]).max()
+
+
+def test_interp_overflow_counted():
+    # all 600 points inside one voxel cell
+    pts = (0.2 + RNG.random((600, 3)) * 0.05).astype(np.float32)
+    bucket = 1024
+    padded = np.zeros((bucket, 3), np.float32)
+    padded[:600] = pts
+    apad = np.zeros((bucket, 1), np.float32)
+    apad[:600] = 1.0
+    valid = np.arange(bucket) < 600
+    spec = packing.GridSpec.fit(pts, EDGE)
+    _, _, _, stats = interp.interp_to_voxels(
+        jnp.asarray(padded), jnp.asarray(valid), jnp.asarray(apad),
+        spec, 64, with_stats=True)
+    assert int(stats["dropped_search"]) == 600 - 64

@@ -257,9 +257,27 @@ def test_fused_method_rejects_unsupported():
     with pytest.raises(ValueError):
         extract_scaleset(q, q, [(0.0, (0.5,))], kind="minimal",
                          method="fused")
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError):  # vector requires attributes
         extract_scaleset(q, q, [(0.2, (0.5,))], kind="vector",
-                         attributes=RNG.random((100, 2)), method="fused")
+                         method="fused")
+
+
+def test_fused_vector_matches_tiled():
+    # V_MSO through the single-dispatch fused path: device voxel interp
+    # (ops.interp) + attribute-mean moments must match the host-planned
+    # tiled path
+    query, search, _ = _clouds()
+    attrs = RNG.random((len(search), 2)).astype(np.float32)
+    tiled = extract_scaleset(
+        query, search, [(EDGE, RADII)], kind="vector", attributes=attrs,
+        method="tiled")
+    fused = extract_scaleset(
+        query, search, [(EDGE, RADII)], kind="vector", attributes=attrs,
+        method="fused")
+    assert fused.shape == tiled.shape
+    close = np.isclose(fused, tiled, atol=2e-3)
+    # f32 voxelization may flip boundary cells for a few queries
+    assert close.all(axis=1).mean() > 0.97, np.abs(fused - tiled).max()
 
 
 def test_layout_widths():

@@ -120,6 +120,33 @@ def test_staged_and_stream_match_predict():
     assert (np.asarray(out[0]) == fallback.predict(cloud)).all()
 
 
+def test_vector_kind_fused_predict():
+    # V_MSO serving: attribute features through the single-dispatch
+    # fused predict, matching the multi-dispatch fallback
+    cloud, labels = _scene(per=800)
+    # class-correlated attributes so the classifier has signal
+    attrs = np.stack([labels + 0.05 * RNG.standard_normal(len(labels)),
+                      RNG.random(len(labels))], axis=1).astype(np.float32)
+    model = GeometryClassifier(
+        [(0.2, (0.8, 0.4))], kind="vector", classifier="linear",
+        classifier_kwargs={"epochs": 25})
+    model.fit(cloud, labels, attributes=attrs)
+    predicted = model.predict(cloud, attributes=attrs)
+    assert (predicted == labels).mean() > 0.9
+
+    staged = model.stage(cloud, attributes=attrs)
+    assert staged is not None           # fused path applies
+    assert (np.asarray(model.predict_staged(staged)) == predicted).all()
+
+    # fallback equivalence
+    probs = model.predict_proba_device(cloud, attributes=attrs)
+    fallback = np.asarray(jnp.argmax(probs, axis=1))
+    assert (predicted == fallback).mean() > 0.99
+
+    # vector without attributes cannot stage or predict
+    assert model.stage(cloud) is None
+
+
 def test_fit_with_sampling():
     cloud, labels = _scene(per=600)
     model = GeometryClassifier(

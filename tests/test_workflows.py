@@ -45,6 +45,42 @@ def test_feature_workflow(tmp_path):
     assert np.isfinite(data).all()
 
 
+def test_vector_features_with_search_asset(tmp_path):
+    # the reference's vmso_APC independent-search-cloud option: vector
+    # features over a designated search subset carrying its own
+    # attributes (reference: nimrud/prototypes/apc.py:2357-2529)
+    archive, cloud, labels = _make_archive(tmp_path)
+    attrs = RNG.random((len(cloud), 2)).astype(np.float32)
+    archive.add_asset("attrs", attrs, np.arange(len(cloud)))
+    subset = np.sort(RNG.permutation(len(cloud))[: len(cloud) // 2])
+    archive.add_asset("subset",
+                      np.zeros((subset.size, 1), np.float32), subset)
+
+    name = wf_features.extract_features(
+        archive, [(0.3, (1.0,))], kind="vector",
+        attributes_asset="attrs", search_asset="subset")
+    data, _, meta = archive.get_asset(name)
+    assert data.shape == (len(cloud), 2)
+    assert np.isfinite(data).all()
+    assert meta["kind"] == "vector"
+
+    # equals a direct extraction over the subset
+    from nimrud_tpu.features.multiscale import extract_scaleset
+    want = extract_scaleset(
+        cloud, cloud[subset], [(0.3, (1.0,))], kind="vector",
+        attributes=attrs[subset])
+    assert np.allclose(data, want, atol=1e-5)
+
+    # attributes that don't cover the search subset are rejected
+    archive.add_asset("partial_attrs", attrs[: len(cloud) // 4],
+                      np.arange(len(cloud) // 4))
+    with pytest.raises(ValueError):
+        wf_features.extract_features(
+            archive, [(0.3, (1.0,))], kind="vector",
+            attributes_asset="partial_attrs", search_asset="subset",
+            overwrite=True)
+
+
 def test_feature_workflow_skip_sampling(tmp_path):
     archive, cloud, labels = _make_archive(tmp_path, with_nulls=True)
     name = wf_features.extract_features(
