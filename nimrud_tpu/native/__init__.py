@@ -57,6 +57,8 @@ def _bind(library):
     library.quantize_u16.argtypes = [
         _PF32, _I64, _PF64, ctypes.c_double,
         np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")]
+    library.minmax3.restype = None
+    library.minmax3.argtypes = [_PF32, _I64, _PF32, _PF32]
     library.parse_ascii.restype = _I64
     library.parse_ascii.argtypes = [
         ctypes.c_char_p, _I64, _I64, _I64, _PF32]
@@ -192,6 +194,20 @@ def quantize_u16(points, lo, step, pad_to=None):
     if rows > n and n:
         out[n:] = out[n - 1]
     return out
+
+
+def minmax3(points):
+    """Per-axis (lo, hi) float32 bounds in one native pass, or None."""
+    library = lib()
+    if library is None:
+        return None
+    points = np.ascontiguousarray(points, dtype=np.float32)
+    if points.shape[0] == 0 or points.shape[1] != 3:
+        return None
+    lo = np.empty(3, np.float32)
+    hi = np.empty(3, np.float32)
+    library.minmax3(points, points.shape[0], lo, hi)
+    return lo, hi
 
 
 class ascii_loader:

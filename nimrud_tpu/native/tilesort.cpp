@@ -209,6 +209,26 @@ void quantize_u16(const float* pts, int64_t count, const double* lo,
     }
 }
 
+// Per-axis min/max of an (n, 3) float32 cloud in one pass.  The hot
+// serving path needs cloud bounds for grid specs AND quantization; this
+// replaces several numpy reductions with one scan.
+void minmax3(const float* pts, int64_t n, float* lo, float* hi) {
+    if (n <= 0) return;
+    float lo0 = pts[0], lo1 = pts[1], lo2 = pts[2];
+    float hi0 = pts[0], hi1 = pts[1], hi2 = pts[2];
+    for (int64_t i = 1; i < n; ++i) {
+        const float* p = pts + 3 * i;
+        if (p[0] < lo0) lo0 = p[0];
+        if (p[0] > hi0) hi0 = p[0];
+        if (p[1] < lo1) lo1 = p[1];
+        if (p[1] > hi1) hi1 = p[1];
+        if (p[2] < lo2) lo2 = p[2];
+        if (p[2] > hi2) hi2 = p[2];
+    }
+    lo[0] = lo0; lo[1] = lo1; lo[2] = lo2;
+    hi[0] = hi0; hi[1] = hi1; hi[2] = hi2;
+}
+
 // Fast delimited-ASCII point parser: reads up to max_rows rows of
 // exactly `cols` numeric fields separated by commas/whitespace.
 // Returns rows parsed, or -1 on malformed input.

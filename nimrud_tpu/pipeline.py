@@ -83,6 +83,15 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
     return jnp.argmax(probs, axis=1).astype(jnp.int32), probs
 
 
+def _cloud_bounds(arr):
+    """Per-axis (lo, hi) of an (n, 3) float32 cloud; one native pass."""
+    from nimrud_tpu import native
+    got = native.minmax3(arr)
+    if got is None:
+        return arr.min(0), arr.max(0)
+    return got
+
+
 class GeometryClassifier:
     """
     Args:
@@ -101,7 +110,8 @@ class GeometryClassifier:
     def __init__(self, scaleset, kind="minimal", classifier="linear",
                  classifier_kwargs=None, exclude_radius=None,
                  method="auto", chunk_size=1024,
-                 transfer_dtype="float32", vector_s_cap=32):
+                 transfer_dtype="float32", vector_s_cap=32,
+                 bounds=None):
         self.scaleset = [(float(e), tuple(float(r) for r in rs))
                          for e, rs in scaleset]
         self.kind = kind
@@ -112,6 +122,15 @@ class GeometryClassifier:
         # (kind="vector" only); overflowing voxels truncate -- size it
         # from the sensor's densest voxel
         self.vector_s_cap = int(vector_s_cap)
+        # fixed site bounds (lo, hi): per-cloud bounds change the static
+        # grid specs, so a stream of jittering clouds would recompile the
+        # fused program per cloud.  With fixed bounds every cloud shares
+        # ONE compiled program; out-of-bounds points clip to the grid.
+        self.bounds = None
+        if bounds is not None:
+            lo, hi = bounds
+            self.bounds = (np.asarray(lo, np.float32)[:3],
+                           np.asarray(hi, np.float32)[:3])
         if transfer_dtype not in ("float32", "uint16"):
             raise ValueError("transfer_dtype must be float32 or uint16")
         self.transfer_dtype = transfer_dtype
@@ -203,19 +222,29 @@ class GeometryClassifier:
                 (clf.max_depth_, clf.d_func)
         return None
 
-    def _fused_band_specs(self, cloud, search):
-        """Static per-band specs for the one-jit predict, or None."""
+    def _fused_band_specs(self, cloud, search, bounds=None):
+        """Static per-band specs for the one-jit predict, or None.
+
+        ``bounds`` optionally carries precomputed (cloud_lo, cloud_hi,
+        search_lo, search_hi) so the hot path scans each cloud once.
+        """
         if self.exclude_radius is not None:
             return None
         if self._fused_classifier() is None:
             return None
         if any(edge <= 0 for edge, _ in self.scaleset):
             return None
-        lo = np.minimum(cloud.min(0), search.min(0)).astype(np.float64)
-        hi = np.maximum(cloud.max(0), search.max(0)).astype(np.float64)
+        if bounds is None:
+            c_lo, c_hi = _cloud_bounds(cloud)
+            s_lo64, s_hi64 = (c_lo, c_hi) if search is cloud \
+                else _cloud_bounds(search)
+        else:
+            c_lo, c_hi, s_lo64, s_hi64 = bounds
+        lo = np.minimum(c_lo, s_lo64).astype(np.float64)
+        hi = np.maximum(c_hi, s_hi64).astype(np.float64)
         # voxel grids anchor at the search bounds (VoxelFilter convention)
-        s_lo = search.min(0).astype(np.float64)
-        s_hi = search.max(0).astype(np.float64)
+        s_lo = np.asarray(s_lo64, np.float64)
+        s_hi = np.asarray(s_hi64, np.float64)
         q_bucket = multiscale._pow2_bucket(cloud.shape[0])
         try:
             specs = []
@@ -246,7 +275,15 @@ class GeometryClassifier:
         cloud = np.asarray(cloud, dtype=np.float32)[:, :3]
         search_arr = cloud if same \
             else np.asarray(search, dtype=np.float32)[:, :3]
-        specs = self._fused_band_specs(cloud, search_arr)
+        if self.bounds is not None:
+            c_lo, c_hi = self.bounds
+            s_lo, s_hi = self.bounds
+        else:
+            c_lo, c_hi = _cloud_bounds(cloud)
+            s_lo, s_hi = (c_lo, c_hi) if same \
+                else _cloud_bounds(search_arr)
+        specs = self._fused_band_specs(
+            cloud, search_arr, bounds=(c_lo, c_hi, s_lo, s_hi))
         if specs is None:
             return None
         n_query = cloud.shape[0]
@@ -257,8 +294,8 @@ class GeometryClassifier:
         if self.transfer_dtype == "uint16" and search_arr is cloud \
                 and s_bucket == q_bucket:
             from nimrud_tpu import native
-            lo = cloud.min(0).astype(np.float64)
-            span = float((cloud.max(0) - lo).max())
+            lo = np.asarray(c_lo, np.float64)
+            span = float((np.asarray(c_hi, np.float64) - lo).max())
             step = max(span, 1e-6) / 65000.0
             quant = native.quantize_u16(cloud, lo, step, pad_to=q_bucket)
             if quant is None:

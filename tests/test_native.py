@@ -96,3 +96,22 @@ def test_ascii_parser():
         assert loaded is not None
         assert loaded.shape == (200, 4)
         assert np.allclose(loaded, cloud, atol=1e-4)
+
+
+def test_minmax3_matches_numpy():
+    pts = _clustered_cloud(10_001)
+    lo, hi = native.minmax3(pts)
+    assert np.array_equal(lo, pts.min(0))
+    assert np.array_equal(hi, pts.max(0))
+    assert native.minmax3(np.zeros((0, 3), np.float32)) is None
+
+
+def test_quantize_pad_to():
+    pts = _clustered_cloud(1000)
+    lo = pts.min(0).astype(np.float64)
+    step = float((pts.max(0) - lo).max()) / 65000.0
+    out = native.quantize_u16(pts, lo, step, pad_to=1024)
+    assert out.shape == (1024, 3)
+    assert (out[1000:] == out[999]).all()
+    plain = native.quantize_u16(pts, lo, step)
+    assert np.array_equal(out[:1000], plain)

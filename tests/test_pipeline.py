@@ -147,6 +147,30 @@ def test_vector_kind_fused_predict():
     assert model.stage(cloud) is None
 
 
+def test_fixed_bounds_share_one_program():
+    # fixed site bounds: every cloud in a stream maps to IDENTICAL static
+    # specs (no per-cloud recompile), and accuracy holds
+    cloud, labels = _scene(per=700)
+    lo = cloud.min(0) - 1.0
+    hi = cloud.max(0) + 1.0
+    model = GeometryClassifier(
+        [(0.2, (0.8, 0.4))], kind="minimal", classifier="linear",
+        classifier_kwargs={"epochs": 25}, bounds=(lo, hi),
+        transfer_dtype="uint16")
+    model.fit(cloud, labels)
+
+    jittered = cloud + np.float32([0.21, -0.13, 0.05])
+    inside = np.all((jittered >= lo) & (jittered <= hi), axis=1)
+    s1 = model.stage(cloud)
+    s2 = model.stage(jittered)
+    assert s1["specs"] == s2["specs"]          # same compiled program
+    assert s1["dequant"] is not None
+    assert np.allclose(np.asarray(s1["dequant"]),
+                       np.asarray(s2["dequant"]))
+    p = np.asarray(model.predict_staged(s2))
+    assert (p[inside] == labels[inside]).mean() > 0.9
+
+
 def test_fit_with_sampling():
     cloud, labels = _scene(per=600)
     model = GeometryClassifier(
