@@ -293,11 +293,23 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
             q_cap=tuning.get("query_capacity") or 64,
             voxel_edge=edge,
             entry_batch=tuning.get("entry_batch", 256))
-        bands.append(device_grid.fused_extract(
-            query_dev, q_valid, centers, center_mask, spec, radii, kind,
-            None if exclude_radius is None else float(exclude_radius),
-            tuning.get("precision", "highest"), n_query,
-            attributes=center_attrs))
+        backend = tuning.get("backend", "xla")
+        if backend == "pallas" and kind not in ("vector", "sazo"):
+            import jax
+            bands.append(device_grid.fused_extract_spans(
+                query_dev, q_valid, centers, center_mask, spec, radii,
+                kind,
+                None if exclude_radius is None else float(exclude_radius),
+                n_query,
+                jax.default_backend() not in ("tpu", "axon")))
+        else:
+            bands.append(device_grid.fused_extract(
+                query_dev, q_valid, centers, center_mask, spec, radii,
+                kind,
+                None if exclude_radius is None
+                else float(exclude_radius),
+                tuning.get("precision", "highest"), n_query,
+                attributes=center_attrs))
     return bands[0] if len(bands) == 1 else jnp.concatenate(bands, axis=1)
 
 

@@ -206,6 +206,114 @@ def build_tables(query, q_valid, search, s_valid, spec, with_stats=False):
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "radii", "kind", "exclude_radius",
+                     "n_out", "interpret"))
+def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
+                        kind, exclude_radius, n_out, interpret=False):
+    """
+    Raw padded clouds -> feature block via the Pallas span-DMA kernel
+    (nimrud_tpu.ops.pallas.gather_kernel): search points are sorted by
+    fine tile id on device, and the kernel streams each query tile's
+    candidate x-row spans from HBM with double-buffered DMA -- no
+    candidate index table exists at all.
+
+    Numerically equivalent to :func:`fused_extract` when no fine tile
+    overflows ``spec.s_cap`` (voxel-downsampled search sets by
+    construction); where a tile overflows, this path keeps ALL points
+    of the span rather than truncating per tile.
+    """
+    from nimrud_tpu.features import layouts
+    from nimrud_tpu.ops.pallas import gather_kernel, multiscale_kernel
+
+    n_grid, n_qgrid = spec.n_grid, spec.n_qgrid
+    n_query = query.shape[0]
+    span_tiles = spec.m + 2
+    span_rows = span_tiles * spec.s_cap
+
+    # --- sort search by fine tile id; per-tile starts/counts ------------
+    s_order, s_counts, s_starts = _sort_and_count(
+        _encode(search, spec, coarse=False), s_valid, n_grid)
+    sorted_search = jnp.concatenate([
+        jnp.pad(search[s_order], ((0, span_rows), (0, 0))),
+        jnp.zeros((search.shape[0] + span_rows, 1), search.dtype),
+    ], axis=1)
+    starts_ext = jnp.concatenate([s_starts, jnp.zeros(1, jnp.int32)])
+    counts_ext = jnp.concatenate([s_counts, jnp.zeros(1, jnp.int32)])
+
+    # --- query entries over the coarse grid (same split as build_tables)
+    q_order, q_counts, q_starts = _sort_and_count(
+        _encode(query, spec, coarse=True), q_valid, n_qgrid)
+    per_tile = -(-q_counts // spec.q_cap)
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(per_tile)])
+    entry = jnp.arange(spec.e_cap, dtype=jnp.int32)
+    tile = jnp.clip(
+        jnp.searchsorted(offsets, entry, side="right") - 1, 0, n_qgrid - 1)
+    rank = entry - offsets[tile]
+    live = entry < offsets[n_qgrid]
+    count = jnp.clip(q_counts[tile] - rank * spec.q_cap, 0, spec.q_cap)
+    count = jnp.where(live, count, 0)
+    start = q_starts[tile] + rank * spec.q_cap
+
+    qcol = jnp.arange(spec.q_cap, dtype=jnp.int32)
+    q_gather = jnp.clip(start[:, None] + qcol[None, :], 0, n_query - 1)
+    query_index = jnp.where(
+        qcol[None, :] < count[:, None], q_order[q_gather], -1)
+    q_pts = query[q_order[q_gather]]                  # (E, q_cap, 3)
+
+    qd = spec.qdims
+    dims = spec.dims
+    tx = tile % qd[0]
+    ty = (tile // qd[0]) % qd[1]
+    tz = tile // (qd[0] * qd[1])
+    lo = jnp.asarray(spec.lo, dtype=jnp.float32)
+    centers = (jnp.stack([tx, ty, tz], axis=1).astype(jnp.float32) + 0.5) \
+        * (spec.m * spec.tile_edge) + lo
+    q_local = q_pts - centers[:, None, :]
+
+    # --- candidate x-row spans: one contiguous segment per (dy, dz) -----
+    x0 = jnp.maximum(tx * spec.m - 1, 0)
+    x1 = jnp.minimum(tx * spec.m + spec.m, dims[0] - 1)
+    span_starts, span_lens = [], []
+    for dy in range(-1, spec.m + 1):
+        for dz in range(-1, spec.m + 1):
+            y = ty * spec.m + dy
+            z = tz * spec.m + dz
+            ok = (y >= 0) & (y < dims[1]) & (z >= 0) & (z < dims[2]) \
+                & (count > 0)
+            row = y * dims[0] + z * dims[0] * dims[1]
+            first = jnp.where(ok, x0 + row, n_grid)
+            last = jnp.where(ok, x1 + row, n_grid)
+            begin = starts_ext[first]
+            end = starts_ext[last] + counts_ext[last]
+            span_starts.append(jnp.where(ok, begin, 0))
+            span_lens.append(jnp.clip(end - begin, 0, span_rows))
+    span_starts = jnp.stack(span_starts, axis=1).astype(jnp.int32)
+    span_lens = jnp.stack(span_lens, axis=1).astype(jnp.int32)
+
+    slabs = gather_kernel.span_moments.__wrapped__(
+        q_local, centers, span_starts, span_lens, sorted_search,
+        radii, span_rows, exclude_radius, interpret)
+    per_radius = multiscale_kernel.moments_from_slabs(
+        slabs, centers, radii)
+
+    blocks = []
+    for p, radius in zip(per_radius, radii):
+        blocks.append(layouts.build_block(
+            kind, p["count"], p["mean_local"] + centers[:, None, :],
+            p["cov"], q_pts, radius))
+    feats = jnp.concatenate(blocks, axis=-1)
+
+    width = feats.shape[-1]
+    flat_idx = query_index.reshape(-1)
+    target = jnp.where(flat_idx < 0, n_query, flat_idx)
+    out = jnp.zeros((n_query + 1, width), jnp.float32)
+    out = out.at[target].set(feats.reshape(-1, width), mode="drop")
+    return out[:n_out]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "radii", "kind", "exclude_radius",
                      "precision_name", "n_out", "with_stats", "metric"))
 def fused_extract(query, q_valid, search, s_valid, spec, radii, kind,
                   exclude_radius, precision_name, n_out,

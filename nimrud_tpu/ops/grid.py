@@ -281,17 +281,29 @@ def build_tiled_problem(query, search, tile_edge, *, query_tile_factor=2,
 # device kernels
 # ---------------------------------------------------------------------------
 
+def _split_precision(precision):
+    """(distance, moment) matmul precisions.  A tuple selects them
+    separately: the distance matmul decides radius-boundary membership
+    (counts change if it drifts), while the moment matmul's mask operand
+    is exactly representable in bf16, so bf16x3 keeps counts exact
+    there -- 'mixed' buys most of HIGH's speed at zero count drift."""
+    if isinstance(precision, tuple):
+        return precision
+    return precision, precision
+
+
 def _entry_stats(q_local, s_local, s_valid, aug, radii, exclude_radius,
                  precision=jax.lax.Precision.HIGHEST,
                  metric="euclidean", with_sazo=False):
     """Masked moments for one batch of entries (shared by both kernels)."""
+    d2_prec, mom_prec = _split_precision(precision)
     if metric == "euclidean":
         d2 = (jnp.sum(q_local * q_local, axis=-1)[:, :, None]
               + jnp.sum(s_local * s_local, axis=-1)[:, None, :]
               - 2.0 * jnp.einsum(
                   "bqd,bsd->bqs", q_local, s_local,
                   preferred_element_type=jnp.float32,
-                  precision=precision))
+                  precision=d2_prec))
         d2 = jnp.maximum(d2, 0.0)
     elif metric == "chebyshev":
         d = jnp.abs(q_local[:, :, None, 0] - s_local[:, None, :, 0])
@@ -319,7 +331,7 @@ def _entry_stats(q_local, s_local, s_valid, aug, radii, exclude_radius,
         mom = jnp.einsum(
             "bqs,bsk->bqk", mask, aug,
             preferred_element_type=jnp.float32,
-            precision=precision)
+            precision=mom_prec)
         count = mom[..., 0]
         denom = jnp.maximum(count, 1.0)[..., None]
         mean_local = mom[..., 1:4] / denom
@@ -507,6 +519,11 @@ PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
+    # distance matmul HIGHEST (exact radius membership), moment matmul
+    # HIGH (bf16x3; exact counts because the mask is 0/1): most of
+    # HIGH's MXU speedup with no neighbor-set drift.  Measured on
+    # TPU v5e: see scripts/validate_precision.py output in ROADMAP.
+    "mixed": (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGH),
 }
 
 

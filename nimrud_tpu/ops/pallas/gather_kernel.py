@@ -1,0 +1,165 @@
+"""
+Pallas TPU kernel: fused DMA-gather masked moments.
+
+The XLA fused path (nimrud_tpu.ops.device_grid) materializes a candidate
+index table over the fine grid and gathers (entries x n_off x s_cap)
+candidate points before the moment matmuls.  This kernel exploits what
+XLA cannot express: the device build sorts search points by fine tile
+id, and the (m+2)^3 candidate tiles of a query tile decompose into
+(m+2)^2 x-rows of m+2 CONSECUTIVE tile ids -- each x-row is one
+CONTIGUOUS segment of the sorted point array.  The kernel DMAs those
+spans straight from HBM into a double-buffered VMEM ring and computes
+masked moments on each span while the next one is in flight.  No index
+table is built, stored, or read.
+
+A span window is (m+2) * s_cap rows; the live prefix length comes in
+via SMEM.  Points inside the window beyond the live span are masked.
+Note this admits ALL points of the span's tiles (no per-tile s_cap
+truncation), which is strictly more complete than the XLA path when a
+tile overflows s_cap.
+
+Output slabs use the MOMENT_PAD layout of
+nimrud_tpu.ops.pallas.multiscale_kernel, so ``moments_from_slabs``
+converts them for the feature layouts.
+
+Replaces the reference's neighborhood gather + compaction + covariance
+chain (reference: nimrud/prototypes/ch.py ngrab:1445, PTshrink:969,
+PT_cov:494) with a single streaming kernel.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nimrud_tpu.ops.pallas.multiscale_kernel import MOMENT_PAD
+
+
+def _kernel_body(radii, span_rows, n_span, exclude_radius, n_pad):
+    width = len(radii) * MOMENT_PAD
+
+    def body(starts_ref, lens_ref, center_ref, q_ref, search_hbm,
+             out_ref, buf, sems):
+        q = q_ref[0]                                   # (q_cap, 3)
+        q2 = jnp.sum(q * q, axis=1)[:, None]
+        cx = center_ref[0, 0]
+        cy = center_ref[0, 1]
+        cz = center_ref[0, 2]
+
+        def dma(span, slot):
+            start = jnp.minimum(starts_ref[0, span], n_pad - span_rows)
+            return pltpu.make_async_copy(
+                search_hbm.at[pl.ds(start, span_rows), :],
+                buf.at[slot],
+                sems.at[slot],
+            )
+
+        dma(0, 0).start()
+        out_ref[0] = jnp.zeros((q.shape[0], width), jnp.float32)
+
+        def loop(span, _):
+            slot = span % 2
+
+            @pl.when(span + 1 < n_span)
+            def _():
+                dma(span + 1, (span + 1) % 2).start()
+
+            dma(span, slot).wait()
+
+            live = lens_ref[0, span]
+            x = buf[slot, :, 0] - cx
+            y = buf[slot, :, 1] - cy
+            z = buf[slot, :, 2] - cz
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (span_rows, 1), 0)[:, 0]
+            valid = lane < live
+
+            s = jnp.stack([x, y, z], axis=1)           # (span_rows, 3)
+            d2 = (q2 + (x * x + y * y + z * z)[None, :]
+                  - 2.0 * jnp.dot(q, s.T,
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST))
+            d2 = jnp.maximum(d2, 0.0)
+
+            ones = valid.astype(jnp.float32)
+            aug = jnp.stack(
+                [ones, x, y, z, x * x, x * y, x * z, y * y, y * z, z * z]
+                + [jnp.zeros_like(x)] * (MOMENT_PAD - 10), axis=1)
+            aug = aug * ones[:, None]
+
+            base = valid[None, :]
+            if exclude_radius is not None:
+                base = base & (d2 >= exclude_radius * exclude_radius)
+            for ri, radius in enumerate(radii):
+                mask = (base & (d2 <= radius * radius)).astype(jnp.float32)
+                mom = jnp.dot(mask, aug,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+                sl = slice(ri * MOMENT_PAD, (ri + 1) * MOMENT_PAD)
+                out_ref[0, :, sl] = out_ref[0, :, sl] + mom
+            return 0
+
+        jax.lax.fori_loop(0, n_span, loop, 0)
+
+    return body
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radii", "span_rows", "exclude_radius", "interpret"))
+def span_moments(q_local, centers, span_starts, span_lens, sorted_search,
+                 radii, span_rows, exclude_radius=None, interpret=False):
+    """
+    Raw masked moment slabs via in-kernel span DMA.
+
+    Args:
+      q_local:      (E, q_cap, 3) f32 entry-local query blocks.
+      centers:      (E, 3) f32 entry centers (global frame).
+      span_starts:  (E, n_span) int32 start row of each candidate x-row
+                    span in ``sorted_search``.
+      span_lens:    (E, n_span) int32 live rows per span, clamped to
+                    [0, span_rows]; 0 for empty spans.
+      sorted_search:(n_pad, 4) f32 GLOBAL-frame points sorted by fine
+                    tile id, padded with >= span_rows trailing rows
+                    (4th column ignored; lane alignment only).
+      radii:        static tuple.
+      span_rows:    static DMA window length ((m+2) * s_cap).
+
+    Returns:
+      (E, q_cap, len(radii) * MOMENT_PAD) f32 slabs
+      (see multiscale_kernel.moments_from_slabs).
+    """
+    n_entries, q_cap, _ = q_local.shape
+    n_span = span_starts.shape[1]
+    n_pad = sorted_search.shape[0]
+    width = len(radii) * MOMENT_PAD
+
+    return pl.pallas_call(
+        _kernel_body(tuple(float(r) for r in radii), int(span_rows),
+                     int(n_span),
+                     None if exclude_radius is None
+                     else float(exclude_radius),
+                     n_pad),
+        grid=(n_entries,),
+        in_specs=[
+            pl.BlockSpec((1, n_span), lambda e: (e, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_span), lambda e: (e, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda e: (e, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, q_cap, 3), lambda e: (e, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),     # sorted search, HBM
+        ],
+        out_specs=pl.BlockSpec((1, q_cap, width), lambda e: (e, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_entries, q_cap, width), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, span_rows, 4), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(span_starts, span_lens, centers, q_local, sorted_search)

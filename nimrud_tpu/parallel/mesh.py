@@ -229,6 +229,189 @@ def make_fused_extract(mesh, halo, scaleset, kind, bounds_lo, bounds_hi,
     return run
 
 
+AXIS_X, AXIS_Y = "mesh_x", "mesh_y"
+
+
+def make_mesh_2d(shape, devices=None):
+    """(mx, my) device mesh for 2-D spatial sharding."""
+    if devices is None:
+        devices = jax.devices()
+    mx, my = int(shape[0]), int(shape[1])
+    if mx * my > len(devices):
+        raise ValueError(
+            f"mesh {mx}x{my} needs {mx * my} devices, "
+            f"have {len(devices)}")
+    return Mesh(np.asarray(devices[:mx * my]).reshape(mx, my),
+                (AXIS_X, AXIS_Y))
+
+
+def _band_by_value(points, valid, axis, k, largest):
+    """Fixed-capacity boundary band selected by coordinate VALUE (works
+    for any intra-block ordering): the k most extreme valid points."""
+    coords = points[:, axis]
+    big = jnp.float32(3e38)
+    score = jnp.where(valid, coords, -big) if largest \
+        else jnp.where(valid, -coords, -big)
+    _, idx = jax.lax.top_k(score, k)
+    return points[idx], valid[idx]
+
+
+def _halo_bands_2d(block, valid, halo_x, halo_y):
+    """
+    Two-phase halo exchange on the (AXIS_X, AXIS_Y) mesh: x-face bands
+    first, then y-face bands of the augmented set (own + x halos), so
+    corner regions ride the second phase.  Returns the received halo
+    points and validity ONLY (the caller owns its block), enabling
+    overlap of the exchange with local compute.
+    """
+    ix = jax.lax.axis_index(AXIS_X)
+    nx = jax.lax.axis_size(AXIS_X)
+    iy = jax.lax.axis_index(AXIS_Y)
+    ny = jax.lax.axis_size(AXIS_Y)
+
+    right = [(i, (i + 1) % nx) for i in range(nx)]
+    left = [(i, (i - 1) % nx) for i in range(nx)]
+    low_x, low_xv = _band_by_value(block, valid, 0, halo_x, largest=False)
+    high_x, high_xv = _band_by_value(block, valid, 0, halo_x, largest=True)
+    from_left = jax.lax.ppermute(high_x, AXIS_X, right)
+    from_left_v = jax.lax.ppermute(high_xv, AXIS_X, right) & (ix > 0)
+    from_right = jax.lax.ppermute(low_x, AXIS_X, left)
+    from_right_v = jax.lax.ppermute(low_xv, AXIS_X, left) & (ix < nx - 1)
+
+    aug = jnp.concatenate([block, from_left, from_right], axis=0)
+    aug_v = jnp.concatenate([valid, from_left_v, from_right_v], axis=0)
+
+    up = [(j, (j + 1) % ny) for j in range(ny)]
+    down = [(j, (j - 1) % ny) for j in range(ny)]
+    low_y, low_yv = _band_by_value(aug, aug_v, 1, halo_y, largest=False)
+    high_y, high_yv = _band_by_value(aug, aug_v, 1, halo_y, largest=True)
+    from_below = jax.lax.ppermute(high_y, AXIS_Y, up)
+    from_below_v = jax.lax.ppermute(high_yv, AXIS_Y, up) & (iy > 0)
+    from_above = jax.lax.ppermute(low_y, AXIS_Y, down)
+    from_above_v = jax.lax.ppermute(low_yv, AXIS_Y, down) & (iy < ny - 1)
+
+    halo_pts = jnp.concatenate(
+        [from_left, from_right, from_below, from_above], axis=0)
+    halo_valid = jnp.concatenate(
+        [from_left_v, from_right_v, from_below_v, from_above_v], axis=0)
+    return halo_pts, halo_valid
+
+
+def _outer6(delta):
+    dx, dy, dz = delta[..., 0], delta[..., 1], delta[..., 2]
+    return jnp.stack(
+        [dx * dx, dx * dy, dx * dz, dy * dy, dy * dz, dz * dz], axis=-1)
+
+
+def _combine_moment_groups(groups):
+    """
+    Merge per-group neighborhood statistics over DISJOINT search groups
+    (parallel-axis theorem on the packed covariance).  This is what lets
+    the local-group moments compute while the halo ppermutes are in
+    flight: moments are additive, so local and halo contributions
+    combine exactly afterwards.
+    """
+    count = sum(g["count"] for g in groups)
+    denom = jnp.maximum(count, 1.0)
+    mean = sum(
+        g["count"][..., None] * g["mean"] for g in groups
+    ) / denom[..., None]
+    cov = sum(
+        g["count"][..., None]
+        * (g["cov"] + _outer6(g["mean"] - mean))
+        for g in groups
+    ) / denom[..., None]
+    out = {"count": count, "mean": mean, "cov": cov}
+    if "sazo" in groups[0]:
+        sazo = groups[0]["sazo"]
+        for g in groups[1:]:
+            take = jnp.abs(g["sazo"]) > jnp.abs(sazo)
+            sazo = jnp.where(take, g["sazo"], sazo)
+        out["sazo"] = sazo
+    return out
+
+
+def _chunked_moments(query, search, search_valid, radii, chunk_size,
+                     exclude_radius, with_sazo):
+    n = query.shape[0]
+    pad = (-n) % chunk_size
+    padded = jnp.concatenate(
+        [query, jnp.zeros((pad, 3), query.dtype)], axis=0) if pad \
+        else query
+    chunks = padded.reshape(-1, chunk_size, 3)
+
+    def body(chunk):
+        return moments.chunk_moments(
+            chunk, search, search_valid, radii,
+            exclude_radius=exclude_radius, with_sazo=with_sazo)
+
+    stacked = jax.lax.map(body, chunks)
+    return {key: value.reshape((padded.shape[0],) + value.shape[2:])[:n]
+            for key, value in stacked.items()}
+
+
+def sharded_extract_2d(mesh, blocks, valid, halo_x, halo_y, radii,
+                       kind="minimal", *, chunk_size=256,
+                       exclude_radius=None):
+    """
+    2-D mesh feature extraction with halo/compute overlap: each device
+    starts its x/y halo ppermutes, computes moments against its OWN
+    block while they fly, then adds the halo group's moments (additive
+    decomposition).  ``blocks``/``valid`` from
+    :func:`nimrud_tpu.parallel.tiles.shard_cloud_2d`, device-major.
+    Returns (n_devices, rows, width).
+    """
+    radii = tuple(float(r) for r in radii)
+    mx, my = mesh.devices.shape
+    with_sazo = layouts.needs_sazo(kind)
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P((AXIS_X, AXIS_Y)), P((AXIS_X, AXIS_Y))),
+        out_specs=P((AXIS_X, AXIS_Y)))
+    def run(blocks, valid):
+        block, v = blocks[0], valid[0]
+        # issue the exchange first; the local-group moments below have no
+        # data dependency on it, so XLA overlaps the ppermutes with them
+        halo_pts, halo_valid = _halo_bands_2d(block, v, halo_x, halo_y)
+        own = _chunked_moments(
+            block, block, v, radii, chunk_size, exclude_radius,
+            with_sazo)
+        halo = _chunked_moments(
+            block, halo_pts, halo_valid, radii, chunk_size,
+            exclude_radius, with_sazo)
+        got = _combine_moment_groups([own, halo])
+        blocks_out = []
+        for ri, radius in enumerate(radii):
+            blocks_out.append(layouts.build_block(
+                kind, got["count"][:, ri], got["mean"][:, ri],
+                got["cov"][:, ri], block, float(radius),
+                sazo=got["sazo"][:, ri] if with_sazo else None))
+        return jnp.concatenate(blocks_out, axis=-1)[None]
+
+    return run(jnp.asarray(blocks), jnp.asarray(valid))
+
+
+def extract_multichip_2d(points, radii, kind="minimal", *, mesh_shape,
+                         mesh=None, buffer_radius=None, chunk_size=256,
+                         exclude_radius=None):
+    """End-to-end 2-D mesh extraction: shard, extract, reassemble."""
+    if buffer_radius is None:
+        buffer_radius = max(radii)
+    if buffer_radius < max(radii):
+        raise ValueError("buffer_radius must be >= the largest radius")
+    if mesh is None:
+        mesh = make_mesh_2d(mesh_shape)
+    shards = tiles.shard_cloud_2d(points, mesh_shape, buffer_radius)
+    feats = sharded_extract_2d(
+        mesh, shards["blocks"], shards["valid"], shards["halo_x"],
+        shards["halo_y"], radii, kind, chunk_size=chunk_size,
+        exclude_radius=exclude_radius)
+    return tiles.unshard(
+        np.asarray(feats), shards["valid"], shards["order"], len(points))
+
+
 def extract_multichip(points, radii, kind="minimal", *, mesh=None,
                       buffer_radius=None, chunk_size=256,
                       exclude_radius=None):

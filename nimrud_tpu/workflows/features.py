@@ -54,7 +54,7 @@ def extract_features(archive, scaleset, kind="geometric", *,
                      unlabeled_fraction=1.0, attributes_asset=None,
                      search_asset=None, exclude_radius=None,
                      partition_max_population=None, method="auto",
-                     seed=0, overwrite=False):
+                     hbm_budget_bytes=None, seed=0, overwrite=False):
     """
     Compute multiscale features for (a subset of) an archive's points and
     store them as an asset.
@@ -70,6 +70,14 @@ def extract_features(archive, scaleset, kind="geometric", *,
       partition_max_population: if set, run the reference-style outer
                  partition loop (NestedOctree with buffer = largest
                  radius) with at most this many search points per tile.
+                 Left as None (default "auto"), the projected device
+                 footprint is checked against ``hbm_budget_bytes`` and
+                 the partition loop engages automatically when the
+                 cloud cannot be extracted in one piece (the reference
+                 budget-checked GPU memory before every launch,
+                 reference: nimrud/prototypes/mso.py:375-466).
+      hbm_budget_bytes: device-memory budget for the automatic decision
+                 (default: measured device limit, or 12 GiB).
 
     Returns the stored feature asset name.
     """
@@ -111,6 +119,16 @@ def extract_features(archive, scaleset, kind="geometric", *,
             attributes = attr_data
 
     buffer_radius = max(max(radii) for _, radii in scaleset)
+
+    if partition_max_population is None:
+        # automatic out-of-core decision: project the device footprint
+        # and engage the buffered-partition loop when it exceeds budget
+        from nimrud_tpu.utils.memory import auto_partition_population
+        span = cloud.max(0) - cloud.min(0) if len(cloud) else None
+        partition_max_population = auto_partition_population(
+            len(query), len(search), scaleset,
+            budget=hbm_budget_bytes, bounds_span=span,
+            n_attr=0 if attributes is None else attributes.shape[1])
 
     if partition_max_population is None:
         features = extract_scaleset(

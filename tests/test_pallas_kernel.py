@@ -80,3 +80,24 @@ def test_moments_from_slabs_matches_xla_stats():
                            np.asarray(ref["mean_local"])[have], atol=1e-5)
         assert np.allclose(np.asarray(mine["cov"])[have],
                            np.asarray(ref["cov"])[have], atol=1e-5)
+
+
+def test_span_backend_matches_xla_fused():
+    # the DMA-gather (span) kernel against the XLA fused path on the
+    # same voxel-downsampled scene: same neighbor sets by construction
+    # (voxel-derived s_cap never overflows), so features must agree
+    from nimrud_tpu.features.multiscale import extract_scaleset
+    rng = np.random.default_rng(11)
+    search = (rng.random((20000, 3)) * [20, 20, 5]).astype(np.float32)
+    query = search[:4096]
+    scaleset = [(0.4, (1.2, 0.6))]
+    xla = np.asarray(extract_scaleset(
+        query, search, scaleset, kind="minimal", method="fused"))
+    spans = np.asarray(extract_scaleset(
+        query, search, scaleset, kind="minimal", method="fused",
+        tuning={"backend": "pallas"}))
+    assert spans.shape == xla.shape
+    pop_same = xla[:, 0] == spans[:, 0]
+    assert pop_same.mean() > 0.999, pop_same.mean()
+    assert np.allclose(spans[pop_same], xla[pop_same], atol=2e-4), \
+        np.abs(spans[pop_same] - xla[pop_same]).max()

@@ -109,6 +109,41 @@ def test_feature_workflow_partitioned_matches_whole(tmp_path):
     assert np.allclose(a[pop_match], b[pop_match], atol=5e-3)
 
 
+def test_automatic_out_of_core_matches_in_core(tmp_path):
+    # a tiny synthetic HBM budget forces the automatic buffered-
+    # partition loop; features must match the unconstrained extraction
+    # (the reference's GPU-memory budget check, mso.py:375-466)
+    archive, cloud, labels = _make_archive(tmp_path)
+    whole = wf_features.extract_features(
+        archive, [(0.3, (1.0, 0.5))], kind="geometric",
+        feature_name="whole")
+    auto = wf_features.extract_features(
+        archive, [(0.3, (1.0, 0.5))], kind="geometric",
+        feature_name="auto_ooc", hbm_budget_bytes=32 * 1024 ** 2)
+    data_w, _, _ = archive.get_asset(whole)
+    data_a, _, _ = archive.get_asset(auto)
+    # density columns pin the neighbor sets; a few boundary points may
+    # flip shells between the two f32 paths -- values compared where
+    # populations agree (same contract as the other equivalence tests)
+    pop = [0, 4]
+    agree = np.all(np.isclose(data_a[:, pop], data_w[:, pop],
+                              rtol=1e-6), axis=1)
+    assert agree.mean() > 0.99, agree.mean()
+    assert np.allclose(data_a[agree], data_w[agree], atol=5e-4), \
+        np.abs(data_a[agree] - data_w[agree]).max()
+
+    from nimrud_tpu.utils.memory import (
+        auto_partition_population, projected_fused_bytes)
+    # a generous budget decides to run in one piece
+    assert auto_partition_population(
+        len(cloud), len(cloud), [(0.3, (1.0,))],
+        budget=64 * 1024 ** 3) is None
+    # projections are monotone in cloud size
+    small = projected_fused_bytes(1000, 1000, [(0.3, (1.0,))])
+    big = projected_fused_bytes(1_000_000, 1_000_000, [(0.3, (1.0,))])
+    assert big > small > 0
+
+
 def test_train_workflow(tmp_path):
     archive, cloud, labels = _make_archive(tmp_path)
     wf_features.extract_features(
