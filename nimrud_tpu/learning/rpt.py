@@ -49,13 +49,15 @@ class RPTEnsemble:
     """
 
     def __init__(self, d_func="wmean", n_estimators=10, impurity=0.2,
-                 min_obs=20, onepass=10000, seed=None):
+                 min_obs=20, onepass=10000, seed=None,
+                 prune_chains=True):
         self.d_func = d_func
         self.n_estimators = n_estimators
         self.impurity = impurity
         self.min_obs = min_obs
         self.onepass = onepass
         self.seed = seed
+        self.prune_chains = prune_chains
         self._tables = None
 
     def set_params(self, **kwargs):
@@ -103,6 +105,8 @@ class RPTEnsemble:
             self._grow(data.take(rows, axis=0), labels.take(rows),
                        tag=1, impurity=impurity, rng=rng, rules=rules,
                        depth=0)
+            if self.prune_chains:
+                _prune_terminal_chains(rules, self.dim)
             trees.append(rules)
         self.trees_ = trees
         self._tables = self._flatten(trees)
@@ -140,7 +144,15 @@ class RPTEnsemble:
                        impurity, rng, rules, depth + 1)
 
     def _flatten(self, trees):
-        """Pack the rule dicts into padded per-tree device tables."""
+        """Pack the rule dicts into padded per-tree device tables.
+
+        When the forest is shallow enough (code space <= 2**16 nodes),
+        an additional DENSE packing indexes nodes directly by branch
+        code -- the device walk then needs no searchsorted and no
+        parent-backoff lookup per level (dead leaves are resolved at
+        pack time by copying the parent's statistics into the missing
+        cell).  ROADMAP round-1 item 5.
+        """
         n_nodes = max(len(rules) for rules in trees)
         n_trees = len(trees)
         tags = np.full((n_trees, n_nodes), np.iinfo(np.int32).max,
@@ -160,13 +172,42 @@ class RPTEnsemble:
                 props[t, i] = prop
                 depth = max(depth, int(code).bit_length() - 1)
         self.max_depth_ = depth
-        return {
+        out = {
             "tags": jnp.asarray(tags),
             "splits": jnp.asarray(splits),
             "vecs": jnp.asarray(vecs),
             "ginis": jnp.asarray(ginis),
             "props": jnp.asarray(props),
         }
+
+        size = 1 << (depth + 2)
+        if size <= (1 << 16):
+            dsplits = np.full((n_trees, size), np.inf, np.float32)
+            dvecs = np.zeros((n_trees, size, self.dim), np.float32)
+            dginis = np.zeros((n_trees, size), np.float32)
+            dprops = np.zeros((n_trees, size, self.numlabs), np.float32)
+            for t, rules in enumerate(trees):
+                for code, (split, vec, gini, prop) in rules.items():
+                    dsplits[t, code] = split
+                    dvecs[t, code] = vec
+                    dginis[t, code] = gini
+                    dprops[t, code] = prop
+                present = np.zeros(size, bool)
+                present[list(rules)] = True
+                for lvl in range(1, depth + 2):
+                    codes = np.arange(1 << lvl, min(1 << (lvl + 1), size))
+                    miss = codes[~present[codes]]
+                    # dead branch: inherit the parent's statistics as a
+                    # leaf (reference ml.py:369-380 backoff semantics)
+                    dginis[t, miss] = dginis[t, miss >> 1]
+                    dprops[t, miss] = dprops[t, miss >> 1]
+            out.update({
+                "dense_splits": jnp.asarray(dsplits),
+                "dense_vecs": jnp.asarray(dvecs),
+                "dense_ginis": jnp.asarray(dginis),
+                "dense_props": jnp.asarray(dprops),
+            })
+        return out
 
     # -- inference (device) ---------------------------------------------------
 
@@ -178,19 +219,13 @@ class RPTEnsemble:
         for start in range(0, data.shape[0], self.onepass):
             chunk = jnp.asarray(data[start:start + self.onepass])
             out.append(np.asarray(_ensemble_proba(
-                self._tables["tags"], self._tables["splits"],
-                self._tables["vecs"], self._tables["ginis"],
-                self._tables["props"], chunk,
-                self.max_depth_, self.d_func)))
+                self._tables, chunk, self.max_depth_, self.d_func)))
         return np.concatenate(out, axis=0)
 
     def proba_device(self, features):
         """Class probabilities for a device-resident feature array."""
         return _ensemble_proba(
-            self._tables["tags"], self._tables["splits"],
-            self._tables["vecs"], self._tables["ginis"],
-            self._tables["props"], features,
-            self.max_depth_, self.d_func)
+            self._tables, features, self.max_depth_, self.d_func)
 
     def predict(self, data):
         return self.predict_proba(data).argmax(axis=1)
@@ -198,6 +233,37 @@ class RPTEnsemble:
     def predict_and_proba(self, data):
         proba = self.predict_proba(data)
         return proba.argmax(axis=1), proba
+
+
+def _prune_terminal_chains(rules, dim):
+    """
+    Collapse terminal degenerate chains, exactly.
+
+    The Dasgupta-Freund jitter (+-6 diameter/sqrt(dim)) frequently lands
+    the split outside the cell: one child is empty, the other carries
+    the SAME data (identical gini/proportions), and the recursion runs
+    to the depth cap.  At inference every path through such a chain
+    yields the chain's statistics -- the dead-side exit backs off to the
+    chain node, and the terminal leaf shares its stats -- so a
+    single-child node whose child is a leaf with identical statistics
+    IS that leaf.  Pruning bottom-up removes whole chains, shrinking
+    both the node tables and the level count of the device walk.
+    """
+    for code in sorted(rules, reverse=True):
+        if code not in rules:
+            continue
+        split, _, gini, prop = rules[code]
+        if np.isinf(split):
+            continue
+        left, right = code << 1, (code << 1) | 1
+        children = [c for c in (left, right) if c in rules]
+        if len(children) != 1:
+            continue
+        csplit, _, cgini, cprop = rules[children[0]]
+        if np.isinf(csplit) and cgini == gini \
+                and np.array_equal(cprop, prop):
+            del rules[children[0]]
+            rules[code] = (_LEAF, np.zeros(dim), gini, prop)
 
 
 def _walk_one_tree(tags, splits, vecs, ginis, props, data, max_depth):
@@ -234,13 +300,46 @@ def _walk_one_tree(tags, splits, vecs, ginis, props, data, max_depth):
     return ginis[node], props[node]
 
 
+def _walk_one_tree_dense(dsplits, dvecs, dginis, dprops, data, max_depth):
+    """Direct-index walk (no searchsorted): node = branch code, dead
+    leaves pre-resolved at pack time."""
+    batch = data.shape[0]
+    tag = jnp.ones(batch, dtype=jnp.int32)
+    done = jnp.zeros(batch, dtype=bool)
+    node = jnp.zeros(batch, dtype=jnp.int32)
+
+    def level(_, carry):
+        tag, done, node = carry
+        split = dsplits[tag]
+        is_leaf = jnp.isinf(split)
+        node = jnp.where((~done) & is_leaf, tag, node)
+        done = done | is_leaf
+        projection = jnp.sum(data * dvecs[tag], axis=1)
+        next_tag = (tag << 1) | (projection > split).astype(jnp.int32)
+        tag = jnp.where(done, tag, next_tag)
+        return tag, done, node
+
+    _, _, node = jax.lax.fori_loop(
+        0, max_depth + 1, level, (tag, done, node))
+    return dginis[node], dprops[node]
+
+
 @functools.partial(jax.jit, static_argnames=("max_depth", "d_func"))
-def _ensemble_proba(tags, splits, vecs, ginis, props, data,
-                    max_depth, d_func):
-    walk = jax.vmap(
-        lambda tg, sp, vc, gn, pr: _walk_one_tree(
-            tg, sp, vc, gn, pr, data, max_depth))
-    gini, proportions = walk(tags, splits, vecs, ginis, props)
+def _ensemble_proba(tables, data, max_depth, d_func):
+    if "dense_splits" in tables:
+        walk = jax.vmap(
+            lambda sp, vc, gn, pr: _walk_one_tree_dense(
+                sp, vc, gn, pr, data, max_depth))
+        gini, proportions = walk(
+            tables["dense_splits"], tables["dense_vecs"],
+            tables["dense_ginis"], tables["dense_props"])
+    else:
+        walk = jax.vmap(
+            lambda tg, sp, vc, gn, pr: _walk_one_tree(
+                tg, sp, vc, gn, pr, data, max_depth))
+        gini, proportions = walk(
+            tables["tags"], tables["splits"], tables["vecs"],
+            tables["ginis"], tables["props"])
     # gini: (T, B) -> weights (B, T, 1); proportions -> (B, T, C)
     weights = (1.0 - gini).T[:, :, None]
     proportions = jnp.transpose(proportions, (1, 0, 2))

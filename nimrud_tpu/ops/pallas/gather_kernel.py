@@ -44,12 +44,12 @@ def _kernel_body(radii, span_rows, n_span, exclude_radius, n_pad):
              out_ref, buf, sems):
         q = q_ref[0]                                   # (q_cap, 3)
         q2 = jnp.sum(q * q, axis=1)[:, None]
-        cx = center_ref[0, 0]
-        cy = center_ref[0, 1]
-        cz = center_ref[0, 2]
+        cx = center_ref[0, 0, 0]
+        cy = center_ref[0, 0, 1]
+        cz = center_ref[0, 0, 2]
 
         def dma(span, slot):
-            start = jnp.minimum(starts_ref[0, span], n_pad - span_rows)
+            start = jnp.minimum(starts_ref[0, 0, span], n_pad - span_rows)
             return pltpu.make_async_copy(
                 search_hbm.at[pl.ds(start, span_rows), :],
                 buf.at[slot],
@@ -68,7 +68,7 @@ def _kernel_body(radii, span_rows, n_span, exclude_radius, n_pad):
 
             dma(span, slot).wait()
 
-            live = lens_ref[0, span]
+            live = lens_ref[0, 0, span]
             x = buf[slot, :, 0] - cx
             y = buf[slot, :, 1] - cy
             z = buf[slot, :, 2] - cz
@@ -136,6 +136,9 @@ def span_moments(q_local, centers, span_starts, span_lens, sorted_search,
     n_pad = sorted_search.shape[0]
     width = len(radii) * MOMENT_PAD
 
+    # TPU tiling wants each block's LAST TWO dims to equal the array's
+    # (or be (8,128)-aligned): ride the per-entry scalars as (E, 1, k)
+    # so the (1, 1, k) blocks satisfy it
     return pl.pallas_call(
         _kernel_body(tuple(float(r) for r in radii), int(span_rows),
                      int(n_span),
@@ -144,11 +147,11 @@ def span_moments(q_local, centers, span_starts, span_lens, sorted_search,
                      n_pad),
         grid=(n_entries,),
         in_specs=[
-            pl.BlockSpec((1, n_span), lambda e: (e, 0),
+            pl.BlockSpec((1, 1, n_span), lambda e: (e, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_span), lambda e: (e, 0),
+            pl.BlockSpec((1, 1, n_span), lambda e: (e, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 3), lambda e: (e, 0),
+            pl.BlockSpec((1, 1, 3), lambda e: (e, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, q_cap, 3), lambda e: (e, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),     # sorted search, HBM
@@ -162,4 +165,5 @@ def span_moments(q_local, centers, span_starts, span_lens, sorted_search,
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(span_starts, span_lens, centers, q_local, sorted_search)
+    )(span_starts[:, None, :], span_lens[:, None, :],
+      centers[:, None, :], q_local, sorted_search)

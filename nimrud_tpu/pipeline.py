@@ -75,9 +75,7 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
         from nimrud_tpu.learning import rpt
         max_depth, d_func = clf_static
         probs = rpt._ensemble_proba.__wrapped__(
-            clf_params["tags"], clf_params["splits"], clf_params["vecs"],
-            clf_params["ginis"], clf_params["props"], features,
-            max_depth, d_func)
+            clf_params, features, max_depth, d_func)
     else:
         raise ValueError(f"unsupported fused classifier {clf_kind!r}")
     return jnp.argmax(probs, axis=1).astype(jnp.int32), probs

@@ -230,3 +230,52 @@ def test_dilate_scale():
     assert dilated.shape == (4, 4)
     assert dilated.max() == 1.0
     assert np.all(dilated[:2, :2] == 0.25)
+
+
+def test_rpt_chain_pruning_is_exact():
+    # terminal degenerate chains (the jittered median landing outside
+    # the cell) collapse to leaves with identical statistics; inference
+    # must be bit-identical to the unpruned forest
+    data, labels = _blobs(600)
+    probe = RNG.normal(size=(500, data.shape[1])).astype(np.float32) * 4
+    raw = RPTEnsemble(n_estimators=5, seed=3, prune_chains=False)
+    raw.fit(data, labels)
+    pruned = RPTEnsemble(n_estimators=5, seed=3)
+    pruned.fit(data, labels)
+    assert sum(len(t) for t in pruned.trees_) \
+        < sum(len(t) for t in raw.trees_)
+    a = raw.predict_proba(probe)
+    b = pruned.predict_proba(probe)
+    assert np.array_equal(a, b), np.abs(a - b).max()
+
+
+def test_rpt_dense_walk_matches_sparse_walk():
+    # the direct-index (dense) packing must reproduce the searchsorted
+    # walk exactly, including dead-leaf parent backoff -- hand-built
+    # shallow forest with a dead branch (code 5 missing: points routed
+    # right at node 2 must back off to node 2's statistics)
+    dim, C = 3, 2
+    leaf = np.float32(np.inf)
+    v = np.zeros(dim)
+    tree = {
+        1: (0.0, np.array([1.0, 0, 0]), 0.5, np.array([0.5, 0.5])),
+        2: (0.0, np.array([0, 1.0, 0]), 0.4, np.array([0.7, 0.3])),
+        3: (leaf, v, 0.1, np.array([0.1, 0.9])),
+        4: (leaf, v, 0.2, np.array([0.9, 0.1])),
+        # code 5 deliberately missing: dead branch
+    }
+    clf = RPTEnsemble(n_estimators=1)
+    clf.dim, clf.numlabs = dim, C
+    clf.trees_ = [tree]
+    clf._tables = clf._flatten([tree])
+    assert "dense_splits" in clf._tables
+
+    probe = RNG.normal(size=(256, dim)).astype(np.float32) * 2
+    dense = clf.predict_proba(probe)
+    clf._tables = {k: u for k, u in clf._tables.items()
+                   if not k.startswith("dense_")}
+    sparse = clf.predict_proba(probe)
+    assert np.array_equal(dense, sparse)
+    # dead-branch points really hit the backoff stats
+    dead = (probe[:, 0] <= 0) & (probe[:, 1] > 0)
+    assert np.allclose(dense[dead], [0.7, 0.3])
