@@ -1,11 +1,14 @@
 """
 Point-cloud ingest.
 
-Loads .npy / .npz / delimited ASCII (xyz, csv, txt, pts) clouds.  Large
-ASCII files stream through a C++ parser when the native extension is
-available (nimrud_tpu/native), with a chunked NumPy fallback -- the
+Loads .npy / .npz / delimited ASCII (xyz, csv, txt, pts) / PLY clouds.
+Large ASCII files stream through a C++ parser when the native extension
+is available (nimrud_tpu/native), with a chunked NumPy fallback -- the
 capability of the reference's split+genfromtxt loader
 (reference: nimrud/prototypes/ml.py:690-726) without the shell games.
+Dataset-style loaders (cloud file + sidecar label file, the
+Semantic3D / Oakland convention the reference's dainty_loader served)
+live in :func:`load_labeled`.
 """
 
 import os
@@ -13,6 +16,86 @@ import os
 import numpy as np
 
 ASCII_SUFFIXES = (".txt", ".csv", ".xyz", ".pts", ".asc")
+
+_PLY_DTYPES = {
+    "char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+}
+
+
+def load_ply(path):
+    """
+    PLY vertex loader (ascii / binary little- and big-endian): returns a
+    float32 (N, n_props) array of the vertex element's scalar properties
+    in file order (x, y, z first by convention).  List properties (face
+    indices) are skipped -- this is a point-cloud reader.
+    """
+    with open(path, "rb") as handle:
+        if handle.readline().strip() != b"ply":
+            raise ValueError(f"{path} is not a PLY file")
+        fmt = None
+        n_vertices = None
+        props = []
+        in_vertex = False
+        while True:
+            line = handle.readline()
+            if not line:
+                raise ValueError(f"{path}: unterminated PLY header")
+            words = line.decode("ascii", "replace").split()
+            if not words:
+                continue
+            if words[0] == "format":
+                fmt = words[1]
+            elif words[0] == "element":
+                in_vertex = words[1] == "vertex"
+                if in_vertex:
+                    n_vertices = int(words[2])
+            elif words[0] == "property" and in_vertex:
+                if words[1] == "list":
+                    raise ValueError(
+                        f"{path}: list property on vertex element")
+                props.append((words[2], _PLY_DTYPES[words[1]]))
+            elif words[0] == "end_header":
+                break
+        if n_vertices is None:
+            raise ValueError(f"{path}: no vertex element")
+
+        if fmt == "ascii":
+            rows = np.loadtxt(
+                handle, dtype=np.float32, max_rows=n_vertices, ndmin=2)
+            return rows[:, : len(props)].astype(np.float32)
+        endian = "<" if fmt == "binary_little_endian" else ">"
+        dtype = np.dtype([(name, endian + kind) for name, kind in props])
+        raw = np.frombuffer(
+            handle.read(dtype.itemsize * n_vertices), dtype=dtype,
+            count=n_vertices)
+        out = np.empty((n_vertices, len(props)), np.float32)
+        for i, (name, _) in enumerate(props):
+            out[:, i] = raw[name].astype(np.float32)
+        return out
+
+
+def save_ply(path, points, binary=True):
+    """Write an (N, 3+) float32 cloud as a PLY vertex element (columns
+    beyond xyz stored as prop_3, prop_4, ...)."""
+    points = np.asarray(points, dtype=np.float32)
+    names = ["x", "y", "z"] + [
+        f"prop_{i}" for i in range(3, points.shape[1])]
+    header = ["ply",
+              "format binary_little_endian 1.0" if binary
+              else "format ascii 1.0",
+              f"element vertex {len(points)}"]
+    header += [f"property float {name}" for name in names[:points.shape[1]]]
+    header.append("end_header")
+    with open(path, "wb") as handle:
+        handle.write(("\n".join(header) + "\n").encode("ascii"))
+        if binary:
+            handle.write(
+                np.ascontiguousarray(points, "<f4").tobytes())
+        else:
+            np.savetxt(handle, points, fmt="%.6f")
 
 
 def _sniff_delimiter(path):
@@ -68,6 +151,8 @@ def load_points(source):
         elif suffix == ".npz":
             archive = np.load(path)
             cloud = archive[list(archive.keys())[0]]
+        elif suffix == ".ply":
+            cloud = load_ply(path)
         elif suffix in ASCII_SUFFIXES:
             cloud = load_ascii(path)
         else:
@@ -77,6 +162,35 @@ def load_points(source):
         raise ValueError(
             f"point cloud must be (N, >=3), got {cloud.shape}")
     return cloud
+
+
+def load_labeled(cloud_path, labels_path=None, *, null_label=None):
+    """
+    Dataset-convention loader: a cloud file plus a sidecar per-point
+    label file (the Semantic3D ``.labels`` / Oakland convention; the
+    reference's dainty_loader handled the cloud half only).
+
+    ``labels_path`` defaults to the cloud path with a ``.labels``
+    suffix.  ``null_label``, if given, is remapped to the archive's
+    NULL_LABEL (999) -- Semantic3D uses 0 for "unlabeled".
+
+    Returns ``(cloud float32 (N, C), labels int32 (N,))``.
+    """
+    cloud = load_points(cloud_path)
+    if labels_path is None:
+        base = os.path.splitext(os.fspath(cloud_path))[0]
+        labels_path = base + ".labels"
+    labels = np.loadtxt(labels_path, dtype=np.int64, ndmin=1)
+    if labels.ndim > 1:
+        labels = labels[:, 0]
+    if labels.shape[0] != cloud.shape[0]:
+        raise ValueError(
+            f"label count {labels.shape[0]} != point count "
+            f"{cloud.shape[0]}")
+    if null_label is not None:
+        from nimrud_tpu.archive.store import NULL_LABEL
+        labels = np.where(labels == null_label, NULL_LABEL, labels)
+    return cloud, labels.astype(np.int32)
 
 
 def save_ascii(path, array, delimiter=","):

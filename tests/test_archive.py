@@ -108,3 +108,54 @@ def test_ascii_ingest(tmp_path):
 
     with pytest.raises(ValueError):
         cloud_io.load_points(str(tmp_path / "cloud.laz"))
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.default_rng(4)
+    cloud = rng.random((500, 5)).astype(np.float32) * 10
+    binary = tmp_path / "b.ply"
+    ascii_ = tmp_path / "a.ply"
+    cloud_io.save_ply(binary, cloud, binary=True)
+    cloud_io.save_ply(ascii_, cloud, binary=False)
+    assert np.array_equal(cloud_io.load_ply(binary), cloud)
+    assert np.allclose(cloud_io.load_ply(ascii_), cloud, atol=1e-5)
+    # the generic entry point routes .ply
+    assert np.array_equal(cloud_io.load_points(binary), cloud)
+
+
+def test_ply_big_endian_and_mixed_types(tmp_path):
+    # hand-built big-endian PLY with mixed property types
+    path = tmp_path / "be.ply"
+    xyz = np.array([[1.5, 2.5, 3.5], [4.0, 5.0, 6.0]], ">f4")
+    intensity = np.array([7, 260], ">u2")
+    header = (b"ply\nformat binary_big_endian 1.0\n"
+              b"element vertex 2\n"
+              b"property float x\nproperty float y\nproperty float z\n"
+              b"property ushort intensity\nend_header\n")
+    rec = np.zeros(2, dtype=[("x", ">f4"), ("y", ">f4"), ("z", ">f4"),
+                             ("i", ">u2")])
+    rec["x"], rec["y"], rec["z"] = xyz.T
+    rec["i"] = intensity
+    path.write_bytes(header + rec.tobytes())
+    got = cloud_io.load_ply(path)
+    assert got.shape == (2, 4)
+    assert np.allclose(got[:, :3], xyz.astype(np.float64))
+    assert np.array_equal(got[:, 3], [7, 260])
+
+
+def test_load_labeled_semantic3d_convention(tmp_path):
+    rng = np.random.default_rng(5)
+    cloud = rng.random((200, 3)).astype(np.float32)
+    labels = rng.integers(0, 4, 200)
+    np.savetxt(tmp_path / "scan.txt", cloud, fmt="%.6f")
+    np.savetxt(tmp_path / "scan.labels", labels, fmt="%d")
+    got_cloud, got_labels = cloud_io.load_labeled(
+        tmp_path / "scan.txt", null_label=0)
+    assert np.allclose(got_cloud, cloud, atol=1e-5)
+    assert got_labels.dtype == np.int32
+    assert np.array_equal(got_labels[labels != 0], labels[labels != 0])
+    assert (got_labels[labels == 0] == NULL_LABEL).all()
+    with pytest.raises(ValueError):
+        np.savetxt(tmp_path / "short.labels", labels[:100], fmt="%d")
+        cloud_io.load_labeled(tmp_path / "scan.txt",
+                              tmp_path / "short.labels")
