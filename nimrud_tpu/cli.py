@@ -147,7 +147,8 @@ def cmd_sweep(args):
     ranked = sweep_extraction(
         n_points=args.points, kind=args.kind,
         methods=tuple(args.methods),
-        tile_factors=tuple(args.tile_factors))
+        tile_factors=tuple(args.tile_factors),
+        trace_dir=args.trace)
     if ranked and "error" not in ranked[0]:
         print(json.dumps({"best": ranked[0]}))
 
@@ -234,6 +235,9 @@ def main(argv=None):
     p.add_argument("--kind", default="minimal")
     p.add_argument("--methods", nargs="+", default=["tiled"])
     p.add_argument("--tile-factors", type=int, nargs="+", default=[2, 3, 4])
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a Perfetto device trace of the best "
+                        "config into DIR")
     p.set_defaults(fn=cmd_sweep)
 
     args = parser.parse_args(argv)

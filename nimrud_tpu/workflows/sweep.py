@@ -38,10 +38,13 @@ def sweep_extraction(cloud=None, scaleset=None, kind="minimal", *,
                      tile_factors=(2, 3, 4), capacities=(None, 64, 128),
                      entry_batches=(128, 256),
                      precisions=("highest",), methods=("tiled",),
-                     verbose=True):
+                     verbose=True, trace_dir=None):
     """
     Sweep tuning knobs over one extraction workload.  Returns a list of
     dicts sorted by throughput (best first).
+
+    ``trace_dir``: capture a Perfetto/TensorBoard device trace of the
+    best configuration's timed run into this directory.
     """
     import jax
     from nimrud_tpu.features.multiscale import extract_scaleset_device
@@ -85,4 +88,19 @@ def sweep_extraction(cloud=None, scaleset=None, kind="minimal", *,
     ranked = sorted(
         (r for r in results if "error" not in r),
         key=lambda r: -r["point_scales_per_sec"])
+
+    if trace_dir and ranked:
+        from nimrud_tpu.utils import profiling
+        best = ranked[0]
+        tuning = {key: best[key] for key in (
+            "query_tile_factor", "query_capacity", "entry_batch",
+            "precision")}
+        with profiling.trace(trace_dir):
+            feats = extract_scaleset_device(
+                cloud, cloud, scaleset, kind, method=best["method"],
+                tuning=tuning)
+            jax.block_until_ready(feats)
+        if verbose:
+            print(json.dumps({"trace": trace_dir, **tuning}), flush=True)
+
     return ranked + [r for r in results if "error" in r]

@@ -24,3 +24,16 @@ def test_sweep_ranks_configs():
     # sorted best-first
     rates = [r["point_scales_per_sec"] for r in good]
     assert rates == sorted(rates, reverse=True)
+
+
+def test_sweep_trace_capture(tmp_path):
+    from nimrud_tpu.workflows.sweep import sweep_extraction, synthetic_scan
+    trace_dir = str(tmp_path / "trace")
+    ranked = sweep_extraction(
+        cloud=synthetic_scan(3000, extent=20), repeats=1,
+        tile_factors=(3,), capacities=(64,), entry_batches=(128,),
+        verbose=False, trace_dir=trace_dir)
+    assert ranked and "error" not in ranked[0]
+    import os
+    found = [f for _, _, files in os.walk(trace_dir) for f in files]
+    assert found, "no trace files captured"
