@@ -293,6 +293,10 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
             q_cap=tuning.get("query_capacity") or 64,
             voxel_edge=edge,
             entry_batch=tuning.get("entry_batch", 256))
+        if tuning.get("estimate_entries", True):
+            # trim dead entries: e_cap from measured occupancy (one
+            # native host pass) instead of the worst-case grid bound
+            spec = device_grid.with_entry_estimate(spec, query)
         backend = tuning.get("backend", "xla")
         if backend == "pallas" and kind not in ("vector", "sazo"):
             import jax

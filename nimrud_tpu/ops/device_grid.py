@@ -93,6 +93,44 @@ def make_spec(bounds_lo, bounds_hi, tile_edge, *, n_query, m=3, q_cap=64,
         e_cap=int(e_cap), entry_batch=int(entry_batch))
 
 
+def estimate_entries(query, spec):
+    """
+    Host-exact entry demand for a query cloud under ``spec``: the sum of
+    ceil(population / q_cap) over occupied coarse tiles.  Used to size
+    ``e_cap`` from real occupancy instead of the worst-case
+    n_qgrid + n/q_cap bound (dead entries still cost kernel batches).
+    """
+    from nimrud_tpu import native
+    query = np.asarray(query, np.float32)
+    lo = np.asarray(spec.lo, np.float64)
+    dims = np.asarray(spec.dims, np.int64)
+    got = native.tile_sort(query, lo, spec.tile_edge, dims, spec.m)
+    if got is not None:
+        _, _, counts = got
+    else:
+        cell = np.clip(
+            np.floor((query.astype(np.float64) - lo) / spec.tile_edge
+                     ).astype(np.int64), 0, dims - 1) // spec.m
+        qd = np.asarray(spec.qdims, np.int64)
+        ids = cell[:, 0] + cell[:, 1] * qd[0] + cell[:, 2] * qd[0] * qd[1]
+        counts = np.bincount(ids, minlength=int(qd.prod()))
+    return int(np.sum(-(-counts // spec.q_cap)))
+
+
+def with_entry_estimate(spec, query):
+    """Spec with ``e_cap`` sized from measured occupancy plus headroom
+    (device f32 binning can flip boundary points between tiles, so the
+    host-exact estimate gets an eighth extra and two entry batches)."""
+    import dataclasses
+    need = estimate_entries(query, spec)
+    need += max(need // 8, 2 * spec.entry_batch)
+    e_cap = ((need + spec.entry_batch - 1)
+             // spec.entry_batch) * spec.entry_batch
+    if e_cap >= spec.e_cap:
+        return spec
+    return dataclasses.replace(spec, e_cap=e_cap)
+
+
 def _encode(points, spec, coarse):
     """Linear tile ids (int32), clipped into the grid."""
     lo = jnp.asarray(spec.lo, dtype=points.dtype)
@@ -230,12 +268,15 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
     span_rows = span_tiles * spec.s_cap
 
     # --- sort search by fine tile id; per-tile starts/counts ------------
+    from nimrud_tpu.ops.pallas.gather_kernel import LANES, _round_up
     s_order, s_counts, s_starts = _sort_and_count(
         _encode(search, spec, coarse=False), s_valid, n_grid)
-    sorted_search = jnp.concatenate([
-        jnp.pad(search[s_order], ((0, span_rows), (0, 0))),
-        jnp.zeros((search.shape[0] + span_rows, 1), search.dtype),
-    ], axis=1)
+    # transposed (4, n_pad) layout: points along lanes so span DMAs can
+    # slice the lane dim at 128-aligned starts
+    window = _round_up(span_rows, LANES) + LANES
+    n_lanes = _round_up(search.shape[0] + window, LANES)
+    sorted_t = jnp.zeros((4, n_lanes), search.dtype)
+    sorted_t = sorted_t.at[:3, : search.shape[0]].set(search[s_order].T)
     starts_ext = jnp.concatenate([s_starts, jnp.zeros(1, jnp.int32)])
     counts_ext = jnp.concatenate([s_counts, jnp.zeros(1, jnp.int32)])
 
@@ -291,7 +332,7 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
     span_lens = jnp.stack(span_lens, axis=1).astype(jnp.int32)
 
     slabs = gather_kernel.span_moments.__wrapped__(
-        q_local, centers, span_starts, span_lens, sorted_search,
+        q_local, centers, span_starts, span_lens, sorted_t,
         radii, span_rows, exclude_radius, interpret)
     per_radius = multiscale_kernel.moments_from_slabs(
         slabs, centers, radii)

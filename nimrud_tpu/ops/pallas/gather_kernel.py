@@ -12,11 +12,13 @@ spans straight from HBM into a double-buffered VMEM ring and computes
 masked moments on each span while the next one is in flight.  No index
 table is built, stored, or read.
 
-A span window is (m+2) * s_cap rows; the live prefix length comes in
-via SMEM.  Points inside the window beyond the live span are masked.
-Note this admits ALL points of the span's tiles (no per-tile s_cap
-truncation), which is strictly more complete than the XLA path when a
-tile overflows s_cap.
+Layout: Mosaic requires DMA slices to be 128-lane aligned, so the
+sorted cloud rides TRANSPOSED as (4, n_pad) -- points along lanes --
+and each span window starts at the enclosing 128-aligned lane with the
+live range masked ([prefix, prefix + len)).  Points inside the window
+beyond the live span are masked out.  Note the span admits ALL points
+of its tiles (no per-tile s_cap truncation), which is strictly more
+complete than the XLA path when a tile overflows s_cap.
 
 Output slabs use the MOMENT_PAD layout of
 nimrud_tpu.ops.pallas.multiscale_kernel, so ``moments_from_slabs``
@@ -36,8 +38,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nimrud_tpu.ops.pallas.multiscale_kernel import MOMENT_PAD
 
+LANES = 128
 
-def _kernel_body(radii, span_rows, n_span, exclude_radius, n_pad):
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def _kernel_body(radii, window, n_span, exclude_radius, n_pad):
     width = len(radii) * MOMENT_PAD
 
     def body(starts_ref, lens_ref, center_ref, q_ref, search_hbm,
@@ -48,10 +56,15 @@ def _kernel_body(radii, span_rows, n_span, exclude_radius, n_pad):
         cy = center_ref[0, 0, 1]
         cz = center_ref[0, 0, 2]
 
+        def aligned(span):
+            start = jnp.minimum(starts_ref[0, 0, span], n_pad - window)
+            base = (start // LANES) * LANES
+            return pl.multiple_of(base, LANES), start - base
+
         def dma(span, slot):
-            start = jnp.minimum(starts_ref[0, 0, span], n_pad - span_rows)
+            base, _ = aligned(span)
             return pltpu.make_async_copy(
-                search_hbm.at[pl.ds(start, span_rows), :],
+                search_hbm.at[:, pl.ds(base, window)],
                 buf.at[slot],
                 sems.at[slot],
             )
@@ -68,35 +81,40 @@ def _kernel_body(radii, span_rows, n_span, exclude_radius, n_pad):
 
             dma(span, slot).wait()
 
+            _, prefix = aligned(span)
             live = lens_ref[0, 0, span]
-            x = buf[slot, :, 0] - cx
-            y = buf[slot, :, 1] - cy
-            z = buf[slot, :, 2] - cz
+            x = buf[slot, 0, :] - cx                   # (window,)
+            y = buf[slot, 1, :] - cy
+            z = buf[slot, 2, :] - cz
             lane = jax.lax.broadcasted_iota(
-                jnp.int32, (span_rows, 1), 0)[:, 0]
-            valid = lane < live
+                jnp.int32, (1, window), 1)[0]
+            valid = (lane >= prefix) & (lane < prefix + live)
 
-            s = jnp.stack([x, y, z], axis=1)           # (span_rows, 3)
+            s_t = jnp.stack([x, y, z], axis=0)         # (3, window)
             d2 = (q2 + (x * x + y * y + z * z)[None, :]
-                  - 2.0 * jnp.dot(q, s.T,
-                                  preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.HIGHEST))
+                  - 2.0 * jax.lax.dot_general(
+                      q, s_t, (((1,), (0,)), ((), ())),
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST))
             d2 = jnp.maximum(d2, 0.0)
 
             ones = valid.astype(jnp.float32)
             aug = jnp.stack(
                 [ones, x, y, z, x * x, x * y, x * z, y * y, y * z, z * z]
-                + [jnp.zeros_like(x)] * (MOMENT_PAD - 10), axis=1)
-            aug = aug * ones[:, None]
+                + [jnp.zeros_like(x)] * (MOMENT_PAD - 10), axis=0)
+            aug = aug * ones[None, :]                  # (16, window)
 
-            base = valid[None, :]
+            base_mask = valid[None, :]
             if exclude_radius is not None:
-                base = base & (d2 >= exclude_radius * exclude_radius)
+                base_mask = base_mask \
+                    & (d2 >= exclude_radius * exclude_radius)
             for ri, radius in enumerate(radii):
-                mask = (base & (d2 <= radius * radius)).astype(jnp.float32)
-                mom = jnp.dot(mask, aug,
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
+                mask = (base_mask
+                        & (d2 <= radius * radius)).astype(jnp.float32)
+                mom = jax.lax.dot_general(
+                    mask, aug, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
                 sl = slice(ri * MOMENT_PAD, (ri + 1) * MOMENT_PAD)
                 out_ref[0, :, sl] = out_ref[0, :, sl] + mom
             return 0
@@ -109,23 +127,25 @@ def _kernel_body(radii, span_rows, n_span, exclude_radius, n_pad):
 @functools.partial(
     jax.jit,
     static_argnames=("radii", "span_rows", "exclude_radius", "interpret"))
-def span_moments(q_local, centers, span_starts, span_lens, sorted_search,
-                 radii, span_rows, exclude_radius=None, interpret=False):
+def span_moments(q_local, centers, span_starts, span_lens,
+                 sorted_search_t, radii, span_rows, exclude_radius=None,
+                 interpret=False):
     """
     Raw masked moment slabs via in-kernel span DMA.
 
     Args:
       q_local:      (E, q_cap, 3) f32 entry-local query blocks.
       centers:      (E, 3) f32 entry centers (global frame).
-      span_starts:  (E, n_span) int32 start row of each candidate x-row
-                    span in ``sorted_search``.
-      span_lens:    (E, n_span) int32 live rows per span, clamped to
+      span_starts:  (E, n_span) int32 start point-index of each
+                    candidate x-row span in the sorted cloud.
+      span_lens:    (E, n_span) int32 live points per span, clamped to
                     [0, span_rows]; 0 for empty spans.
-      sorted_search:(n_pad, 4) f32 GLOBAL-frame points sorted by fine
-                    tile id, padded with >= span_rows trailing rows
-                    (4th column ignored; lane alignment only).
+      sorted_search_t: (4, n_pad) f32 GLOBAL-frame points sorted by fine
+                    tile id, TRANSPOSED (rows x, y, z, unused), lane
+                    count n_pad a multiple of 128 with >= span window
+                    trailing padding.
       radii:        static tuple.
-      span_rows:    static DMA window length ((m+2) * s_cap).
+      span_rows:    static max live points per span ((m+2) * s_cap).
 
     Returns:
       (E, q_cap, len(radii) * MOMENT_PAD) f32 slabs
@@ -133,14 +153,13 @@ def span_moments(q_local, centers, span_starts, span_lens, sorted_search,
     """
     n_entries, q_cap, _ = q_local.shape
     n_span = span_starts.shape[1]
-    n_pad = sorted_search.shape[0]
+    n_pad = sorted_search_t.shape[1]
     width = len(radii) * MOMENT_PAD
+    # window covers a worst-case-misaligned span at 128-lane granularity
+    window = _round_up(int(span_rows), LANES) + LANES
 
-    # TPU tiling wants each block's LAST TWO dims to equal the array's
-    # (or be (8,128)-aligned): ride the per-entry scalars as (E, 1, k)
-    # so the (1, 1, k) blocks satisfy it
     return pl.pallas_call(
-        _kernel_body(tuple(float(r) for r in radii), int(span_rows),
+        _kernel_body(tuple(float(r) for r in radii), window,
                      int(n_span),
                      None if exclude_radius is None
                      else float(exclude_radius),
@@ -154,16 +173,16 @@ def span_moments(q_local, centers, span_starts, span_lens, sorted_search,
             pl.BlockSpec((1, 1, 3), lambda e: (e, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, q_cap, 3), lambda e: (e, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),     # sorted search, HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),     # sorted cloud, HBM
         ],
         out_specs=pl.BlockSpec((1, q_cap, width), lambda e: (e, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(
             (n_entries, q_cap, width), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, span_rows, 4), jnp.float32),
+            pltpu.VMEM((2, 4, window), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(span_starts[:, None, :], span_lens[:, None, :],
-      centers[:, None, :], q_local, sorted_search)
+      centers[:, None, :], q_local, sorted_search_t)

@@ -86,3 +86,27 @@ def test_voxel_downsampled_spec_is_exact():
         None, "highest", 256, with_stats=True)
     assert int(stats["dropped_search"]) == 0
     assert int(stats["dropped_query"]) == 0
+
+
+def test_entry_estimate_trims_and_stays_lossless():
+    # a sparse scene occupies few coarse tiles: e_cap shrinks, and the
+    # trimmed spec must still slot every query (no silent drops)
+    pts = np.vstack([
+        (RNG.random((800, 3)) * [2, 2, 0.2]),         # dense sheet
+        (RNG.random((50, 3)) * 0.5 + [30, 30, 6]),    # far clump
+    ]).astype(np.float32)
+    query, q_valid = _padded(pts, 1024)
+    spec = device_grid.make_spec(
+        pts.min(0), pts.max(0), 1.0, n_query=1024, s_cap=1024,
+        entry_batch=32)
+    trimmed = device_grid.with_entry_estimate(spec, pts)
+    assert trimmed.e_cap < spec.e_cap, (trimmed.e_cap, spec.e_cap)
+
+    full, stats_full = device_grid.fused_extract(
+        query, q_valid, query, q_valid, spec, (1.0,), "minimal",
+        None, "highest", len(pts), with_stats=True)
+    trim, stats_trim = device_grid.fused_extract(
+        query, q_valid, query, q_valid, trimmed, (1.0,), "minimal",
+        None, "highest", len(pts), with_stats=True)
+    assert int(stats_trim["dropped_query"]) == 0
+    assert np.array_equal(np.asarray(full), np.asarray(trim))
