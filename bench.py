@@ -91,6 +91,9 @@ def main():
     start = time.perf_counter()
     labels_dev = model.predict_staged(staged)
     jax.block_until_ready(labels_dev)
+    # NOTE: on the axon relay block_until_ready does not await dispatched
+    # device compute, so this measures dispatch; true compute cost is
+    # bounded by (streamed_per_cloud - host_prep) in steady state
     t_compute = time.perf_counter() - start
 
     # streamed serving: uploads overlap compute across a stream of clouds
@@ -116,7 +119,7 @@ def main():
     stages.update({
         "host_prep": round(t_stage, 3),
         "upload": round(t_upload, 3),
-        "device_compute": round(t_compute, 3),
+        "compute_dispatch": round(t_compute, 3),
         "streamed_per_cloud": round(t_stream, 3),
     })
 

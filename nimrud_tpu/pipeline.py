@@ -342,19 +342,31 @@ class GeometryClassifier:
 
     def predict_stream(self, clouds):
         """
-        Classify a stream of clouds, overlapping each upload + host prep
-        with the previous cloud's device compute (jax dispatch is async).
-        Yields per-point label DEVICE arrays in order; batch the host
-        reads after the stream drains (transfer discipline).
+        Classify a stream of clouds, overlapping each cloud's host prep +
+        upload with the previous cloud's work: staging runs one cloud
+        ahead in a worker thread (device_put can block on slow links, so
+        async dispatch alone is not enough).  Yields per-point label
+        DEVICE arrays in order; batch the host reads after the stream
+        drains (transfer discipline).
         """
-        for cloud in clouds:
-            staged = self.stage(cloud)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def finish(item):
+            cloud, future = item
+            staged = future.result()
             if staged is None:
-                yield self.predict_device(cloud)
-            else:
-                # async dispatch: returns immediately, the device crunches
-                # this cloud while the caller (and the next stage()) run
-                yield self.predict_staged(staged)
+                return self.predict_device(cloud)
+            return self.predict_staged(staged)
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = None
+            for cloud in clouds:
+                nxt = (cloud, pool.submit(self.stage, cloud))
+                if pending is not None:
+                    yield finish(pending)
+                pending = nxt
+            if pending is not None:
+                yield finish(pending)
 
     def _predict_fused(self, cloud, search, attributes=None):
         staged = self.stage(cloud, search, attributes)

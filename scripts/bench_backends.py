@@ -1,8 +1,9 @@
 """
-Time the fused extraction backends on real TPU: XLA (candidate-table
-gather + batched einsums) vs Pallas span-DMA (gather_kernel), plus the
-mixed-precision XLA variant.  The benchmark-scale workload, extraction
-only (device-resident; no host reads until the end).
+Time the fused extraction backends on real TPU, DEVICE COMPUTE ONLY:
+clouds and voxel centers are uploaded once, then each backend's jitted
+program is timed on device-resident arrays.  Compares the XLA
+candidate-table path (highest + mixed precision) against the Pallas
+span-DMA kernel at the benchmark workload.
 """
 
 import json
@@ -14,7 +15,7 @@ import numpy as np
 N_POINTS = 1_048_576          # power of two
 EDGES = (0.25, 0.5, 1.0)
 RADII = (0.5, 1.0, 2.0)
-RUNS = 5
+RUNS = 10
 
 
 def make_cloud(n, rng):
@@ -30,32 +31,57 @@ def make_cloud(n, rng):
 
 def main():
     import jax
-    from nimrud_tpu.features.multiscale import extract_scaleset_fused
+    import jax.numpy as jnp
+    from nimrud_tpu.ops import device_grid, packing, unique
 
     rng = np.random.default_rng(0)
     cloud = make_cloud(N_POINTS, rng)
-    scaleset = [(e, (r,)) for e, r in zip(EDGES, RADII)]
+    lo = cloud.min(0).astype(np.float64)
+    hi = cloud.max(0).astype(np.float64)
+
+    query = jnp.asarray(cloud)
+    q_valid = jnp.ones(N_POINTS, bool)
+    bands = []
+    for edge, radius in zip(EDGES, RADII):
+        vox_spec = packing.GridSpec.fit_bounds(lo, hi, edge)
+        centers, _, mask = unique.unique_voxels(query, vox_spec)
+        spec = device_grid.make_spec(
+            lo, hi, radius, n_query=N_POINTS, voxel_edge=edge)
+        spec = device_grid.with_entry_estimate(spec, cloud)
+        bands.append((centers, mask, spec, (radius,)))
+    jax.block_until_ready([b[0] for b in bands])
+
+    def run_xla(precision):
+        outs = [device_grid.fused_extract(
+            query, q_valid, centers, mask, spec, radii, "minimal",
+            None, precision, N_POINTS)
+            for centers, mask, spec, radii in bands]
+        return outs
+
+    def run_spans():
+        outs = [device_grid.fused_extract_spans(
+            query, q_valid, centers, mask, spec, radii, "minimal",
+            None, N_POINTS)
+            for centers, mask, spec, radii in bands]
+        return outs
 
     variants = {
-        "xla_highest": {"precision": "highest"},
-        "xla_mixed": {"precision": "mixed"},
-        "pallas_spans": {"backend": "pallas"},
+        "xla_highest": lambda: run_xla("highest"),
+        "xla_mixed": lambda: run_xla("mixed"),
+        "pallas_spans": run_spans,
     }
     times, sums = {}, {}
-    for name, tuning in variants.items():
+    for name, fn in variants.items():
         try:
-            out = extract_scaleset_fused(
-                cloud, cloud, scaleset, "minimal", tuning=tuning)
-            jax.block_until_ready(out)
+            jax.block_until_ready(fn())          # compile + warm
             start = time.perf_counter()
             for _ in range(RUNS):
-                out = extract_scaleset_fused(
-                    cloud, cloud, scaleset, "minimal", tuning=tuning)
-            jax.block_until_ready(out)
-            times[name] = round((time.perf_counter() - start) / RUNS, 4)
-            sums[name] = out.sum()          # device scalar, fetched later
+                outs = fn()
+            jax.block_until_ready(outs)
+            times[name] = round((time.perf_counter() - start) / RUNS, 5)
+            sums[name] = sum(o.sum() for o in outs)
         except Exception as error:
-            times[name] = f"ERROR: {str(error)[:200]}"
+            times[name] = f"ERROR: {str(error)[:300]}"
 
     checks = {}
     try:
@@ -71,8 +97,11 @@ def main():
     except Exception as error:
         checks["fetch_error"] = str(error)[:200]
 
+    rates = {name: round(N_POINTS * len(RADII) / t / 1e6, 1)
+             for name, t in times.items() if isinstance(t, float)}
     print(json.dumps({
-        "per_extract_sec": times,
+        "device_compute_sec_per_extract": times,
+        "point_scales_per_sec_M": rates,
         "checks": checks,
         "n_points": N_POINTS,
         "device": str(jax.devices()[0]),
