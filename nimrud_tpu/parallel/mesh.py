@@ -393,6 +393,58 @@ def sharded_extract_2d(mesh, blocks, valid, halo_x, halo_y, radii,
     return run(jnp.asarray(blocks), jnp.asarray(valid))
 
 
+def make_fused_extract_2d(mesh, halo_x, halo_y, scaleset, kind,
+                          bounds_lo, bounds_hi, rows, *,
+                          precision="highest"):
+    """
+    The flagship fused pipeline on the 2-D tile mesh: each device runs
+    the two-phase halo exchange, voxelizes its block + halos on the
+    globally anchored grid, builds its tile tables on device, and runs
+    the masked-moment kernel -- all under one shard_map.
+
+    Args mirror :func:`make_fused_extract` (1-D variant); ``rows`` is
+    the per-device block row count.  Returns
+    f(blocks, valid) -> (n_devices, rows, width), device-major.
+    """
+    from nimrud_tpu.ops import device_grid, packing, unique
+
+    specs = []
+    for edge, radii in scaleset:
+        if edge <= 0:
+            raise ValueError("fused multi-chip extraction needs "
+                             "voxelized bands (edge > 0)")
+        radii = tuple(float(r) for r in radii)
+        vox_spec = packing.GridSpec.fit_bounds(bounds_lo, bounds_hi, edge)
+        dev_spec = device_grid.make_spec(
+            bounds_lo, bounds_hi, max(radii), n_query=rows,
+            voxel_edge=edge)
+        specs.append((vox_spec, dev_spec, radii))
+    specs = tuple(specs)
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P((AXIS_X, AXIS_Y)), P((AXIS_X, AXIS_Y))),
+        out_specs=P((AXIS_X, AXIS_Y)))
+    def run(blocks, valid):
+        block, v = blocks[0], valid[0]
+        halo_pts, halo_valid = _halo_bands_2d(block, v, halo_x, halo_y)
+        search = jnp.concatenate([block, halo_pts], axis=0)
+        s_valid = jnp.concatenate([v, halo_valid], axis=0)
+        bands = []
+        for vox_spec, dev_spec, radii in specs:
+            centers, _, mask = unique.unique_voxels(
+                search, vox_spec, valid=s_valid)
+            bands.append(device_grid.fused_extract.__wrapped__(
+                block, v, centers, mask, dev_spec, radii, kind,
+                None, precision, rows))
+        feats = bands[0] if len(bands) == 1 \
+            else jnp.concatenate(bands, axis=1)
+        return feats[None]
+
+    return run
+
+
 def extract_multichip_2d(points, radii, kind="minimal", *, mesh_shape,
                          mesh=None, buffer_radius=None, chunk_size=256,
                          exclude_radius=None):

@@ -232,3 +232,38 @@ def test_2d_mesh_sazo_combines_across_halos():
     assert np.allclose(multi[:, 0], single[:, 0], rtol=1e-6)
     same = np.abs(multi[:, 4] - single[:, 4]) < 1e-4
     assert same.mean() > 0.999, same.mean()
+
+
+def test_2d_fused_extract_matches_single_device():
+    # the fused pipeline (device voxelize + tile build + moments) on the
+    # 2-D tile mesh must match the single-device fused extraction
+    import jax.numpy as jnp
+    from nimrud_tpu.features.multiscale import extract_scaleset_fused
+
+    points = (RNG.random((4000, 3)) * [12, 6, 3]).astype(np.float32)
+    scaleset = [(0.2, (0.5, 0.25))]
+
+    single = np.asarray(extract_scaleset_fused(
+        points, points, scaleset, kind="minimal"))
+
+    mesh = pmesh.make_mesh_2d((4, 2))
+    # buffer covers the radius PLUS half a voxel diagonal: the sharded
+    # search set is voxel centers, whose points may sit edge/2 away
+    shards = tiles.shard_cloud_2d(points, (4, 2), buffer_radius=0.7)
+    lo = points.min(0).astype(np.float64)
+    hi = points.max(0).astype(np.float64)
+    run = pmesh.make_fused_extract_2d(
+        mesh, shards["halo_x"], shards["halo_y"], scaleset, "minimal",
+        lo, hi, shards["blocks"].shape[1])
+    feats = run(jnp.asarray(shards["blocks"]), jnp.asarray(shards["valid"]))
+    multi = tiles.unshard(
+        np.asarray(feats), shards["valid"], shards["order"], len(points))
+
+    assert multi.shape == single.shape
+    for c in (0, 4):
+        diff = np.abs(multi[:, c] - single[:, c])
+        assert diff.max() <= 1, f"pop col {c}: {diff.max()}"
+        assert (diff > 0).mean() < 0.005
+    agree = np.all(multi[:, [0, 4]] == single[:, [0, 4]], axis=1)
+    sturdy = agree & np.all(multi[:, [0, 4]] >= 3, axis=1)
+    assert np.allclose(multi[sturdy], single[sturdy], atol=2e-3)
