@@ -109,7 +109,7 @@ class GeometryClassifier:
                  classifier_kwargs=None, exclude_radius=None,
                  method="auto", chunk_size=1024,
                  transfer_dtype="float32", vector_s_cap=32,
-                 bounds=None):
+                 bounds=None, trim_entries=False):
         self.scaleset = [(float(e), tuple(float(r) for r in rs))
                          for e, rs in scaleset]
         self.kind = kind
@@ -129,6 +129,12 @@ class GeometryClassifier:
             lo, hi = bounds
             self.bounds = (np.asarray(lo, np.float32)[:3],
                            np.asarray(hi, np.float32)[:3])
+        # with fixed bounds, fit() can size e_cap from the fit cloud's
+        # measured occupancy (plus headroom) and cache the specs --
+        # serving clouds wildly denser than the fit cloud would overflow
+        # (counted by with_stats), so this is opt-in
+        self.trim_entries = bool(trim_entries)
+        self._spec_cache = None
         if transfer_dtype not in ("float32", "uint16"):
             raise ValueError("transfer_dtype must be float32 or uint16")
         self.transfer_dtype = transfer_dtype
@@ -180,12 +186,21 @@ class GeometryClassifier:
             self.classifier.fit_device(
                 features, jnp.asarray(labels.astype(np.int32)),
                 n_classes=n_classes)
-            return self
+        else:
+            features = self.extract(cloud, search, attributes)
+            if rows is not None:
+                features, labels = features[rows], labels[rows]
+            self.classifier.fit(features, labels)
 
-        features = self.extract(cloud, search, attributes)
-        if rows is not None:
-            features, labels = features[rows], labels[rows]
-        self.classifier.fit(features, labels)
+        if self.bounds is not None and self.trim_entries:
+            # size the serving specs from the fit cloud's occupancy
+            arr = np.asarray(cloud, dtype=np.float32)[:, :3]
+            specs = self._fused_band_specs(arr, arr)
+            if specs is not None:
+                self._spec_cache = (
+                    multiscale._pow2_bucket(arr.shape[0]),
+                    tuple((vox, device_grid.with_entry_estimate(dev, arr),
+                           rr) for vox, dev, rr in specs))
         return self
 
     # -- inference ------------------------------------------------------------
@@ -232,6 +247,10 @@ class GeometryClassifier:
             return None
         if any(edge <= 0 for edge, _ in self.scaleset):
             return None
+        if self._spec_cache is not None:
+            cached_bucket, cached = self._spec_cache
+            if multiscale._pow2_bucket(cloud.shape[0]) == cached_bucket:
+                return cached
         if bounds is None:
             c_lo, c_hi = _cloud_bounds(cloud)
             s_lo64, s_hi64 = (c_lo, c_hi) if search is cloud \

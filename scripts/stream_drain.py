@@ -48,7 +48,8 @@ def main():
     model = GeometryClassifier(
         scaleset, kind="minimal", classifier="linear",
         classifier_kwargs={"epochs": 10, "seed": 0},
-        transfer_dtype="uint16")
+        transfer_dtype="uint16",
+        bounds=(cloud.min(0) - 1.0, cloud.max(0) + 1.0))
     model.fit(cloud, labels, sample=100_000)
     # warm the compiled program (dispatch only; completion unprovable)
     model.predict_device(cloud)

@@ -171,6 +171,28 @@ def test_fixed_bounds_share_one_program():
     assert (p[inside] == labels[inside]).mean() > 0.9
 
 
+def test_trim_entries_serving_cache():
+    # with fixed bounds + trim_entries, fit caches occupancy-sized specs
+    # and serving reuses them; predictions must match the untrimmed model
+    cloud, labels = _scene(per=700)
+    lo, hi = cloud.min(0) - 1.0, cloud.max(0) + 1.0
+    kwargs = dict(kind="minimal", classifier="linear",
+                  classifier_kwargs={"epochs": 25, "seed": 0},
+                  bounds=(lo, hi))
+    base = GeometryClassifier([(0.2, (0.8, 0.4))], **kwargs)
+    base.fit(cloud, labels)
+    trim = GeometryClassifier([(0.2, (0.8, 0.4))], trim_entries=True,
+                              **kwargs)
+    trim.fit(cloud, labels)
+    assert trim._spec_cache is not None
+    _, cached = trim._spec_cache
+    plain = base._fused_band_specs(cloud, cloud)
+    assert all(c[1].e_cap <= p[1].e_cap
+               for c, p in zip(cached, plain))
+    shifted = cloud + np.float32([0.3, 0, 0])
+    assert (trim.predict(shifted) == base.predict(shifted)).all()
+
+
 def test_fit_with_sampling():
     cloud, labels = _scene(per=600)
     model = GeometryClassifier(
