@@ -1,5 +1,6 @@
 from nimrud_tpu.ops import (
-    device_grid, eigen, grid, moments, neighbors, packing, unique)
+    device_grid, eigen, grid, interp, moments, neighbors, packing,
+    unique)
 
-__all__ = ["device_grid", "eigen", "grid", "moments", "neighbors",
-           "packing", "unique"]
+__all__ = ["device_grid", "eigen", "grid", "interp", "moments",
+           "neighbors", "packing", "unique"]

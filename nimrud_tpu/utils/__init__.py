@@ -1,3 +1,4 @@
-from nimrud_tpu.utils import generic, geometry, point_clouds, profiling
+from nimrud_tpu.utils import (
+    generic, geometry, memory, point_clouds, profiling)
 
-__all__ = ["generic", "geometry", "point_clouds", "profiling"]
+__all__ = ["generic", "geometry", "memory", "point_clouds", "profiling"]

@@ -55,17 +55,27 @@ def main():
     model.predict_device(cloud)
 
     # jitter each cloud so staging really re-runs (same bounds bucket)
+    # Optional host sleep between enqueue and fetch: the fetch itself
+    # flips the relay into its degraded mode, so work still queued when
+    # the fetch starts drains 30x slower.  If the sleep exceeds the true
+    # healthy drain time, the fetch cost becomes a constant (channel
+    # init + transfer) -- bisecting the sleep brackets the real rate.
+    wait = float(os.environ.get("SLEEP_BEFORE_FETCH", "0"))
     clouds = (cloud + np.float32([0.001 * i, 0, 0]) for i in range(k))
     start = time.perf_counter()
     outs = list(model.predict_stream(clouds))
     t_enqueue = time.perf_counter() - start
+    if wait:
+        time.sleep(wait)
+    fetch_start = time.perf_counter()
     last = np.asarray(outs[-1])         # forces full drain (in-order)
-    t_total = time.perf_counter() - start
+    t_fetch = time.perf_counter() - fetch_start
 
     print(json.dumps({
         "k": k,
         "enqueue_sec": round(t_enqueue, 3),
-        "total_sec_incl_drain_fetch": round(t_total, 3),
+        "sleep_sec": wait,
+        "fetch_sec": round(t_fetch, 3),
         "labels_checksum": int(last.sum()),
         "device": str(jax.devices()[0]),
     }))
