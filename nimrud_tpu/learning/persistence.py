@@ -91,3 +91,59 @@ def load_model(path):
         return model
 
     raise ValueError(f"unknown model kind {meta['kind']!r}")
+
+
+def save_pipeline(model, path):
+    """
+    Persist a fitted :class:`nimrud_tpu.pipeline.GeometryClassifier` --
+    scaleset, layout kind, transfer/serving configuration AND the fitted
+    classifier -- as npz + JSON, so a serving process can load the whole
+    production model without refitting.
+    """
+    path = os.fspath(path)
+    save_model(model.classifier, path)
+    config = {
+        "pipeline": {
+            "scaleset": [[edge, list(radii)]
+                         for edge, radii in model.scaleset],
+            "kind": model.kind,
+            "exclude_radius": model.exclude_radius,
+            "method": model.method,
+            "chunk_size": model.chunk_size,
+            "transfer_dtype": model.transfer_dtype,
+            "vector_s_cap": model.vector_s_cap,
+            "trim_entries": model.trim_entries,
+            "bounds": None if model.bounds is None else
+                      [model.bounds[0].tolist(), model.bounds[1].tolist()],
+        }
+    }
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    with open(path + ".json") as handle:
+        meta = json.load(handle)
+    meta.update(config)
+    with open(path + ".json", "w") as handle:
+        json.dump(meta, handle)
+    return path
+
+
+def load_pipeline(path):
+    """Load a model saved by :func:`save_pipeline`."""
+    from nimrud_tpu.pipeline import GeometryClassifier
+    path = os.fspath(path)
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    with open(path + ".json") as handle:
+        meta = json.load(handle)
+    if "pipeline" not in meta:
+        raise ValueError(f"{path} was not saved with save_pipeline")
+    cfg = meta["pipeline"]
+    classifier = load_model(path)
+    return GeometryClassifier(
+        cfg["scaleset"], kind=cfg["kind"], classifier=classifier,
+        exclude_radius=cfg["exclude_radius"], method=cfg["method"],
+        chunk_size=cfg["chunk_size"],
+        transfer_dtype=cfg["transfer_dtype"],
+        vector_s_cap=cfg["vector_s_cap"],
+        trim_entries=cfg["trim_entries"],
+        bounds=None if cfg["bounds"] is None else tuple(cfg["bounds"]))

@@ -56,3 +56,34 @@ def test_rate_timer(capsys):
     out = capsys.readouterr().out
     assert '"label": "test"' in out
     assert '"points": 1000' in out
+
+
+def test_pipeline_roundtrip(tmp_path):
+    # whole production model: scaleset + serving config + classifier
+    from nimrud_tpu.learning.persistence import load_pipeline, save_pipeline
+    from nimrud_tpu.pipeline import GeometryClassifier
+    rng = np.random.default_rng(6)
+    per = 500
+    cloud = np.vstack([
+        rng.random((per, 3)) * [8, 8, 0.02],
+        rng.random((per, 3)) * [0.02, 0.02, 8] + [10, 4, 0],
+        rng.normal([16, 4, 4], 1.0, (per, 3))]).astype(np.float32)
+    labels = np.repeat([0, 1, 2], per)
+    model = GeometryClassifier(
+        [(0.2, (0.8, 0.4))], classifier="linear",
+        classifier_kwargs={"epochs": 25, "seed": 0},
+        transfer_dtype="uint16",
+        bounds=(cloud.min(0) - 1, cloud.max(0) + 1))
+    model.fit(cloud, labels)
+
+    path = save_pipeline(model, tmp_path / "prod")
+    loaded = load_pipeline(path)
+    assert loaded.scaleset == model.scaleset
+    assert loaded.transfer_dtype == "uint16"
+    assert np.allclose(loaded.bounds[0], model.bounds[0])
+    assert (loaded.predict(cloud) == model.predict(cloud)).all()
+
+    with pytest.raises(ValueError):
+        from nimrud_tpu.learning.persistence import save_model
+        save_model(model.classifier, tmp_path / "clf_only")
+        load_pipeline(tmp_path / "clf_only")
