@@ -362,8 +362,6 @@ def sharded_extract_2d(mesh, blocks, valid, halo_x, halo_y, radii,
     Returns (n_devices, rows, width).
     """
     radii = tuple(float(r) for r in radii)
-    mx, my = mesh.devices.shape
-    with_sazo = layouts.needs_sazo(kind)
 
     @jax.jit
     @functools.partial(
@@ -371,26 +369,78 @@ def sharded_extract_2d(mesh, blocks, valid, halo_x, halo_y, radii,
         in_specs=(P((AXIS_X, AXIS_Y)), P((AXIS_X, AXIS_Y))),
         out_specs=P((AXIS_X, AXIS_Y)))
     def run(blocks, valid):
-        block, v = blocks[0], valid[0]
-        # issue the exchange first; the local-group moments below have no
-        # data dependency on it, so XLA overlaps the ppermutes with them
-        halo_pts, halo_valid = _halo_bands_2d(block, v, halo_x, halo_y)
-        own = _chunked_moments(
-            block, block, v, radii, chunk_size, exclude_radius,
-            with_sazo)
-        halo = _chunked_moments(
-            block, halo_pts, halo_valid, radii, chunk_size,
-            exclude_radius, with_sazo)
-        got = _combine_moment_groups([own, halo])
-        blocks_out = []
-        for ri, radius in enumerate(radii):
-            blocks_out.append(layouts.build_block(
-                kind, got["count"][:, ri], got["mean"][:, ri],
-                got["cov"][:, ri], block, float(radius),
-                sazo=got["sazo"][:, ri] if with_sazo else None))
-        return jnp.concatenate(blocks_out, axis=-1)[None]
+        # the exchange is issued first inside _features_2d; the local-
+        # group moments have no data dependency on it, so XLA overlaps
+        # the ppermutes with them
+        return _features_2d(
+            blocks[0], valid[0], halo_x, halo_y, radii, kind,
+            chunk_size, exclude_radius)[None]
 
     return run(jnp.asarray(blocks), jnp.asarray(valid))
+
+
+def _features_2d(block, valid, halo_x, halo_y, radii, kind, chunk_size,
+                 exclude_radius):
+    """Per-device 2-D body: overlapped halo exchange + moment combine."""
+    with_sazo = layouts.needs_sazo(kind)
+    halo_pts, halo_valid = _halo_bands_2d(block, valid, halo_x, halo_y)
+    own = _chunked_moments(
+        block, block, valid, radii, chunk_size, exclude_radius,
+        with_sazo)
+    halo = _chunked_moments(
+        block, halo_pts, halo_valid, radii, chunk_size, exclude_radius,
+        with_sazo)
+    got = _combine_moment_groups([own, halo])
+    blocks_out = []
+    for ri, radius in enumerate(radii):
+        blocks_out.append(layouts.build_block(
+            kind, got["count"][:, ri], got["mean"][:, ri],
+            got["cov"][:, ri], block, float(radius),
+            sazo=got["sazo"][:, ri] if with_sazo else None))
+    return jnp.concatenate(blocks_out, axis=-1)
+
+
+def make_train_step_2d(mesh, halo_x, halo_y, radii, kind, n_classes,
+                       optimizer, *, chunk_size=256, exclude_radius=None,
+                       weight_decay=0.0):
+    """
+    Jitted training step on the 2-D tile mesh: per-device feature
+    extraction (two-phase halo exchange overlapped with local moments),
+    softmax loss on the device's points, gradients pmean-averaged over
+    BOTH mesh axes.  Signature mirrors :func:`make_train_step`.
+    """
+    radii = tuple(float(r) for r in radii)
+
+    def device_loss(params, block, valid, labels):
+        feats = _features_2d(
+            block, valid, halo_x, halo_y, radii, kind, chunk_size,
+            exclude_radius)
+        logits = linear.predict_logits(params, feats)
+        log_probs = jax.nn.log_softmax(logits)
+        nll = -jnp.take_along_axis(log_probs, labels[:, None], axis=1)[:, 0]
+        weight = valid.astype(jnp.float32)
+        loss = jnp.sum(nll * weight) / jnp.maximum(jnp.sum(weight), 1.0)
+        if weight_decay:
+            loss = loss + weight_decay * jnp.sum(params["w"] ** 2)
+        return loss
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P((AXIS_X, AXIS_Y)), P((AXIS_X, AXIS_Y)),
+                  P((AXIS_X, AXIS_Y))),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    def step(params, opt_state, blocks, valid, labels):
+        loss, grads = jax.value_and_grad(device_loss)(
+            params, blocks[0], valid[0], labels[0])
+        grads = jax.lax.pmean(grads, (AXIS_X, AXIS_Y))
+        loss = jax.lax.pmean(loss, (AXIS_X, AXIS_Y))
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    return step
 
 
 def make_fused_extract_2d(mesh, halo_x, halo_y, scaleset, kind,

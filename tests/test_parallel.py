@@ -267,3 +267,47 @@ def test_2d_fused_extract_matches_single_device():
     agree = np.all(multi[:, [0, 4]] == single[:, [0, 4]], axis=1)
     sturdy = agree & np.all(multi[:, [0, 4]] >= 3, axis=1)
     assert np.allclose(multi[sturdy], single[sturdy], atol=2e-3)
+
+
+def test_2d_distributed_train_step():
+    # training on the 2-D tile mesh: loss decreases and the trained
+    # classifier separates geometrically distinct classes
+    per = 500
+    sheet = RNG.random((per, 3)) * [6, 6, 0.02]
+    line = RNG.random((per, 3)) * [0.02, 0.02, 6] + [8, 3, 0]
+    blob = RNG.normal([14, 3, 3], 0.8, (per, 3))
+    points = np.vstack([sheet, line, blob]).astype(np.float32)
+    labels = np.repeat([0, 1, 2], per)
+
+    radii = (1.0, 0.5)
+    mesh = pmesh.make_mesh_2d((4, 2))
+    shards = tiles.shard_cloud_2d(
+        points, (4, 2), max(radii), extras=[labels.astype(np.int32)])
+
+    width = 4 * len(radii)
+    params = linear.init_params(jax.random.PRNGKey(0), width, 3)
+    optimizer = optax.adam(0.05)
+    opt_state = optimizer.init(params)
+    step = pmesh.make_train_step_2d(
+        mesh, shards["halo_x"], shards["halo_y"], radii, "minimal", 3,
+        optimizer)
+
+    import jax.numpy as jnp
+    blocks = jnp.asarray(shards["blocks"])
+    valid = jnp.asarray(shards["valid"])
+    labs = jnp.asarray(shards["extras"][0])
+    losses = []
+    for _ in range(150):
+        params, opt_state, loss = step(
+            params, opt_state, blocks, valid, labs)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+
+    feats = pmesh.sharded_extract_2d(
+        mesh, blocks, valid, shards["halo_x"], shards["halo_y"],
+        radii, "minimal")
+    flat = tiles.unshard(
+        np.asarray(feats), shards["valid"], shards["order"], len(points))
+    logits = np.asarray(linear.predict_logits(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(flat)))
+    assert (logits.argmax(1) == labels).mean() > 0.8
