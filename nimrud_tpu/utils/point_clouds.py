@@ -4,8 +4,9 @@ label arrays, each carrying its own index set into the master cloud) and
 set-algebra across assets.
 
 Capability parity with the reference container
-(reference: nimrud/utils/point_clouds.py:15-159).  The on-disk counterpart
-is :class:`nimrud_tpu.archive.store.CloudArchive`.
+(reference: nimrud/utils/point_clouds.py:15-159), plus asset management
+the reference lacked (removal, listing, membership).  The on-disk
+counterpart is :class:`nimrud_tpu.archive.store.CloudArchive`.
 """
 
 import numpy as np
@@ -25,11 +26,13 @@ class FlexCloud:
             raise ValueError("input point cloud must be a 2-D array")
         if input_cloud.shape[1] != 3:
             raise ValueError("must be initialized with a 3-D point cloud")
-        self.corner = input_cloud[0]
-        self.points = input_cloud - self.corner
         self.num_points = input_cloud.shape[0]
         self.id_index = np.arange(self.num_points)
         self.assets = {}
+        # recenter on the first point: features downstream are
+        # displacement-based, and small coordinates keep f32 healthy
+        self.corner = input_cloud[0]
+        self.points = input_cloud - self.corner
 
     # -- assets --------------------------------------------------------------
 
@@ -59,6 +62,19 @@ class FlexCloud:
         unique_idx, first_occurrence = np.unique(
             index_array, return_index=True)
         return asset_array.take(first_occurrence, axis=0), unique_idx
+
+    def remove_asset(self, asset_name):
+        """Detach an asset (the reference had no way to drop one)."""
+        if asset_name not in self.assets:
+            raise ValueError(f"no asset named {asset_name}")
+        del self.assets[asset_name]
+
+    def asset_names(self):
+        """Names of the attached assets, insertion-ordered."""
+        return list(self.assets)
+
+    def __contains__(self, asset_name):
+        return asset_name in self.assets
 
     def intersection(self, asset_names):
         """

@@ -113,3 +113,15 @@ def test_take():
         shifted.take(idx, axis=0))
     assert np.array_equal(
         cloud.take(original_coordinates=False), shifted)
+
+
+def test_asset_management_beyond_reference():
+    cloud = RNG.random((50, 3))
+    fc = FlexCloud(cloud)
+    fc.add_asset(np.arange(10.0), np.arange(10), "a")
+    assert "a" in fc
+    assert fc.asset_names() == ["a"]
+    fc.remove_asset("a")
+    assert "a" not in fc and fc.asset_names() == []
+    with pytest.raises(ValueError):
+        fc.remove_asset("a")
