@@ -98,6 +98,161 @@ def save_ply(path, points, binary=True):
             np.savetxt(handle, points, fmt="%.6f")
 
 
+# ASPRS LAS point-record layouts (formats 0-3 are LAS 1.0-1.3; 6-8 are
+# the LAS 1.4 records).  Waveform formats (4/5/9/10) load as their base
+# layout with the waveform block left in the record padding.
+_LAS_BASE_03 = [
+    ("X", "<i4"), ("Y", "<i4"), ("Z", "<i4"), ("intensity", "<u2"),
+    ("returns", "u1"), ("classification", "u1"), ("scan_angle", "i1"),
+    ("user_data", "u1"), ("point_source", "<u2")]
+_LAS_BASE_6P = [
+    ("X", "<i4"), ("Y", "<i4"), ("Z", "<i4"), ("intensity", "<u2"),
+    ("returns", "u1"), ("flags", "u1"), ("classification", "u1"),
+    ("user_data", "u1"), ("scan_angle", "<i2"), ("point_source", "<u2"),
+    ("gps_time", "<f8")]
+_LAS_GPS = [("gps_time", "<f8")]
+_LAS_RGB = [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
+_LAS_POINT_FIELDS = {
+    0: _LAS_BASE_03,
+    1: _LAS_BASE_03 + _LAS_GPS,
+    2: _LAS_BASE_03 + _LAS_RGB,
+    3: _LAS_BASE_03 + _LAS_GPS + _LAS_RGB,
+    4: _LAS_BASE_03 + _LAS_GPS,
+    5: _LAS_BASE_03 + _LAS_GPS + _LAS_RGB,
+    6: _LAS_BASE_6P,
+    7: _LAS_BASE_6P + _LAS_RGB,
+    8: _LAS_BASE_6P + _LAS_RGB + [("nir", "<u2")],
+    9: _LAS_BASE_6P,
+    10: _LAS_BASE_6P + _LAS_RGB + [("nir", "<u2")],
+}
+
+
+def load_las(path, *, with_classification=False):
+    """
+    ASPRS LAS loader (versions 1.0-1.4, point formats 0-10;
+    LAZ-compressed files are rejected with a clear error).  Returns a
+    float32 (N, C) array with columns ``x, y, z, intensity`` plus
+    ``r, g, b`` (and ``nir``) when the point format carries color --
+    coordinates are descaled to world units (scale * record + offset;
+    recentering for fp32 health happens at the FlexCloud/CloudArchive
+    layer, same as every other ingest path).
+
+    ``with_classification=True`` additionally returns the int32 ASPRS
+    classification codes (formats 0-5 mask off the three flag bits).
+    """
+    import struct
+
+    with open(path, "rb") as handle:
+        header = handle.read(375)
+        if header[:4] != b"LASF":
+            raise ValueError(f"{path} is not a LAS file")
+        minor = header[25]
+        point_offset, = struct.unpack_from("<I", header, 96)
+        fmt_byte = header[104]
+        if fmt_byte & 0x80:
+            raise ValueError(
+                f"{path} is LAZ-compressed; decompress to .las first")
+        fmt = fmt_byte & 0x3F
+        if fmt not in _LAS_POINT_FIELDS:
+            raise ValueError(f"{path}: unsupported point format {fmt}")
+        rec_len, = struct.unpack_from("<H", header, 105)
+        count, = struct.unpack_from("<I", header, 107)
+        scale = struct.unpack_from("<3d", header, 131)
+        offset = struct.unpack_from("<3d", header, 155)
+        if count == 0 and minor >= 4 and len(header) >= 255:
+            count, = struct.unpack_from("<Q", header, 247)
+
+        fields = list(_LAS_POINT_FIELDS[fmt])
+        base_len = np.dtype(fields).itemsize
+        if rec_len < base_len:
+            raise ValueError(
+                f"{path}: record length {rec_len} < format {fmt} "
+                f"minimum {base_len}")
+        if rec_len > base_len:
+            fields.append(("extra_bytes", f"V{rec_len - base_len}"))
+        dtype = np.dtype(fields)
+
+        handle.seek(point_offset)
+        raw = np.frombuffer(
+            handle.read(rec_len * count), dtype=dtype, count=count)
+
+    columns = [
+        raw["X"] * scale[0] + offset[0],
+        raw["Y"] * scale[1] + offset[1],
+        raw["Z"] * scale[2] + offset[2],
+        raw["intensity"],
+    ]
+    for name in ("red", "green", "blue", "nir"):
+        if name in raw.dtype.names:
+            columns.append(raw[name])
+    cloud = np.stack(
+        [np.asarray(c, np.float64) for c in columns], axis=1
+    ).astype(np.float32)
+    if not with_classification:
+        return cloud
+    classification = raw["classification"].astype(np.int32)
+    if fmt <= 5:
+        classification &= 0x1F          # upper 3 bits are flags
+    return cloud, classification
+
+
+def save_las(path, points, *, classification=None, scale=None):
+    """
+    Write an (N, >=3) cloud as LAS 1.2: point format 0, or format 2
+    when columns 4-6 carry RGB (column 3, if present, is stored as
+    intensity).  ``classification`` optionally stores int per-point
+    codes (values above 31 are clipped -- format 0-5 classification is
+    5 bits).  ``scale`` defaults to 1e-3 world units (mm resolution).
+    """
+    import struct
+
+    points = np.asarray(points, dtype=np.float64)
+    n = len(points)
+    has_rgb = points.shape[1] >= 7
+    fmt = 2 if has_rgb else 0
+    fields = _LAS_POINT_FIELDS[fmt]
+    dtype = np.dtype(fields)
+    offset = points[:, :3].min(axis=0) if n else np.zeros(3)
+    if scale is None:
+        scale = 1e-3
+    scale = np.broadcast_to(np.asarray(scale, np.float64), 3)
+
+    record = np.zeros(n, dtype=dtype)
+    quantized = np.round((points[:, :3] - offset) / scale)
+    if n and np.abs(quantized).max() > 2**31 - 1:
+        raise ValueError("cloud span exceeds int32 at this scale; "
+                         "pass a coarser `scale`")
+    record["X"], record["Y"], record["Z"] = quantized.astype(np.int64).T
+    if points.shape[1] >= 4:
+        record["intensity"] = np.clip(points[:, 3], 0, 65535)
+    if has_rgb:
+        for i, name in enumerate(("red", "green", "blue")):
+            record[name] = np.clip(points[:, 4 + i], 0, 65535)
+    if classification is not None:
+        record["classification"] = np.clip(
+            np.asarray(classification, np.int64), 0, 31)
+
+    header_size = 227
+    header = bytearray(header_size)
+    header[:4] = b"LASF"
+    header[24], header[25] = 1, 2
+    struct.pack_into("<H", header, 94, header_size)
+    struct.pack_into("<I", header, 96, header_size)   # point data offset
+    header[104] = fmt
+    struct.pack_into("<H", header, 105, dtype.itemsize)
+    struct.pack_into("<I", header, 107, n)
+    struct.pack_into("<3d", header, 131, *scale)
+    struct.pack_into("<3d", header, 155, *offset)
+    lo = points[:, :3].min(axis=0) if n else np.zeros(3)
+    hi = points[:, :3].max(axis=0) if n else np.zeros(3)
+    # header order is max-x, min-x, max-y, min-y, max-z, min-z
+    struct.pack_into(
+        "<6d", header, 179, hi[0], lo[0], hi[1], lo[1], hi[2], lo[2])
+    with open(path, "wb") as handle:
+        handle.write(bytes(header))
+        handle.write(record.tobytes())
+
+
 def _sniff_delimiter(path):
     with open(path, "r") as handle:
         line = handle.readline()
@@ -153,6 +308,8 @@ def load_points(source):
             cloud = archive[list(archive.keys())[0]]
         elif suffix == ".ply":
             cloud = load_ply(path)
+        elif suffix == ".las":
+            cloud = load_las(path)
         elif suffix in ASCII_SUFFIXES:
             cloud = load_ascii(path)
         else:
@@ -174,8 +331,20 @@ def load_labeled(cloud_path, labels_path=None, *, null_label=None):
     suffix.  ``null_label``, if given, is remapped to the archive's
     NULL_LABEL (999) -- Semantic3D uses 0 for "unlabeled".
 
+    For ``.las`` clouds with no sidecar file, the labels are the LAS
+    point records' own ASPRS classification codes.
+
     Returns ``(cloud float32 (N, C), labels int32 (N,))``.
     """
+    path = os.fspath(cloud_path) if not isinstance(
+        cloud_path, np.ndarray) else None
+    if (path is not None and labels_path is None
+            and os.path.splitext(path)[1].lower() == ".las"):
+        cloud, labels = load_las(path, with_classification=True)
+        if null_label is not None:
+            from nimrud_tpu.archive.store import NULL_LABEL
+            labels = np.where(labels == null_label, NULL_LABEL, labels)
+        return cloud, labels.astype(np.int32)
     cloud = load_points(cloud_path)
     if labels_path is None:
         base = os.path.splitext(os.fspath(cloud_path))[0]

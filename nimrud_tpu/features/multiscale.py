@@ -305,7 +305,8 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
                 kind,
                 None if exclude_radius is None else float(exclude_radius),
                 n_query,
-                jax.default_backend() not in ("tpu", "axon")))
+                jax.default_backend() not in ("tpu", "axon"),
+                tuning.get("span_batch", 8)))
         else:
             bands.append(device_grid.fused_extract(
                 query_dev, q_valid, centers, center_mask, spec, radii,
@@ -315,6 +316,75 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
                 tuning.get("precision", "highest"), n_query,
                 attributes=center_attrs))
     return bands[0] if len(bands) == 1 else jnp.concatenate(bands, axis=1)
+
+
+def plan_report(query, search, scaleset, *, method="tiled", tuning=None):
+    """
+    Per-band static-plan occupancy report -- no kernels run.  For each
+    ``(edge, radii)`` band, how full the fixed-capacity tables actually
+    are under the given tuning:
+
+      entry_fill:  live entries / entry capacity (dead entries still
+                   cost kernel batches -- low fill means wasted MXU
+                   passes);
+      q_slot_fill: valid queries / (live entries x q_cap) (how full the
+                   per-entry query slots are);
+      q_cap / s_cap / e_cap: the static capacities themselves.
+
+    ``method`` is "tiled" (host-built plan) or "fused" (device-resident
+    plan; fill estimated with the native host pass).  Surfaced through
+    ``nimrud sweep`` so capacity tuning is informed by occupancy, not
+    guesswork.
+    """
+    tuning = tuning or {}
+    query = np.asarray(query, dtype=np.float32)[:, :3]
+    search = np.asarray(search, dtype=np.float32)[:, :3]
+    scaleset = [(float(edge), tuple(float(r) for r in radii))
+                for edge, radii in scaleset]
+    report = []
+    if method == "fused":
+        from nimrud_tpu.ops import device_grid
+        lo = np.minimum(query.min(0), search.min(0)).astype(np.float64)
+        hi = np.maximum(query.max(0), search.max(0)).astype(np.float64)
+        q_bucket = _pow2_bucket(query.shape[0])
+        for edge, radii in scaleset:
+            if edge <= 0:
+                raise ValueError("fused plan needs voxel edges > 0")
+            spec = device_grid.make_spec(
+                lo, hi, max(radii), n_query=q_bucket,
+                m=tuning.get("query_tile_factor", 3),
+                q_cap=tuning.get("query_capacity") or 64,
+                voxel_edge=edge,
+                entry_batch=tuning.get("entry_batch", 256))
+            worst = spec.e_cap
+            if tuning.get("estimate_entries", True):
+                spec = device_grid.with_entry_estimate(spec, query)
+            live = device_grid.estimate_entries(query, spec)
+            report.append({
+                "edge": edge, "e_cap": spec.e_cap,
+                "e_cap_worst_case": worst, "entries_live": live,
+                "entry_fill": round(live / max(spec.e_cap, 1), 4),
+                "q_slot_fill": round(
+                    query.shape[0] / max(live * spec.q_cap, 1), 4),
+                "q_cap": spec.q_cap, "s_cap": spec.s_cap})
+    else:
+        for edge, radii in scaleset:
+            centers = voxel_downsample(search, edge)[0] if edge > 0 \
+                else search
+            problem = grid.build_tiled_problem(
+                query, centers, tile_edge=max(radii),
+                query_tile_factor=tuning.get("query_tile_factor", 3),
+                query_capacity=tuning.get("query_capacity"),
+                entry_batch=tuning.get("entry_batch", 256))
+            stats = problem.stats
+            report.append({
+                "edge": edge, "e_cap": problem.n_entries,
+                "entries_live": stats["entries"],
+                "entry_fill": round(
+                    stats["entries"] / max(problem.n_entries, 1), 4),
+                "q_slot_fill": round(stats["fill"], 4),
+                "q_cap": stats["q_cap"], "s_cap": stats["s_cap"]})
+    return report
 
 
 def extract_scaleset(query, search, scaleset, kind="geometric", *,

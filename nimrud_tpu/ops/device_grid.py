@@ -244,9 +244,10 @@ def build_tables(query, q_valid, search, s_valid, spec, with_stats=False):
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "radii", "kind", "exclude_radius",
-                     "n_out", "interpret"))
+                     "n_out", "interpret", "span_batch"))
 def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
-                        kind, exclude_radius, n_out, interpret=False):
+                        kind, exclude_radius, n_out, interpret=False,
+                        span_batch=8):
     """
     Raw padded clouds -> feature block via the Pallas span-DMA kernel
     (nimrud_tpu.ops.pallas.gather_kernel): search points are sorted by
@@ -333,7 +334,7 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
 
     slabs = gather_kernel.span_moments.__wrapped__(
         q_local, centers, span_starts, span_lens, sorted_t,
-        radii, span_rows, exclude_radius, interpret)
+        radii, span_rows, exclude_radius, interpret, span_batch)
     per_radius = multiscale_kernel.moments_from_slabs(
         slabs, centers, radii)
 

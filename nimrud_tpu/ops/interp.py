@@ -112,10 +112,15 @@ def interp_to_voxels(search, s_valid, attributes, spec, s_cap, *,
 
     starts_ext = jnp.concatenate([starts, jnp.zeros(1, jnp.int32)])
     lens_ext = jnp.concatenate([lens, jnp.zeros(1, jnp.int32)])
-    search_pad = jnp.vstack([search, jnp.zeros((1, 3), search.dtype)])
-    attr_pad = jnp.vstack(
-        [attributes, jnp.zeros((1, attributes.shape[1]),
-                               attributes.dtype)])
+    # pre-sort points AND attributes by voxel key once: the per-batch
+    # candidate positions are then 27 contiguous spans per center, so
+    # the (wide) attribute gather feeding the mean matmul reads
+    # span-local rows with ONE indirection instead of two scattered ones
+    search_sorted = jnp.vstack(
+        [search[sorted_order], jnp.zeros((1, 3), search.dtype)])
+    attr_sorted = jnp.vstack(
+        [attributes[sorted_order],
+         jnp.zeros((1, attributes.shape[1]), attributes.dtype)])
     col = jnp.arange(s_cap, dtype=jnp.int32)
 
     n_batches = -(-n // batch)
@@ -133,11 +138,10 @@ def interp_to_voxels(search, s_valid, attributes, spec, s_cap, *,
         ln = jnp.minimum(lens_ext[rws], s_cap)
         pos = st[:, :, None] + col[None, None, :]     # (B,27,s_cap)
         within = col[None, None, :] < ln[:, :, None]
-        idx = jnp.where(
-            within, sorted_order[jnp.clip(pos, 0, n - 1)], n)
+        idx = jnp.where(within, jnp.clip(pos, 0, n - 1), n)
         flat = idx.reshape(idx.shape[0], -1)          # (B, 27*s_cap)
-        pts = search_pad[flat]
-        vals = attr_pad[flat]
+        pts = search_sorted[flat]
+        vals = attr_sorted[flat]
         delta = pts - ctr[:, None, :]
         if metric == "chebyshev":
             dist = jnp.max(jnp.abs(delta), axis=-1)

@@ -45,24 +45,26 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-def _kernel_body(radii, window, n_span, exclude_radius, n_pad):
+def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch):
+    """``batch`` entries ride one grid step: the flattened
+    (entry, span) loop keeps the DMA pipeline full across entry
+    boundaries (one drain bubble per ``batch`` entries, not per
+    entry)."""
     width = len(radii) * MOMENT_PAD
+    total = batch * n_span
 
     def body(starts_ref, lens_ref, center_ref, q_ref, search_hbm,
              out_ref, buf, sems):
-        q = q_ref[0]                                   # (q_cap, 3)
-        q2 = jnp.sum(q * q, axis=1)[:, None]
-        cx = center_ref[0, 0, 0]
-        cy = center_ref[0, 0, 1]
-        cz = center_ref[0, 0, 2]
+        q_cap = q_ref.shape[2]
 
-        def aligned(span):
-            start = jnp.minimum(starts_ref[0, 0, span], n_pad - window)
+        def aligned(k):
+            e, span = k // n_span, k % n_span
+            start = jnp.minimum(starts_ref[0, e, span], n_pad - window)
             base = (start // LANES) * LANES
             return pl.multiple_of(base, LANES), start - base
 
-        def dma(span, slot):
-            base, _ = aligned(span)
+        def dma(k, slot):
+            base, _ = aligned(k)
             return pltpu.make_async_copy(
                 search_hbm.at[:, pl.ds(base, window)],
                 buf.at[slot],
@@ -70,19 +72,26 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad):
             )
 
         dma(0, 0).start()
-        out_ref[0] = jnp.zeros((q.shape[0], width), jnp.float32)
+        out_ref[0] = jnp.zeros((batch, q_cap, width), jnp.float32)
 
-        def loop(span, _):
-            slot = span % 2
+        def loop(k, _):
+            slot = k % 2
+            e, span = k // n_span, k % n_span
 
-            @pl.when(span + 1 < n_span)
+            @pl.when(k + 1 < total)
             def _():
-                dma(span + 1, (span + 1) % 2).start()
+                dma(k + 1, (k + 1) % 2).start()
 
-            dma(span, slot).wait()
+            dma(k, slot).wait()
 
-            _, prefix = aligned(span)
-            live = lens_ref[0, 0, span]
+            q = q_ref[0, e]                            # (q_cap, 3)
+            q2 = jnp.sum(q * q, axis=1)[:, None]
+            cx = center_ref[0, e, 0]
+            cy = center_ref[0, e, 1]
+            cz = center_ref[0, e, 2]
+
+            _, prefix = aligned(k)
+            live = lens_ref[0, e, span]
             x = buf[slot, 0, :] - cx                   # (window,)
             y = buf[slot, 1, :] - cy
             z = buf[slot, 2, :] - cz
@@ -116,20 +125,21 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad):
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
                 sl = slice(ri * MOMENT_PAD, (ri + 1) * MOMENT_PAD)
-                out_ref[0, :, sl] = out_ref[0, :, sl] + mom
+                out_ref[0, e, :, sl] = out_ref[0, e, :, sl] + mom
             return 0
 
-        jax.lax.fori_loop(0, n_span, loop, 0)
+        jax.lax.fori_loop(0, total, loop, 0)
 
     return body
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radii", "span_rows", "exclude_radius", "interpret"))
+    static_argnames=("radii", "span_rows", "exclude_radius", "interpret",
+                     "entries_per_step"))
 def span_moments(q_local, centers, span_starts, span_lens,
                  sorted_search_t, radii, span_rows, exclude_radius=None,
-                 interpret=False):
+                 interpret=False, entries_per_step=8):
     """
     Raw masked moment slabs via in-kernel span DMA.
 
@@ -146,6 +156,10 @@ def span_moments(q_local, centers, span_starts, span_lens,
                     trailing padding.
       radii:        static tuple.
       span_rows:    static max live points per span ((m+2) * s_cap).
+      entries_per_step: entries batched into one grid step (the DMA
+                    ring only drains at step boundaries, so larger
+                    batches amortize the pipeline bubble; VMEM cost is
+                    entries_per_step * q_cap * width floats of output).
 
     Returns:
       (E, q_cap, len(radii) * MOMENT_PAD) f32 slabs
@@ -158,31 +172,48 @@ def span_moments(q_local, centers, span_starts, span_lens,
     # window covers a worst-case-misaligned span at 128-lane granularity
     window = _round_up(int(span_rows), LANES) + LANES
 
-    return pl.pallas_call(
+    batch = max(int(entries_per_step), 1)
+    pad_e = (-n_entries) % batch
+    if pad_e:
+        q_local = jnp.concatenate(
+            [q_local, jnp.zeros((pad_e, q_cap, 3), q_local.dtype)])
+        centers = jnp.concatenate(
+            [centers, jnp.zeros((pad_e, 3), centers.dtype)])
+        span_starts = jnp.concatenate(
+            [span_starts, jnp.zeros((pad_e, n_span), span_starts.dtype)])
+        span_lens = jnp.concatenate(
+            [span_lens, jnp.zeros((pad_e, n_span), span_lens.dtype)])
+    n_steps = (n_entries + pad_e) // batch
+
+    out = pl.pallas_call(
         _kernel_body(tuple(float(r) for r in radii), window,
                      int(n_span),
                      None if exclude_radius is None
                      else float(exclude_radius),
-                     n_pad),
-        grid=(n_entries,),
+                     n_pad, batch),
+        grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((1, 1, n_span), lambda e: (e, 0, 0),
+            pl.BlockSpec((1, batch, n_span), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, n_span), lambda e: (e, 0, 0),
+            pl.BlockSpec((1, batch, n_span), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 3), lambda e: (e, 0, 0),
+            pl.BlockSpec((1, batch, 3), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, q_cap, 3), lambda e: (e, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),     # sorted cloud, HBM
+            pl.BlockSpec((1, batch, q_cap, 3), lambda g: (g, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),        # sorted cloud, HBM
         ],
-        out_specs=pl.BlockSpec((1, q_cap, width), lambda e: (e, 0, 0)),
+        out_specs=pl.BlockSpec((1, batch, q_cap, width),
+                               lambda g: (g, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(
-            (n_entries, q_cap, width), jnp.float32),
+            (n_steps, batch, q_cap, width), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, 4, window), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(span_starts[:, None, :], span_lens[:, None, :],
-      centers[:, None, :], q_local, sorted_search_t)
+    )(span_starts.reshape(n_steps, batch, n_span),
+      span_lens.reshape(n_steps, batch, n_span),
+      centers.reshape(n_steps, batch, 3),
+      q_local.reshape(n_steps, batch, q_cap, 3), sorted_search_t)
+    return out.reshape(-1, q_cap, width)[:n_entries]

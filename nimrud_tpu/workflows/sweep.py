@@ -47,12 +47,33 @@ def sweep_extraction(cloud=None, scaleset=None, kind="minimal", *,
     best configuration's timed run into this directory.
     """
     import jax
-    from nimrud_tpu.features.multiscale import extract_scaleset_device
+    from nimrud_tpu.features.multiscale import (
+        extract_scaleset_device, plan_report)
 
     if cloud is None:
         cloud = synthetic_scan(n_points)
     if scaleset is None:
         scaleset = [(0.25, (0.5,)), (0.5, (1.0,)), (1.0, (2.0,))]
+
+    fill_cache = {}
+
+    def fills(method, tuning):
+        """Per-band entry fill for this plan (cached; fill is
+        independent of matmul precision)."""
+        if method == "dense":
+            return None             # no tables, nothing to fill
+        key = (method, tuning["query_tile_factor"],
+               tuning["query_capacity"], tuning["entry_batch"])
+        if key not in fill_cache:
+            try:
+                report = plan_report(
+                    cloud, cloud, scaleset,
+                    method="fused" if method == "fused" else "tiled",
+                    tuning=tuning)
+                fill_cache[key] = [band["entry_fill"] for band in report]
+            except Exception:
+                fill_cache[key] = None
+        return fill_cache[key]
 
     results = []
     for method, m, q_cap, batch, precision in itertools.product(
@@ -78,7 +99,8 @@ def sweep_extraction(cloud=None, scaleset=None, kind="minimal", *,
             rate = len(cloud) * sum(len(r) for _, r in scaleset) / best
             row = {"method": method, **tuning,
                    "seconds": round(best, 4),
-                   "point_scales_per_sec": round(rate, 1)}
+                   "point_scales_per_sec": round(rate, 1),
+                   "entry_fill": fills(method, tuning)}
         except Exception as error:             # config not applicable
             row = {"method": method, **tuning, "error": str(error)[:100]}
         results.append(row)

@@ -25,9 +25,14 @@ from nimrud_tpu.utils.geometry import VoxelFilter
 def export_classified_cloud(archive, label_asset, path, *,
                             proba_asset=None, delimiter=","):
     """
-    Write an XYZRGB csv of the archive's classified points; with a
+    Write an XYZRGB export of the archive's classified points; with a
     probability asset the colors fade toward white with uncertainty.
+    The suffix picks the format: ``.ply`` (binary), ``.las`` (RGB
+    point records carrying the labels as ASPRS classification codes),
+    anything else a delimited csv.
     """
+    import os
+
     labels, index, _ = archive.get_asset(label_asset)
     points = archive.take(index)
     cloud_l = np.hstack([points, labels.reshape(-1, 1)])
@@ -38,7 +43,18 @@ def export_classified_cloud(archive, label_asset, path, *,
         colored = metrics.colorize_mc_prob(cloud_l, probabilities)
     else:
         colored = metrics.colorize_multiclass(cloud_l)
-    cloud_io.save_ascii(path, colored, delimiter=delimiter)
+    suffix = os.path.splitext(os.fspath(path))[1].lower()
+    if suffix == ".ply":
+        cloud_io.save_ply(path, colored)
+    elif suffix == ".las":
+        xyz_rgb16 = np.column_stack([
+            colored[:, :3],
+            np.zeros(len(colored)),             # intensity
+            colored[:, 3:6] * 257.0,            # 8-bit -> 16-bit color
+        ])
+        cloud_io.save_las(path, xyz_rgb16, classification=labels)
+    else:
+        cloud_io.save_ascii(path, colored, delimiter=delimiter)
     return path
 
 

@@ -159,3 +159,54 @@ def test_load_labeled_semantic3d_convention(tmp_path):
         np.savetxt(tmp_path / "short.labels", labels[:100], fmt="%d")
         cloud_io.load_labeled(tmp_path / "scan.txt",
                               tmp_path / "short.labels")
+
+
+def test_las_roundtrip(tmp_path):
+    rng = np.random.default_rng(6)
+    cloud = np.column_stack([
+        rng.random((300, 3)) * 50 + [1000.0, 2000.0, 30.0],
+        rng.integers(0, 65536, 300),                 # intensity
+    ]).astype(np.float64)
+    classes = rng.integers(0, 8, 300).astype(np.int32)
+    path = tmp_path / "scan.las"
+    cloud_io.save_las(path, cloud, classification=classes)
+    got, got_cls = cloud_io.load_las(path, with_classification=True)
+    assert got.shape == (300, 4)
+    assert np.allclose(got[:, :3], cloud[:, :3], atol=1e-3)  # mm scale
+    assert np.array_equal(got[:, 3], cloud[:, 3])
+    assert np.array_equal(got_cls, classes)
+    # generic entry point routes .las
+    assert np.allclose(cloud_io.load_points(path), got)
+    # .las with no sidecar: labels come from the LAS classification
+    got_cloud, labels = cloud_io.load_labeled(path, null_label=0)
+    assert labels.dtype == np.int32
+    want = np.where(classes == 0, NULL_LABEL, classes)
+    assert np.array_equal(labels, want)
+
+
+def test_las_rgb_format(tmp_path):
+    rng = np.random.default_rng(7)
+    cloud = np.column_stack([
+        rng.random((100, 3)) * 10,
+        rng.integers(0, 65536, (100, 4)),            # intensity + rgb
+    ]).astype(np.float64)
+    path = tmp_path / "rgb.las"
+    cloud_io.save_las(path, cloud, scale=1e-4)
+    got = cloud_io.load_las(path)
+    assert got.shape == (100, 7)
+    assert np.allclose(got[:, :3], cloud[:, :3], atol=1e-4)
+    assert np.array_equal(got[:, 3:], cloud[:, 3:])
+
+
+def test_las_rejects_garbage(tmp_path):
+    bad = tmp_path / "bad.las"
+    bad.write_bytes(b"NOPE" + b"\0" * 400)
+    with pytest.raises(ValueError, match="not a LAS"):
+        cloud_io.load_las(bad)
+    # LAZ compression bit set
+    laz = bytearray(b"LASF" + b"\0" * 371)
+    laz[104] = 0x80 | 1
+    lazf = tmp_path / "c.las"
+    lazf.write_bytes(bytes(laz))
+    with pytest.raises(ValueError, match="LAZ"):
+        cloud_io.load_las(lazf)

@@ -82,6 +82,24 @@ def test_moments_from_slabs_matches_xla_stats():
                            np.asarray(ref["cov"])[have], atol=1e-5)
 
 
+def test_span_entry_batching_matches_unbatched():
+    # entries_per_step changes DMA scheduling only, never results; a
+    # batch that does not divide the padded entry count exercises the
+    # pad-entries path (zero-length spans, zero queries)
+    from nimrud_tpu.features.multiscale import extract_scaleset
+    rng = np.random.default_rng(12)
+    search = (rng.random((4000, 3)) * [12, 12, 4]).astype(np.float32)
+    query = search[:1024]
+    scaleset = [(0.5, (1.0,))]
+    one = np.asarray(extract_scaleset(
+        query, search, scaleset, kind="minimal", method="fused",
+        tuning={"backend": "pallas", "span_batch": 1}))
+    three = np.asarray(extract_scaleset(
+        query, search, scaleset, kind="minimal", method="fused",
+        tuning={"backend": "pallas", "span_batch": 3}))
+    assert np.array_equal(one, three)
+
+
 def test_span_backend_matches_xla_fused():
     # the DMA-gather (span) kernel against the XLA fused path on the
     # same voxel-downsampled scene: same neighbor sets by construction

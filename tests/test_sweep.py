@@ -26,6 +26,36 @@ def test_sweep_ranks_configs():
     assert rates == sorted(rates, reverse=True)
 
 
+def test_plan_report_occupancy():
+    from nimrud_tpu.features.multiscale import plan_report
+    cloud = synthetic_scan(8_000, extent=30.0)
+    scaleset = [(0.5, (1.0,)), (1.0, (2.0,))]
+    for method in ("tiled", "fused"):
+        report = plan_report(cloud, cloud, scaleset, method=method)
+        assert len(report) == 2
+        for band in report:
+            assert 0 < band["entries_live"] <= band["e_cap"]
+            assert 0 < band["entry_fill"] <= 1
+            assert 0 < band["q_slot_fill"] <= 1
+            assert band["q_cap"] > 0 and band["s_cap"] > 0
+    # trimmed fused plan must beat the worst-case grid bound on a
+    # clustered cloud (the whole point of the occupancy estimate)
+    fused = plan_report(cloud, cloud, scaleset, method="fused")
+    assert any(b["e_cap"] < b["e_cap_worst_case"] for b in fused)
+
+
+def test_sweep_reports_entry_fill():
+    cloud = synthetic_scan(6_000, extent=30.0)
+    results = sweep_extraction(
+        cloud=cloud, scaleset=[(0.5, (1.0,))], repeats=1,
+        tile_factors=(2,), capacities=(None,), entry_batches=(64,),
+        methods=("tiled", "dense"), verbose=False)
+    by_method = {r["method"]: r for r in results if "error" not in r}
+    fill = by_method["tiled"]["entry_fill"]
+    assert fill is not None and len(fill) == 1 and 0 < fill[0] <= 1
+    assert by_method["dense"]["entry_fill"] is None
+
+
 def test_sweep_trace_capture(tmp_path):
     from nimrud_tpu.workflows.sweep import sweep_extraction, synthetic_scan
     trace_dir = str(tmp_path / "trace")

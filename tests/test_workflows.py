@@ -214,6 +214,19 @@ def test_viz_exports(tmp_path):
     exported = np.loadtxt(csv_path, delimiter=",")
     assert exported.shape == (len(cloud), 6)
 
+    # suffix-routed binary exports
+    from nimrud_tpu.archive import io as cloud_io
+    ply_path = wf_viz.export_classified_cloud(
+        archive, report["result_asset"], tmp_path / "out.ply")
+    assert cloud_io.load_ply(ply_path).shape == (len(cloud), 6)
+    las_path = wf_viz.export_classified_cloud(
+        archive, report["result_asset"], tmp_path / "out.las")
+    las_cloud, las_cls = cloud_io.load_las(
+        las_path, with_classification=True)
+    assert las_cloud.shape == (len(cloud), 7)
+    predicted, _, _ = archive.get_asset(report["result_asset"])
+    assert np.array_equal(las_cls, predicted)
+
     png = wf_viz.confusion_plot(report["confusion"], tmp_path / "conf.png")
     assert os.path.getsize(png) > 0
 
