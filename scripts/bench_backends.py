@@ -58,17 +58,19 @@ def main():
             for centers, mask, spec, radii in bands]
         return outs
 
-    def run_spans():
+    def run_spans(span_batch):
         outs = [device_grid.fused_extract_spans(
             query, q_valid, centers, mask, spec, radii, "minimal",
-            None, N_POINTS)
+            None, N_POINTS, span_batch=span_batch)
             for centers, mask, spec, radii in bands]
         return outs
 
     variants = {
         "xla_highest": lambda: run_xla("highest"),
         "xla_mixed": lambda: run_xla("mixed"),
-        "pallas_spans": run_spans,
+        "pallas_spans_b1": lambda: run_spans(1),
+        "pallas_spans_b8": lambda: run_spans(8),
+        "pallas_spans_b16": lambda: run_spans(16),
     }
     times, sums = {}, {}
     for name, fn in variants.items():
