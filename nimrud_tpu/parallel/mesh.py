@@ -495,6 +495,67 @@ def make_fused_extract_2d(mesh, halo_x, halo_y, scaleset, kind,
     return run
 
 
+def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
+                          bounds_lo, bounds_hi, rows, clf_kind,
+                          clf_params, clf_static=None, *,
+                          precision="highest"):
+    """
+    Multi-chip SERVING: the whole production inference step -- two-phase
+    halo exchange, device voxelize, tile build, masked moments, feature
+    layout, classifier -- under one shard_map on the 2-D tile mesh.
+    Classifier parameters are replicated (they are tiny); points and all
+    intermediate tables stay sharded.
+
+    ``clf_kind``/``clf_params``/``clf_static`` come from
+    :meth:`nimrud_tpu.pipeline.GeometryClassifier._fused_classifier`.
+
+    Returns f(blocks, valid) -> (n_devices, rows) int32 labels,
+    device-major (reassemble with :func:`nimrud_tpu.parallel.tiles.unshard`).
+    """
+    from nimrud_tpu.ops import device_grid, packing, unique
+    from nimrud_tpu.pipeline import classify_features
+
+    specs = []
+    for edge, radii in scaleset:
+        if edge <= 0:
+            raise ValueError("fused multi-chip serving needs "
+                             "voxelized bands (edge > 0)")
+        radii = tuple(float(r) for r in radii)
+        vox_spec = packing.GridSpec.fit_bounds(bounds_lo, bounds_hi, edge)
+        dev_spec = device_grid.make_spec(
+            bounds_lo, bounds_hi, max(radii), n_query=rows,
+            voxel_edge=edge)
+        specs.append((vox_spec, dev_spec, radii))
+    specs = tuple(specs)
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P((AXIS_X, AXIS_Y)), P((AXIS_X, AXIS_Y))),
+        out_specs=P((AXIS_X, AXIS_Y)),
+        # the rpte walk scans a replicated carry over sharded features;
+        # vma inference rejects that mix (as in make_train_step)
+        check_vma=False)
+    def run(blocks, valid):
+        block, v = blocks[0], valid[0]
+        halo_pts, halo_valid = _halo_bands_2d(block, v, halo_x, halo_y)
+        search = jnp.concatenate([block, halo_pts], axis=0)
+        s_valid = jnp.concatenate([v, halo_valid], axis=0)
+        bands = []
+        for vox_spec, dev_spec, radii in specs:
+            centers, _, mask = unique.unique_voxels(
+                search, vox_spec, valid=s_valid)
+            bands.append(device_grid.fused_extract.__wrapped__(
+                block, v, centers, mask, dev_spec, radii, kind,
+                None, precision, rows))
+        feats = bands[0] if len(bands) == 1 \
+            else jnp.concatenate(bands, axis=1)
+        probs = classify_features(clf_kind, clf_params, clf_static, feats)
+        return jnp.argmax(probs, axis=1).astype(jnp.int32)[None]
+
+    return run
+
+
 def extract_multichip_2d(points, radii, kind="minimal", *, mesh_shape,
                          mesh=None, buffer_radius=None, chunk_size=256,
                          exclude_radius=None):

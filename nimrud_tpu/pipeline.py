@@ -65,20 +65,25 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
     features = bands[0] if len(bands) == 1 \
         else jnp.concatenate(bands, axis=1)
 
+    probs = classify_features(clf_kind, clf_params, clf_static, features)
+    return jnp.argmax(probs, axis=1).astype(jnp.int32), probs
+
+
+def classify_features(clf_kind, clf_params, clf_static, features):
+    """Jit-composable classifier application (shared by the single-chip
+    fused predict and the multi-chip shard_map serving path)."""
     if clf_kind == "linear":
         standardized = (features - clf_params["mean"]) \
             / clf_params["scale"]
         logits = linear_clf.predict_logits(
             {"w": clf_params["w"], "b": clf_params["b"]}, standardized)
-        probs = jax.nn.softmax(logits)
-    elif clf_kind == "rpte":
+        return jax.nn.softmax(logits)
+    if clf_kind == "rpte":
         from nimrud_tpu.learning import rpt
         max_depth, d_func = clf_static
-        probs = rpt._ensemble_proba.__wrapped__(
+        return rpt._ensemble_proba.__wrapped__(
             clf_params, features, max_depth, d_func)
-    else:
-        raise ValueError(f"unsupported fused classifier {clf_kind!r}")
-    return jnp.argmax(probs, axis=1).astype(jnp.int32), probs
+    raise ValueError(f"unsupported fused classifier {clf_kind!r}")
 
 
 def _cloud_bounds(arr):
@@ -409,3 +414,57 @@ class GeometryClassifier:
     def predict(self, cloud, search=None, attributes=None):
         """Per-point class labels; only int32 labels leave the device."""
         return np.asarray(self.predict_device(cloud, search, attributes))
+
+    # -- multi-chip serving -----------------------------------------------------
+
+    def predict_multichip(self, cloud, mesh_shape, mesh=None):
+        """
+        Per-point class labels computed across a 2-D device mesh: the
+        cloud is sharded into rectangular columns, each device runs the
+        whole fused pipeline (halo exchange over ICI, device voxelize +
+        tile build + moments + classifier) on its shard, and the int32
+        labels are reassembled in caller order.
+
+        Requires a fitted fused-path configuration (voxelized bands, a
+        device classifier, no exclude_radius) and a geometry ``kind``.
+        """
+        from nimrud_tpu.parallel import mesh as pmesh
+        from nimrud_tpu.parallel import tiles
+
+        fused = self._fused_classifier()
+        if fused is None:
+            raise ValueError(
+                "predict_multichip needs a fitted device classifier "
+                "(linear or rpte)")
+        if self.kind == "vector" or self.exclude_radius is not None \
+                or any(edge <= 0 for edge, _ in self.scaleset):
+            raise ValueError(
+                "predict_multichip supports the fused geometry path "
+                "only (voxelized bands, no exclude_radius)")
+        clf_kind, clf_params, clf_static = fused
+
+        cloud = np.asarray(cloud, dtype=np.float32)[:, :3]
+        if self.bounds is not None:
+            lo, hi = (np.asarray(b, np.float64) for b in self.bounds)
+        else:
+            c_lo, c_hi = _cloud_bounds(cloud)
+            lo = np.asarray(c_lo, np.float64)
+            hi = np.asarray(c_hi, np.float64)
+
+        if mesh is None:
+            mesh = pmesh.make_mesh_2d(mesh_shape)
+        # halo must cover the largest radius PLUS a voxel edge: a voxel
+        # center within the radius can be induced by points up to a cell
+        # away across the shard boundary
+        buffer = max(max(r) for _, r in self.scaleset) \
+            + max(e for e, _ in self.scaleset)
+        shards = tiles.shard_cloud_2d(cloud, mesh_shape, buffer)
+        run = pmesh.make_fused_predict_2d(
+            mesh, shards["halo_x"], shards["halo_y"], self.scaleset,
+            self.kind, lo, hi, shards["blocks"].shape[1],
+            clf_kind, clf_params, clf_static)
+        labels = run(jnp.asarray(shards["blocks"]),
+                     jnp.asarray(shards["valid"]))
+        return tiles.unshard(
+            np.asarray(labels), shards["valid"], shards["order"],
+            len(cloud)).astype(np.int32)

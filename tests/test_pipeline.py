@@ -200,3 +200,50 @@ def test_fit_with_sampling():
         classifier_kwargs={"epochs": 30})
     model.fit(cloud, labels, sample=800)
     assert (model.predict(cloud) == labels).mean() > 0.85
+
+def test_predict_multichip_matches_single_chip():
+    # the whole serving pipeline (fused extract + classifier) under
+    # shard_map on the 2-D tile mesh must agree with single-chip predict
+    cloud, labels = _scene(per=900)
+    model = GeometryClassifier(
+        [(0.2, (0.8, 0.4))], kind="minimal", classifier="linear",
+        classifier_kwargs={"epochs": 25})
+    model.fit(cloud, labels)
+
+    single = model.predict(cloud)
+    multi = model.predict_multichip(cloud, mesh_shape=(4, 2))
+    assert multi.shape == single.shape
+    assert multi.dtype == np.int32
+    # shard-boundary points whose neighborhoods sit exactly on a radius
+    # shell can flip a single neighbor between compiled programs; the
+    # class decision must still agree essentially everywhere
+    agree = (multi == single).mean()
+    assert agree > 0.999, agree
+    assert (multi == labels).mean() > 0.95
+
+
+def test_predict_multichip_rejects_unsupported():
+    import pytest
+    cloud, labels = _scene(per=300)
+    unfit = GeometryClassifier([(0.2, (0.5,))], classifier="linear")
+    with pytest.raises(ValueError, match="fitted"):
+        unfit.predict_multichip(cloud, mesh_shape=(2, 2))
+    dense_band = GeometryClassifier(
+        [(0.0, (0.5,))], classifier="linear",
+        classifier_kwargs={"epochs": 5})
+    dense_band.fit(cloud, labels)
+    with pytest.raises(ValueError, match="voxelized"):
+        dense_band.predict_multichip(cloud, mesh_shape=(2, 2))
+
+
+def test_predict_multichip_rpte():
+    # the rpte device walk (scan over a replicated carry) under the
+    # serving shard_map
+    cloud, labels = _scene(per=400)
+    model = GeometryClassifier(
+        [(0.2, (0.8,))], kind="minimal", classifier="rpte",
+        classifier_kwargs={"n_estimators": 4, "seed": 0})
+    model.fit(cloud, labels)
+    multi = model.predict_multichip(cloud, mesh_shape=(2, 2))
+    single = model.predict(cloud)
+    assert (multi == single).mean() > 0.99
