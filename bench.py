@@ -57,10 +57,15 @@ def main():
     cloud, labels = make_cloud(N_POINTS, rng)
     scaleset = [(edge, (radius,)) for edge, radius in zip(EDGES, RADII)]
 
+    # production serving configuration: quantized uint16 uploads, fixed
+    # site bounds (one compiled program for the whole stream) and entry
+    # capacity sized from fit-time occupancy (dead entries cost kernel
+    # batches)
     model = GeometryClassifier(
         scaleset, kind="minimal", classifier="linear",
         classifier_kwargs={"epochs": 10, "seed": 0},
-        transfer_dtype="uint16")
+        transfer_dtype="uint16",
+        bounds=(cloud.min(0), cloud.max(0)), trim_entries=True)
 
     # train on a subsample, entirely on device (no transfers at all --
     # a single device->host read flips this environment's remote relay
