@@ -281,8 +281,23 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
         if kind == "vector":
             s_cap = tuning.get("vector_s_cap") or _pow2_bucket(
                 _voxel_occupancy_cap(search, vox_spec), minimum=8)
-            centers, center_mask, center_attrs = interp.interp_to_voxels(
-                search_dev, s_valid, attrs_dev, vox_spec, int(s_cap))
+            interp_backend = tuning.get("interp_backend", "auto")
+            if interp_backend not in ("auto", "gather", "matmul"):
+                raise ValueError(
+                    f"unknown interp_backend {interp_backend!r}")
+            if interp_backend == "matmul" or (
+                    interp_backend == "auto"
+                    and attributes.shape[1] > 8):
+                # wide attribute blocks: masked mean as a moment matmul
+                centers, center_mask, center_attrs = \
+                    interp.interp_to_voxels_matmul(
+                        search_dev, s_valid, attrs_dev, vox_spec,
+                        int(s_cap), s_lo, s_hi)
+            else:
+                centers, center_mask, center_attrs = \
+                    interp.interp_to_voxels(
+                        search_dev, s_valid, attrs_dev, vox_spec,
+                        int(s_cap))
         else:
             centers, _, center_mask = unique.unique_voxels(
                 search_dev, vox_spec, valid=s_valid)

@@ -164,3 +164,41 @@ def interp_to_voxels(search, s_valid, attributes, spec, s_cap, *,
     stats = {"dropped_search": jnp.sum(
         jnp.maximum(lens - s_cap, 0) * mask).astype(jnp.int32)}
     return centers, mask, attr_mean, stats
+
+
+def interp_to_voxels_matmul(search, s_valid, attributes, spec, s_cap,
+                            bounds_lo, bounds_hi, *, radius=None,
+                            with_stats=False):
+    """
+    Same contract as :func:`interp_to_voxels`, but the masked Chebyshev
+    mean rides the tiled moment MATMUL: attributes become extra columns
+    of the kernel's augmented matrix, so the A-wide accumulation runs on
+    the MXU in one pass (:func:`nimrud_tpu.ops.device_grid.fused_extract`
+    with ``metric="chebyshev"``).  The preferred layout for wide
+    attribute blocks (A > ~8), where the 27-span gather's per-value
+    indexed reads dominate; it trades HBM for it (a candidate table over
+    the fine grid at voxel resolution).
+
+    Needs the real cloud ``bounds_lo``/``bounds_hi`` (host scalars) --
+    the voxel grid's bit-budget bounds would explode the tile table.
+    """
+    from nimrud_tpu.ops import device_grid, unique
+
+    n = search.shape[0]
+    edge = float(spec.edge_length)
+    ball = float(edge if radius is None else radius)
+    if ball > edge:
+        raise ValueError(
+            "matmul interp covers a Chebyshev ball up to one voxel "
+            f"edge ({edge}), got radius {ball}")
+    centers, _, mask = unique.unique_voxels(search, spec, valid=s_valid)
+    dev_spec = device_grid.make_spec(
+        bounds_lo, bounds_hi, edge, n_query=n, s_cap=int(s_cap))
+    out = device_grid.fused_extract(
+        centers, mask, search, s_valid, dev_spec, (ball,), "vector",
+        None, "highest", n, with_stats, attributes, "chebyshev")
+    if with_stats:
+        attr_mean, dev_stats = out
+        return centers, mask, attr_mean, \
+            {"dropped_search": dev_stats["dropped_search"]}
+    return centers, mask, out

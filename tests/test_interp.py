@@ -70,3 +70,50 @@ def test_interp_overflow_counted():
         jnp.asarray(padded), jnp.asarray(valid), jnp.asarray(apad),
         spec, 64, with_stats=True)
     assert int(stats["dropped_search"]) == 600 - 64
+
+
+def test_interp_matmul_matches_gather():
+    # the wide-attribute matmul layout must agree with the span-gather
+    # interp (and hence the host oracle) on identical inputs
+    pts, attrs = _inputs(n=2500, n_attr=12)
+    bucket = 1
+    while bucket < len(pts):
+        bucket *= 2
+    padded = np.zeros((bucket, 3), np.float32)
+    padded[: len(pts)] = pts
+    apad = np.zeros((bucket, attrs.shape[1]), np.float32)
+    apad[: len(pts)] = attrs
+    valid = np.arange(bucket) < len(pts)
+
+    spec = packing.GridSpec.fit(pts, EDGE)
+    g_centers, g_mask, g_attrs = interp.interp_to_voxels(
+        jnp.asarray(padded), jnp.asarray(valid), jnp.asarray(apad),
+        spec, 64)
+    lo = pts.min(0).astype(np.float64)
+    hi = pts.max(0).astype(np.float64)
+    m_centers, m_mask, m_attrs, stats = interp.interp_to_voxels_matmul(
+        jnp.asarray(padded), jnp.asarray(valid), jnp.asarray(apad),
+        spec, 64, lo, hi, with_stats=True)
+    assert int(stats["dropped_search"]) == 0
+    assert np.array_equal(np.asarray(g_mask), np.asarray(m_mask))
+    live = np.asarray(g_mask)
+    assert np.allclose(np.asarray(g_centers)[live],
+                       np.asarray(m_centers)[live], atol=1e-5)
+    diff = np.abs(np.asarray(g_attrs)[live] - np.asarray(m_attrs)[live])
+    assert diff.max() < 2e-5, diff.max()
+
+
+def test_vector_fused_wide_attrs_auto_matmul():
+    # kind="vector" with a wide attribute block routes through the
+    # matmul interp automatically and matches the gather backend
+    from nimrud_tpu.features.multiscale import extract_scaleset
+    pts, attrs = _inputs(n=2000, n_attr=16)
+    query = pts[:512]
+    scaleset = [(EDGE, (2 * EDGE,))]
+    auto = extract_scaleset(query, pts, scaleset, kind="vector",
+                            attributes=attrs, method="fused")
+    gather = extract_scaleset(query, pts, scaleset, kind="vector",
+                              attributes=attrs, method="fused",
+                              tuning={"interp_backend": "gather"})
+    assert auto.shape == gather.shape == (512, 16)
+    assert np.abs(auto - gather).max() < 5e-5
