@@ -295,16 +295,26 @@ def _split_precision(precision):
 def _entry_stats(q_local, s_local, s_valid, aug, radii, exclude_radius,
                  precision=jax.lax.Precision.HIGHEST,
                  metric="euclidean", with_sazo=False):
-    """Masked moments for one batch of entries (shared by both kernels)."""
-    d2_prec, mom_prec = _split_precision(precision)
+    """Masked moments for one batch of entries (shared by both kernels).
+
+    MXU shape discipline (trace-measured on v5e): the naive forms run
+    the distance einsum with K=3 and the moment matmul with N=10 --
+    both waste >90% of the 128x128 systolic array.  So
+      * d2 is computed ELEMENTWISE on the VPU as per-axis squared
+        differences (also numerically better than the |q|^2+|s|^2-2qs
+        expansion: no cancellation, so ``precision`` never affects
+        radius membership), and
+      * the moment matmul runs TRANSPOSED, aug^T(K~10, S) @ mask^T(S, Q):
+        M=K~10 streams through the array while the contraction (S) and
+        output (Q) dims tile fully.
+    """
+    _, mom_prec = _split_precision(precision)
     if metric == "euclidean":
-        d2 = (jnp.sum(q_local * q_local, axis=-1)[:, :, None]
-              + jnp.sum(s_local * s_local, axis=-1)[:, None, :]
-              - 2.0 * jnp.einsum(
-                  "bqd,bsd->bqs", q_local, s_local,
-                  preferred_element_type=jnp.float32,
-                  precision=d2_prec))
-        d2 = jnp.maximum(d2, 0.0)
+        d2 = 0.0
+        for axis in range(3):
+            diff = (q_local[:, :, None, axis]
+                    - s_local[:, None, :, axis])
+            d2 = d2 + diff * diff
     elif metric == "chebyshev":
         d = jnp.abs(q_local[:, :, None, 0] - s_local[:, None, :, 0])
         for axis in (1, 2):
@@ -328,8 +338,9 @@ def _entry_stats(q_local, s_local, s_valid, aug, radii, exclude_radius,
     for radius in radii:
         in_ball = base & (d2 <= radius * radius)
         mask = in_ball.astype(jnp.float32)
+        # transposed orientation: (B, K~10, S) @ (B, S, Q) -> (B, K, Q)
         mom = jnp.einsum(
-            "bqs,bsk->bqk", mask, aug,
+            "bsk,bqs->bqk", aug, mask,
             preferred_element_type=jnp.float32,
             precision=mom_prec)
         count = mom[..., 0]

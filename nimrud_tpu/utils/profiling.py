@@ -7,11 +7,18 @@ apc.py:673-676, minimal/multiscale.py:36-65).  Here:
 
   * :class:`RateTimer` -- structured points/sec reporting;
   * :func:`trace` -- a context manager around ``jax.profiler`` that dumps
-    a TensorBoard/Perfetto device trace of the wrapped region.
+    a TensorBoard/Perfetto device trace of the wrapped region;
+  * :func:`device_track_stats` -- parse such a trace into device BUSY
+    time, the honest compute measurement on hosts whose dispatch is
+    asynchronous and whose ``block_until_ready`` does not await
+    dispatched work (this environment's relay-attached TPU).
 """
 
 import contextlib
+import glob
+import gzip
 import json
+import os
 import time
 
 
@@ -67,3 +74,45 @@ def trace(log_dir="/tmp/nimrud_trace"):
         yield log_dir
     finally:
         jax.profiler.stop_trace()
+
+
+def device_track_stats(trace_dir):
+    """
+    Parse a perfetto ``*.trace.json.gz`` written by :func:`trace` into
+    ``(busy_us, window_us)`` over the device (TPU) tracks: ``busy_us``
+    sums per-op durations, ``window_us`` spans first op start to last op
+    end (includes gaps).  Raises if the trace holds no device events.
+    """
+    paths = glob.glob(
+        os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True)
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {trace_dir}")
+    with gzip.open(sorted(paths)[-1], "rt") as handle:
+        events = json.load(handle).get("traceEvents", [])
+
+    pid_names, tid_names = {}, {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    device_pids = {pid for pid, name in pid_names.items()
+                   if "TPU" in name.upper() or "device:" in name.lower()}
+
+    begins, ends, busy = [], [], 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        thread = tid_names.get((e["pid"], e.get("tid")), "")
+        if "step" in thread.lower():
+            continue                    # step track double-counts ops
+        dur = float(e.get("dur", 0.0))
+        ts = float(e.get("ts", 0.0))
+        busy += dur
+        begins.append(ts)
+        ends.append(ts + dur)
+    if not begins:
+        raise ValueError(
+            "no device-track events in trace; tracks seen: "
+            + ", ".join(sorted(set(pid_names.values()))))
+    return busy, max(ends) - min(begins)

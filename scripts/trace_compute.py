@@ -1,0 +1,130 @@
+"""
+Honest device-compute timing via a profiler trace.
+
+On the relay-attached TPU, ``jax.block_until_ready`` returns without
+awaiting dispatched device work, so wall-clock timing measures dispatch,
+not compute (ROADMAP "Timing semantics").  The device trace sidesteps
+that: the TPU's own tracer records per-op start/duration on the device
+timeline, so summing the "XLA Ops" track gives true device busy time
+regardless of what the host thinks.
+
+Runs the benchmark workload's fused extraction per backend under
+``jax.profiler.trace`` and reports, per variant:
+  device_busy_ms:  sum of XLA-op durations on the device track
+  window_ms:       last op end - first op start (includes gaps)
+points/sec derived from device_busy_ms.
+
+Usage:  python scripts/trace_compute.py [n_repeats] [variant]
+
+Run ONE VARIANT PER PROCESS on the relay: the forced d2h that drains
+the trace flips the process into the degraded mode where large fused
+programs run ~30x slower (CLAUDE.md), which would corrupt any variant
+traced after the first.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+
+
+N_POINTS = 1_048_576
+EDGES = (0.25, 0.5, 1.0)
+RADII = (0.5, 1.0, 2.0)
+
+
+from nimrud_tpu.utils.profiling import device_track_stats  # noqa: E402
+
+
+def make_cloud(n, rng):
+    ground = rng.random((n // 2, 3)) * [100, 100, 0.15]
+    walls = [rng.random((n // 16, 3)) * [0.2, 12, 9]
+             + [rng.random() * 90, rng.random() * 90, 0] for _ in range(8)]
+    canopy = rng.normal([60, 60, 7], [15, 15, 2], (n // 4, 3))
+    return np.vstack([ground, *walls, canopy]).astype(np.float32)[:n]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from nimrud_tpu.ops import device_grid, packing, unique
+
+    repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    rng = np.random.default_rng(0)
+    cloud = make_cloud(N_POINTS, rng)
+    lo = cloud.min(0).astype(np.float64)
+    hi = cloud.max(0).astype(np.float64)
+
+    query = jnp.asarray(cloud)
+    q_valid = jnp.ones(N_POINTS, bool)
+    bands = []
+    for edge, radius in zip(EDGES, RADII):
+        vox_spec = packing.GridSpec.fit_bounds(lo, hi, edge)
+        centers, _, mask = unique.unique_voxels(query, vox_spec)
+        spec = device_grid.make_spec(
+            lo, hi, radius, n_query=N_POINTS, voxel_edge=edge)
+        spec = device_grid.with_entry_estimate(spec, cloud)
+        bands.append((centers, mask, spec, (radius,)))
+    jax.block_until_ready([b[0] for b in bands])
+
+    def run_xla(precision):
+        return [device_grid.fused_extract(
+            query, q_valid, centers, mask, spec, radii, "minimal",
+            None, precision, N_POINTS)
+            for centers, mask, spec, radii in bands]
+
+    def run_spans(batch):
+        return [device_grid.fused_extract_spans(
+            query, q_valid, centers, mask, spec, radii, "minimal",
+            None, N_POINTS, span_batch=batch)
+            for centers, mask, spec, radii in bands]
+
+    variants = {
+        "xla_highest": lambda: run_xla("highest"),
+        "xla_mixed": lambda: run_xla("mixed"),
+        "pallas_spans_b1": lambda: run_spans(1),
+        "pallas_spans_b8": lambda: run_spans(8),
+    }
+    if len(sys.argv) > 2:
+        pick = sys.argv[2]
+        variants = {pick: variants[pick]}
+
+    results = {}
+    for name, fn in variants.items():
+        try:
+            jax.block_until_ready(fn())          # compile outside trace
+            trace_dir = tempfile.mkdtemp(prefix=f"nimrud_trace_{name}_")
+            with jax.profiler.trace(trace_dir):
+                outs = None
+                for _ in range(repeats):
+                    outs = fn()
+                jax.block_until_ready(outs)
+                # force real completion: tiny d2h of one scalar
+                float(outs[0][0, 0])
+            busy_us, window_us = device_track_stats(trace_dir)
+            per_extract_ms = busy_us / 1e3 / repeats
+            results[name] = {
+                "device_busy_ms_per_extract": round(per_extract_ms, 3),
+                "window_ms_total": round(window_us / 1e3, 3),
+                "point_scales_per_sec_M": round(
+                    N_POINTS * len(RADII) / (per_extract_ms / 1e3) / 1e6,
+                    1),
+            }
+            shutil.rmtree(trace_dir, ignore_errors=True)
+        except Exception as error:
+            results[name] = {"error": str(error)[:300]}
+
+    print(json.dumps({
+        "repeats": repeats,
+        "n_points": N_POINTS,
+        "scales": list(RADII),
+        "variants": results,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
