@@ -82,15 +82,13 @@ def chunk_moments(query_chunk, search, search_valid, radii,
     s = search - center
 
     if metric == "euclidean":
-        # Precision.HIGHEST: the TPU MXU truncates f32 operands to bf16 by
-        # default, which perturbs distances near the radius boundary and
-        # loses ~3 digits of the second moments.  HIGHEST keeps
-        # f32-faithful results (multi-pass on the MXU); no-op on CPU.
-        d2 = (jnp.sum(q * q, axis=1)[:, None]
-              + jnp.sum(s * s, axis=1)[None, :]
-              - 2.0 * jnp.dot(q, s.T, preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST))
-        d2 = jnp.maximum(d2, 0.0)
+        # elementwise on the VPU: per-axis squared differences have no
+        # cancellation (better than the |q|^2+|s|^2-2qs expansion) and
+        # a K=3 matmul would waste >95% of the MXU anyway
+        d2 = 0.0
+        for axis in range(3):
+            diff = q[:, None, axis] - s[None, :, axis]
+            d2 = d2 + diff * diff
     elif metric == "chebyshev":
         cheby = jnp.max(
             jnp.abs(q[:, None, :] - s[None, :, :]), axis=-1)
@@ -112,8 +110,15 @@ def chunk_moments(query_chunk, search, search_valid, radii,
     for radius in radii:
         in_ball = base & (d2 <= radius * radius)
         mask = in_ball.astype(jnp.float32)
-        mom = jnp.dot(mask, aug, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+        # transposed MXU orientation (see ops.grid._entry_stats): the
+        # ~10 moment columns stream while S (contraction) and Q
+        # (output) tile fully.  Precision.HIGHEST: the MXU truncates
+        # f32 operands to bf16 by default, losing ~3 digits of the
+        # second moments; HIGHEST keeps f32-faithful results
+        # (multi-pass on the MXU); no-op on CPU.
+        mom = jnp.einsum("sk,qs->qk", aug, mask,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
         count = mom[:, 0]
         denom = jnp.maximum(count, 1.0)
         mean_local = mom[:, 1:4] / denom[:, None]
