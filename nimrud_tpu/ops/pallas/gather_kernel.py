@@ -72,7 +72,12 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch):
             )
 
         dma(0, 0).start()
-        out_ref[0] = jnp.zeros((batch, q_cap, width), jnp.float32)
+        # accumulator rides TRANSPOSED (width, q_cap): the moment dot is
+        # aug (16, W) @ mask^T (W, q_cap) -- M=16 streams through the
+        # MXU while the contraction (W) and output (q_cap) dims tile
+        # fully.  The (q_cap, width) layout would put N=16 on the lane
+        # axis and waste 7/8 of every pass.
+        out_ref[0] = jnp.zeros((batch, width, q_cap), jnp.float32)
 
         def loop(k, _):
             slot = k % 2
@@ -85,7 +90,6 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch):
             dma(k, slot).wait()
 
             q = q_ref[0, e]                            # (q_cap, 3)
-            q2 = jnp.sum(q * q, axis=1)[:, None]
             cx = center_ref[0, e, 0]
             cy = center_ref[0, e, 1]
             cz = center_ref[0, e, 2]
@@ -99,13 +103,12 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch):
                 jnp.int32, (1, window), 1)[0]
             valid = (lane >= prefix) & (lane < prefix + live)
 
-            s_t = jnp.stack([x, y, z], axis=0)         # (3, window)
-            d2 = (q2 + (x * x + y * y + z * z)[None, :]
-                  - 2.0 * jax.lax.dot_general(
-                      q, s_t, (((1,), (0,)), ((), ())),
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST))
-            d2 = jnp.maximum(d2, 0.0)
+            # squared distances elementwise on the VPU: no cancellation
+            # (exact f32 boundary decisions) and no K=3 matmul waste
+            dx = q[:, 0:1] - x[None, :]                # (q_cap, window)
+            dy = q[:, 1:2] - y[None, :]
+            dz = q[:, 2:3] - z[None, :]
+            d2 = dx * dx + dy * dy + dz * dz
 
             ones = valid.astype(jnp.float32)
             aug = jnp.stack(
@@ -121,11 +124,11 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch):
                 mask = (base_mask
                         & (d2 <= radius * radius)).astype(jnp.float32)
                 mom = jax.lax.dot_general(
-                    mask, aug, (((1,), (1,)), ((), ())),
+                    aug, mask, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=jax.lax.Precision.HIGHEST)  # (16, q_cap)
                 sl = slice(ri * MOMENT_PAD, (ri + 1) * MOMENT_PAD)
-                out_ref[0, e, :, sl] = out_ref[0, e, :, sl] + mom
+                out_ref[0, e, sl, :] = out_ref[0, e, sl, :] + mom
             return 0
 
         jax.lax.fori_loop(0, total, loop, 0)
@@ -202,10 +205,10 @@ def span_moments(q_local, centers, span_starts, span_lens,
             pl.BlockSpec((1, batch, q_cap, 3), lambda g: (g, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),        # sorted cloud, HBM
         ],
-        out_specs=pl.BlockSpec((1, batch, q_cap, width),
+        out_specs=pl.BlockSpec((1, batch, width, q_cap),
                                lambda g: (g, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(
-            (n_steps, batch, q_cap, width), jnp.float32),
+            (n_steps, batch, width, q_cap), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, 4, window), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -216,4 +219,7 @@ def span_moments(q_local, centers, span_starts, span_lens,
       span_lens.reshape(n_steps, batch, n_span),
       centers.reshape(n_steps, batch, 3),
       q_local.reshape(n_steps, batch, q_cap, 3), sorted_search_t)
-    return out.reshape(-1, q_cap, width)[:n_entries]
+    # slabs leave the kernel transposed (width, q_cap); restore the
+    # (q_cap, width) contract with one fused XLA transpose
+    return jnp.swapaxes(
+        out.reshape(-1, width, q_cap), 1, 2)[:n_entries]

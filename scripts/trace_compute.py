@@ -60,31 +60,45 @@ def main():
 
     query = jnp.asarray(cloud)
     q_valid = jnp.ones(N_POINTS, bool)
-    bands = []
-    for edge, radius in zip(EDGES, RADII):
-        vox_spec = packing.GridSpec.fit_bounds(lo, hi, edge)
-        centers, _, mask = unique.unique_voxels(query, vox_spec)
-        spec = device_grid.make_spec(
-            lo, hi, radius, n_query=N_POINTS, voxel_edge=edge)
-        spec = device_grid.with_entry_estimate(spec, cloud)
-        bands.append((centers, mask, spec, (radius,)))
-    jax.block_until_ready([b[0] for b in bands])
 
-    def run_xla(precision):
+    def make_bands(q_cap):
+        bands = []
+        for edge, radius in zip(EDGES, RADII):
+            vox_spec = packing.GridSpec.fit_bounds(lo, hi, edge)
+            centers, _, mask = unique.unique_voxels(query, vox_spec)
+            spec = device_grid.make_spec(
+                lo, hi, radius, n_query=N_POINTS, voxel_edge=edge,
+                q_cap=q_cap)
+            spec = device_grid.with_entry_estimate(spec, cloud)
+            bands.append((centers, mask, spec, (radius,)))
+        jax.block_until_ready([b[0] for b in bands])
+        return bands
+
+    bands_cache = {}
+
+    def bands_for(q_cap):
+        if q_cap not in bands_cache:
+            bands_cache[q_cap] = make_bands(q_cap)
+        return bands_cache[q_cap]
+
+    def run_xla(precision, q_cap=64):
         return [device_grid.fused_extract(
             query, q_valid, centers, mask, spec, radii, "minimal",
             None, precision, N_POINTS)
-            for centers, mask, spec, radii in bands]
+            for centers, mask, spec, radii in bands_for(q_cap)]
 
-    def run_spans(batch):
+    def run_spans(batch, q_cap=64):
         return [device_grid.fused_extract_spans(
             query, q_valid, centers, mask, spec, radii, "minimal",
             None, N_POINTS, span_batch=batch)
-            for centers, mask, spec, radii in bands]
+            for centers, mask, spec, radii in bands_for(q_cap)]
 
     variants = {
         "xla_highest": lambda: run_xla("highest"),
         "xla_mixed": lambda: run_xla("mixed"),
+        "xla_highest_q128": lambda: run_xla("highest", 128),
+        "xla_highest_q256": lambda: run_xla("highest", 256),
+        "xla_mixed_q256": lambda: run_xla("mixed", 256),
         "pallas_spans_b1": lambda: run_spans(1),
         "pallas_spans_b8": lambda: run_spans(8),
     }
