@@ -305,7 +305,7 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
         spec = device_grid.make_spec(
             lo, hi, max(radii), n_query=q_bucket,
             m=tuning.get("query_tile_factor", 3),
-            q_cap=tuning.get("query_capacity") or 64,
+            q_cap=tuning.get("query_capacity") or 128,
             voxel_edge=edge,
             entry_batch=tuning.get("entry_batch", 256))
         if tuning.get("estimate_entries", True):
@@ -368,7 +368,7 @@ def plan_report(query, search, scaleset, *, method="tiled", tuning=None):
             spec = device_grid.make_spec(
                 lo, hi, max(radii), n_query=q_bucket,
                 m=tuning.get("query_tile_factor", 3),
-                q_cap=tuning.get("query_capacity") or 64,
+                q_cap=tuning.get("query_capacity") or 128,
                 voxel_edge=edge,
                 entry_batch=tuning.get("entry_batch", 256))
             worst = spec.e_cap

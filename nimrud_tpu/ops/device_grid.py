@@ -62,7 +62,7 @@ class DeviceGridSpec:
         return d[0] * d[1] * d[2]
 
 
-def make_spec(bounds_lo, bounds_hi, tile_edge, *, n_query, m=3, q_cap=64,
+def make_spec(bounds_lo, bounds_hi, tile_edge, *, n_query, m=3, q_cap=128,
               s_cap=None, voxel_edge=None, entry_batch=256,
               dims_round=16):
     """
@@ -70,6 +70,10 @@ def make_spec(bounds_lo, bounds_hi, tile_edge, *, n_query, m=3, q_cap=64,
 
     s_cap: per-fine-tile occupancy bound; derived exactly from
     ``voxel_edge`` when the search set is voxel-downsampled.
+
+    q_cap=128 fills the 128-lane output dim of the transposed moment
+    matmul and halves the entry count (fewer, fatter kernel steps);
+    trace-measured faster than 64 for both backends on v5e.
     """
     lo = np.asarray(bounds_lo, np.float64) - 1e-3
     hi = np.asarray(bounds_hi, np.float64) + 1e-3

@@ -46,20 +46,23 @@ def _round_up(n, m):
 
 
 def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch):
-    """``batch`` entries ride one grid step: the flattened
-    (entry, span) loop keeps the DMA pipeline full across entry
-    boundaries (one drain bubble per ``batch`` entries, not per
-    entry)."""
+    """``batch`` entries ride one grid step.  The step's spans arrive
+    COMPACTED: live (len > 0) spans first with their owning entry index
+    alongside, and ``n_live_ref`` holds the live count -- so the loop
+    does DMA + compute for live spans only and dead slots cost one
+    scalar compare.  On surface-like clouds most of the (m+2)^2
+    candidate rows of a tile are empty, so this is the difference
+    between working the real data and working the worst case."""
     width = len(radii) * MOMENT_PAD
     total = batch * n_span
 
-    def body(starts_ref, lens_ref, center_ref, q_ref, search_hbm,
-             out_ref, buf, sems):
+    def body(starts_ref, lens_ref, entry_ref, n_live_ref, center_ref,
+             q_ref, search_hbm, out_ref, buf, sems):
         q_cap = q_ref.shape[2]
+        n_live = n_live_ref[0, 0, 0]
 
         def aligned(k):
-            e, span = k // n_span, k % n_span
-            start = jnp.minimum(starts_ref[0, e, span], n_pad - window)
+            start = jnp.minimum(starts_ref[0, 0, k], n_pad - window)
             base = (start // LANES) * LANES
             return pl.multiple_of(base, LANES), start - base
 
@@ -71,7 +74,10 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch):
                 sems.at[slot],
             )
 
-        dma(0, 0).start()
+        @pl.when(n_live > 0)
+        def _():
+            dma(0, 0).start()
+
         # accumulator rides TRANSPOSED (width, q_cap): the moment dot is
         # aug (16, W) @ mask^T (W, q_cap) -- M=16 streams through the
         # MXU while the contraction (W) and output (q_cap) dims tile
@@ -80,55 +86,59 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch):
         out_ref[0] = jnp.zeros((batch, width, q_cap), jnp.float32)
 
         def loop(k, _):
-            slot = k % 2
-            e, span = k // n_span, k % n_span
-
-            @pl.when(k + 1 < total)
+            @pl.when(k < n_live)
             def _():
-                dma(k + 1, (k + 1) % 2).start()
+                slot = k % 2
+                e = entry_ref[0, 0, k]
 
-            dma(k, slot).wait()
+                @pl.when(k + 1 < n_live)
+                def _():
+                    dma(k + 1, (k + 1) % 2).start()
 
-            q = q_ref[0, e]                            # (q_cap, 3)
-            cx = center_ref[0, e, 0]
-            cy = center_ref[0, e, 1]
-            cz = center_ref[0, e, 2]
+                dma(k, slot).wait()
 
-            _, prefix = aligned(k)
-            live = lens_ref[0, e, span]
-            x = buf[slot, 0, :] - cx                   # (window,)
-            y = buf[slot, 1, :] - cy
-            z = buf[slot, 2, :] - cz
-            lane = jax.lax.broadcasted_iota(
-                jnp.int32, (1, window), 1)[0]
-            valid = (lane >= prefix) & (lane < prefix + live)
+                q = q_ref[0, e]                        # (q_cap, 3)
+                cx = center_ref[0, e, 0]
+                cy = center_ref[0, e, 1]
+                cz = center_ref[0, e, 2]
 
-            # squared distances elementwise on the VPU: no cancellation
-            # (exact f32 boundary decisions) and no K=3 matmul waste
-            dx = q[:, 0:1] - x[None, :]                # (q_cap, window)
-            dy = q[:, 1:2] - y[None, :]
-            dz = q[:, 2:3] - z[None, :]
-            d2 = dx * dx + dy * dy + dz * dz
+                _, prefix = aligned(k)
+                live = lens_ref[0, 0, k]
+                x = buf[slot, 0, :] - cx               # (window,)
+                y = buf[slot, 1, :] - cy
+                z = buf[slot, 2, :] - cz
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, window), 1)[0]
+                valid = (lane >= prefix) & (lane < prefix + live)
 
-            ones = valid.astype(jnp.float32)
-            aug = jnp.stack(
-                [ones, x, y, z, x * x, x * y, x * z, y * y, y * z, z * z]
-                + [jnp.zeros_like(x)] * (MOMENT_PAD - 10), axis=0)
-            aug = aug * ones[None, :]                  # (16, window)
+                # squared distances elementwise on the VPU: no
+                # cancellation (exact f32 boundary decisions) and no K=3
+                # matmul waste
+                dx = q[:, 0:1] - x[None, :]            # (q_cap, window)
+                dy = q[:, 1:2] - y[None, :]
+                dz = q[:, 2:3] - z[None, :]
+                d2 = dx * dx + dy * dy + dz * dz
 
-            base_mask = valid[None, :]
-            if exclude_radius is not None:
-                base_mask = base_mask \
-                    & (d2 >= exclude_radius * exclude_radius)
-            for ri, radius in enumerate(radii):
-                mask = (base_mask
-                        & (d2 <= radius * radius)).astype(jnp.float32)
-                mom = jax.lax.dot_general(
-                    aug, mask, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # (16, q_cap)
-                sl = slice(ri * MOMENT_PAD, (ri + 1) * MOMENT_PAD)
-                out_ref[0, e, sl, :] = out_ref[0, e, sl, :] + mom
+                ones = valid.astype(jnp.float32)
+                aug = jnp.stack(
+                    [ones, x, y, z,
+                     x * x, x * y, x * z, y * y, y * z, z * z]
+                    + [jnp.zeros_like(x)] * (MOMENT_PAD - 10), axis=0)
+                aug = aug * ones[None, :]              # (16, window)
+
+                base_mask = valid[None, :]
+                if exclude_radius is not None:
+                    base_mask = base_mask \
+                        & (d2 >= exclude_radius * exclude_radius)
+                for ri, radius in enumerate(radii):
+                    mask = (base_mask
+                            & (d2 <= radius * radius)).astype(jnp.float32)
+                    mom = jax.lax.dot_general(
+                        aug, mask, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (16, q_cap)
+                    sl = slice(ri * MOMENT_PAD, (ri + 1) * MOMENT_PAD)
+                    out_ref[0, e, sl, :] = out_ref[0, e, sl, :] + mom
             return 0
 
         jax.lax.fori_loop(0, total, loop, 0)
@@ -187,6 +197,25 @@ def span_moments(q_local, centers, span_starts, span_lens,
         span_lens = jnp.concatenate(
             [span_lens, jnp.zeros((pad_e, n_span), span_lens.dtype)])
     n_steps = (n_entries + pad_e) // batch
+    total = batch * n_span
+
+    # compact each step's live spans to the front (with their owning
+    # entry index alongside) so the kernel loop runs over real data
+    # only; on surface-like clouds most candidate rows are empty
+    lens2 = span_lens.reshape(n_steps, total)
+    dead = (lens2 == 0).astype(jnp.int32)
+    order = jnp.argsort(dead, axis=1).astype(jnp.int32)   # stable
+    starts_c = jnp.take_along_axis(
+        span_starts.reshape(n_steps, total), order, axis=1)
+    lens_c = jnp.take_along_axis(lens2, order, axis=1)
+    entry_c = (order // n_span).astype(jnp.int32)
+    n_live = (total - jnp.sum(dead, axis=1, dtype=jnp.int32))
+    # singleton middle axis: Mosaic wants the last two block dims to
+    # divide (8, 128) or equal the array dims
+    starts_c = starts_c.reshape(n_steps, 1, total)
+    lens_c = lens_c.reshape(n_steps, 1, total)
+    entry_c = entry_c.reshape(n_steps, 1, total)
+    n_live = n_live.reshape(n_steps, 1, 1)
 
     out = pl.pallas_call(
         _kernel_body(tuple(float(r) for r in radii), window,
@@ -196,9 +225,13 @@ def span_moments(q_local, centers, span_starts, span_lens,
                      n_pad, batch),
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((1, batch, n_span), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, 1, total), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, batch, n_span), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, 1, total), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, total), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, batch, 3), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -215,8 +248,7 @@ def span_moments(q_local, centers, span_starts, span_lens,
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(span_starts.reshape(n_steps, batch, n_span),
-      span_lens.reshape(n_steps, batch, n_span),
+    )(starts_c, lens_c, entry_c, n_live,
       centers.reshape(n_steps, batch, 3),
       q_local.reshape(n_steps, batch, q_cap, 3), sorted_search_t)
     # slabs leave the kernel transposed (width, q_cap); restore the

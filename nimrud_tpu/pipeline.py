@@ -29,11 +29,12 @@ from nimrud_tpu.ops import device_grid, packing, unique
     jax.jit,
     static_argnames=("band_specs", "kind", "exclude_radius",
                      "precision", "n_query", "clf_kind", "clf_static",
-                     "vector_s_cap"))
+                     "vector_s_cap", "backend", "interpret"))
 def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                         band_specs, kind, exclude_radius, precision,
                         n_query, clf_kind="linear", clf_static=None,
-                        dequant=None, attributes=None, vector_s_cap=32):
+                        dequant=None, attributes=None, vector_s_cap=32,
+                        backend="xla", interpret=False):
     """
     ONE compiled program for the whole inference step: per band, device
     voxel downsample + tile-grid build + masked-moment features; then the
@@ -49,19 +50,44 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
         query = query.astype(jnp.float32) * dequant[3] + dequant[:3]
         search = search.astype(jnp.float32) * dequant[3] + dequant[:3]
 
+    from nimrud_tpu.features import layouts
+
     bands = []
-    for vox_spec, dev_spec, radii in band_specs:
+    for band in band_specs:
+        vox_spec, dev_spec, radii = band[:3]
+        interp_spec = band[3] if len(band) > 3 else None
         if kind == "vector":
             from nimrud_tpu.ops import interp
-            centers, mask, cattrs = interp.interp_to_voxels.__wrapped__(
-                search, s_valid, attributes, vox_spec, vector_s_cap)
+            if interp_spec is not None and attributes.shape[1] > 8:
+                # wide attribute blocks: the masked Chebyshev mean rides
+                # the moment matmul (same auto rule as the extract path)
+                centers, _, mask = unique.unique_voxels(
+                    search, vox_spec, valid=s_valid)
+                cattrs = device_grid.fused_extract.__wrapped__(
+                    centers, mask, search, s_valid, interp_spec,
+                    (float(vox_spec.edge_length),), "vector", None,
+                    "highest", search.shape[0], False, attributes,
+                    "chebyshev")
+            else:
+                centers, mask, cattrs = \
+                    interp.interp_to_voxels.__wrapped__(
+                        search, s_valid, attributes, vox_spec,
+                        vector_s_cap)
         else:
             centers, _, mask = unique.unique_voxels(
                 search, vox_spec, valid=s_valid)
             cattrs = None
-        bands.append(device_grid.fused_extract.__wrapped__(
-            query, q_valid, centers, mask, dev_spec, radii, kind,
-            exclude_radius, precision, n_query, False, cattrs))
+        if backend == "pallas" and kind != "vector" \
+                and not layouts.needs_sazo(kind):
+            # the span-DMA kernel: no candidate index table, live spans
+            # only -- measured faster than the XLA moment loop on v5e
+            bands.append(device_grid.fused_extract_spans.__wrapped__(
+                query, q_valid, centers, mask, dev_spec, radii, kind,
+                exclude_radius, n_query, interpret))
+        else:
+            bands.append(device_grid.fused_extract.__wrapped__(
+                query, q_valid, centers, mask, dev_spec, radii, kind,
+                exclude_radius, precision, n_query, False, cattrs))
     features = bands[0] if len(bands) == 1 \
         else jnp.concatenate(bands, axis=1)
 
@@ -114,7 +140,7 @@ class GeometryClassifier:
                  classifier_kwargs=None, exclude_radius=None,
                  method="auto", chunk_size=1024,
                  transfer_dtype="float32", vector_s_cap=32,
-                 bounds=None, trim_entries=False):
+                 bounds=None, trim_entries=False, backend="xla"):
         self.scaleset = [(float(e), tuple(float(r) for r in rs))
                          for e, rs in scaleset]
         self.kind = kind
@@ -139,6 +165,12 @@ class GeometryClassifier:
         # serving clouds wildly denser than the fit cloud would overflow
         # (counted by with_stats), so this is opt-in
         self.trim_entries = bool(trim_entries)
+        # moment-kernel backend for the fused predict: "xla" (masked
+        # matmuls over a candidate table) or "pallas" (span-DMA kernel;
+        # geometry kinds only -- vector/sazo bands fall back to xla)
+        if backend not in ("xla", "pallas"):
+            raise ValueError("backend must be xla or pallas")
+        self.backend = backend
         self._spec_cache = None
         if transfer_dtype not in ("float32", "uint16"):
             raise ValueError("transfer_dtype must be float32 or uint16")
@@ -275,7 +307,17 @@ class GeometryClassifier:
                 dev_spec = device_grid.make_spec(
                     lo, hi, max(radii), n_query=q_bucket,
                     voxel_edge=edge)
-                specs.append((vox_spec, dev_spec, radii))
+                if self.kind == "vector":
+                    # static plan for the matmul attribute interpolation
+                    # (ops.interp.interp_to_voxels_matmul): a voxel-edge
+                    # tile grid whose queries are the voxel centers
+                    s_bucket = multiscale._pow2_bucket(search.shape[0])
+                    interp_spec = device_grid.make_spec(
+                        lo, hi, edge, n_query=s_bucket,
+                        s_cap=self.vector_s_cap)
+                    specs.append((vox_spec, dev_spec, radii, interp_spec))
+                else:
+                    specs.append((vox_spec, dev_spec, radii))
         except ValueError:
             return None
         return tuple(specs)
@@ -361,7 +403,9 @@ class GeometryClassifier:
             jnp.arange(staged["s_bucket"]) < staged["n_search"],
             clf_params, staged["specs"], self.kind, None, "highest",
             staged["n_query"], clf_kind, clf_static, staged["dequant"],
-            staged.get("attributes"), self.vector_s_cap)
+            staged.get("attributes"), self.vector_s_cap,
+            self.backend,
+            jax.default_backend() not in ("tpu", "axon"))
         return (labels, probs) if with_proba else labels
 
     def predict_stream(self, clouds):

@@ -76,13 +76,10 @@ def trace(log_dir="/tmp/nimrud_trace"):
         jax.profiler.stop_trace()
 
 
-def device_track_stats(trace_dir):
-    """
-    Parse a perfetto ``*.trace.json.gz`` written by :func:`trace` into
-    ``(busy_us, window_us)`` over the device (TPU) tracks: ``busy_us``
-    sums per-op durations, ``window_us`` spans first op start to last op
-    end (includes gaps).  Raises if the trace holds no device events.
-    """
+def _device_events(trace_dir):
+    """Yield (thread_name, op_name, ts_us, dur_us) for every complete
+    event on a device (TPU) track of the newest perfetto trace under
+    ``trace_dir``.  Raises if the trace holds no device events."""
     paths = glob.glob(
         os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True)
     if not paths:
@@ -99,20 +96,55 @@ def device_track_stats(trace_dir):
     device_pids = {pid for pid, name in pid_names.items()
                    if "TPU" in name.upper() or "device:" in name.lower()}
 
-    begins, ends, busy = [], [], 0.0
+    found = False
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
+        found = True
         thread = tid_names.get((e["pid"], e.get("tid")), "")
-        if "step" in thread.lower():
-            continue                    # step track double-counts ops
-        dur = float(e.get("dur", 0.0))
-        ts = float(e.get("ts", 0.0))
+        yield (thread, e.get("name", ""), float(e.get("ts", 0.0)),
+               float(e.get("dur", 0.0)))
+    if not found:
+        raise ValueError(
+            "no device-track events in trace; tracks seen: "
+            + ", ".join(sorted(set(pid_names.values()))))
+
+
+def device_op_table(trace_dir, top=20):
+    """Aggregate the device "XLA Ops" track by op name: returns a list of
+    (total_ms, count, name) rows, largest first.  The place to look when
+    the window number says the device is slower than it should be."""
+    import collections
+
+    total = collections.Counter()
+    count = collections.Counter()
+    for thread, name, _, dur in _device_events(trace_dir):
+        low = thread.lower()
+        if "step" in low or "module" in low:
+            continue
+        total[name] += dur
+        count[name] += 1
+    return [(round(us / 1e3, 3), count[name], name)
+            for name, us in total.most_common(top)]
+
+
+def device_track_stats(trace_dir):
+    """
+    Parse a perfetto ``*.trace.json.gz`` written by :func:`trace` into
+    ``(busy_us, window_us)`` over the device (TPU) "XLA Ops" track:
+    ``busy_us`` sums per-op durations, ``window_us`` spans first op start
+    to last op end (includes gaps).  The "XLA Modules" and step tracks
+    are excluded -- they re-cover the same device time and would double
+    count.  Raises if the trace holds no device events.
+    """
+    begins, ends, busy = [], [], 0.0
+    for thread, _, ts, dur in _device_events(trace_dir):
+        low = thread.lower()
+        if "step" in low or "module" in low:
+            continue
         busy += dur
         begins.append(ts)
         ends.append(ts + dur)
     if not begins:
-        raise ValueError(
-            "no device-track events in trace; tracks seen: "
-            + ", ".join(sorted(set(pid_names.values()))))
+        raise ValueError("no XLA Ops events on the device track")
     return busy, max(ends) - min(begins)

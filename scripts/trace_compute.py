@@ -101,6 +101,9 @@ def main():
         "xla_mixed_q256": lambda: run_xla("mixed", 256),
         "pallas_spans_b1": lambda: run_spans(1),
         "pallas_spans_b8": lambda: run_spans(8),
+        "pallas_spans_b8_q128": lambda: run_spans(8, 128),
+        "pallas_spans_b16_q128": lambda: run_spans(16, 128),
+        "pallas_spans_b8_q256": lambda: run_spans(8, 256),
     }
     if len(sys.argv) > 2:
         pick = sys.argv[2]

@@ -247,3 +247,46 @@ def test_predict_multichip_rpte():
     multi = model.predict_multichip(cloud, mesh_shape=(2, 2))
     single = model.predict(cloud)
     assert (multi == single).mean() > 0.99
+
+
+def test_pallas_backend_matches_xla_predict():
+    # the span-DMA moment kernel behind the fused single-dispatch
+    # predict: same labels as the XLA candidate-table path
+    cloud, labels = _scene(per=800)
+    kw = dict(kind="minimal", classifier="linear",
+              classifier_kwargs={"epochs": 10, "seed": 0},
+              bounds=(cloud.min(0), cloud.max(0)))
+    xla = GeometryClassifier([(0.2, (0.8, 0.4))], **kw)
+    xla.fit(cloud, labels, sample=1200)
+    spans = GeometryClassifier([(0.2, (0.8, 0.4))], backend="pallas", **kw)
+    spans.fit(cloud, labels, sample=1200)
+    a = xla.predict(cloud)
+    b = spans.predict(cloud)
+    assert (a == b).mean() > 0.999, (a == b).mean()
+
+
+def test_vector_wide_attrs_staged_matmul_interp():
+    # wide attribute blocks (A > 8) route the staged V_MSO interpolation
+    # through the moment matmul (ops.interp.interp_to_voxels_matmul);
+    # labels must match the multi-dispatch extract path, which applies
+    # the same auto rule
+    cloud, labels = _scene(per=600)
+    n = len(labels)
+    attrs = np.concatenate([
+        np.stack([labels + 0.05 * RNG.standard_normal(n)], axis=1),
+        RNG.random((n, 11))], axis=1).astype(np.float32)
+    model = GeometryClassifier(
+        [(0.2, (0.8,))], kind="vector", classifier="linear",
+        classifier_kwargs={"epochs": 25, "seed": 0})
+    model.fit(cloud, labels, attributes=attrs)
+
+    staged = model.stage(cloud, attributes=attrs)
+    assert staged is not None
+    assert len(staged["specs"][0]) == 4      # interp spec present
+    fused = np.asarray(model.predict_staged(staged))
+
+    probs = model.predict_proba_device(cloud, attributes=attrs)
+    fallback = np.asarray(jnp.argmax(probs, axis=1))
+    assert (fused == fallback).mean() > 0.999, (fused == fallback).mean()
+    # 11 of the 12 attribute columns are noise, so the bar is modest
+    assert (fused == labels).mean() > 0.8
