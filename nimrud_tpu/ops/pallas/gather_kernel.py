@@ -104,41 +104,54 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch):
 
                 _, prefix = aligned(k)
                 live = lens_ref[0, 0, k]
-                x = buf[slot, 0, :] - cx               # (window,)
-                y = buf[slot, 1, :] - cy
-                z = buf[slot, 2, :] - cz
-                lane = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, window), 1)[0]
-                valid = (lane >= prefix) & (lane < prefix + live)
 
-                # squared distances elementwise on the VPU: no
-                # cancellation (exact f32 boundary decisions) and no K=3
-                # matmul waste
-                dx = q[:, 0:1] - x[None, :]            # (q_cap, window)
-                dy = q[:, 1:2] - y[None, :]
-                dz = q[:, 2:3] - z[None, :]
-                d2 = dx * dx + dy * dy + dz * dz
+                # the window covers the worst-case span, but most real
+                # spans fill a fraction of it: walk only the 128-lane
+                # chunks that hold live points ([0, prefix + live))
+                def chunk(c, _):
+                    lo_lane = pl.multiple_of(c * LANES, LANES)
+                    sl_lane = pl.ds(lo_lane, LANES)
+                    x = buf[slot, 0, sl_lane] - cx     # (LANES,)
+                    y = buf[slot, 1, sl_lane] - cy
+                    z = buf[slot, 2, sl_lane] - cz
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, LANES), 1)[0] + c * LANES
+                    valid = (lane >= prefix) & (lane < prefix + live)
 
-                ones = valid.astype(jnp.float32)
-                aug = jnp.stack(
-                    [ones, x, y, z,
-                     x * x, x * y, x * z, y * y, y * z, z * z]
-                    + [jnp.zeros_like(x)] * (MOMENT_PAD - 10), axis=0)
-                aug = aug * ones[None, :]              # (16, window)
+                    # squared distances elementwise on the VPU: no
+                    # cancellation (exact f32 boundary decisions) and
+                    # no K=3 matmul waste
+                    dx = q[:, 0:1] - x[None, :]        # (q_cap, LANES)
+                    dy = q[:, 1:2] - y[None, :]
+                    dz = q[:, 2:3] - z[None, :]
+                    d2 = dx * dx + dy * dy + dz * dz
 
-                base_mask = valid[None, :]
-                if exclude_radius is not None:
-                    base_mask = base_mask \
-                        & (d2 >= exclude_radius * exclude_radius)
-                for ri, radius in enumerate(radii):
-                    mask = (base_mask
-                            & (d2 <= radius * radius)).astype(jnp.float32)
-                    mom = jax.lax.dot_general(
-                        aug, mask, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # (16, q_cap)
-                    sl = slice(ri * MOMENT_PAD, (ri + 1) * MOMENT_PAD)
-                    out_ref[0, e, sl, :] = out_ref[0, e, sl, :] + mom
+                    ones = valid.astype(jnp.float32)
+                    aug = jnp.stack(
+                        [ones, x, y, z,
+                         x * x, x * y, x * z, y * y, y * z, z * z]
+                        + [jnp.zeros_like(x)] * (MOMENT_PAD - 10),
+                        axis=0)
+                    aug = aug * ones[None, :]          # (16, LANES)
+
+                    base_mask = valid[None, :]
+                    if exclude_radius is not None:
+                        base_mask = base_mask \
+                            & (d2 >= exclude_radius * exclude_radius)
+                    for ri, radius in enumerate(radii):
+                        mask = (base_mask & (d2 <= radius * radius)
+                                ).astype(jnp.float32)
+                        mom = jax.lax.dot_general(
+                            aug, mask, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST
+                        )                              # (16, q_cap)
+                        sl = slice(ri * MOMENT_PAD, (ri + 1) * MOMENT_PAD)
+                        out_ref[0, e, sl, :] = out_ref[0, e, sl, :] + mom
+                    return 0
+
+                n_chunks = (prefix + live + LANES - 1) // LANES
+                jax.lax.fori_loop(0, n_chunks, chunk, 0)
             return 0
 
         jax.lax.fori_loop(0, total, loop, 0)
