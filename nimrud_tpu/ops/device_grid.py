@@ -248,10 +248,10 @@ def build_tables(query, q_valid, search, s_valid, spec, with_stats=False):
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "radii", "kind", "exclude_radius",
-                     "n_out", "interpret", "span_batch"))
+                     "n_out", "interpret", "span_batch", "precision"))
 def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
                         kind, exclude_radius, n_out, interpret=False,
-                        span_batch=8):
+                        span_batch=8, precision="highest"):
     """
     Raw padded clouds -> feature block via the Pallas span-DMA kernel
     (nimrud_tpu.ops.pallas.gather_kernel): search points are sorted by
@@ -273,21 +273,29 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
     span_rows = span_tiles * spec.s_cap
 
     # --- sort search by fine tile id; per-tile starts/counts ------------
+    # (scatter-add counts, ~9 ms/band here; binary-searching the sorted
+    # keys instead was trace-measured at ~70 ms/band -- TPU searchsorted
+    # is a log(n)-step serial while loop)
     from nimrud_tpu.ops.pallas.gather_kernel import LANES, _round_up
+    n_search = search.shape[0]
     s_order, s_counts, s_starts = _sort_and_count(
         _encode(search, spec, coarse=False), s_valid, n_grid)
     # transposed (4, n_pad) layout: points along lanes so span DMAs can
     # slice the lane dim at 128-aligned starts
     window = _round_up(span_rows, LANES) + LANES
-    n_lanes = _round_up(search.shape[0] + window, LANES)
+    n_lanes = _round_up(n_search + window, LANES)
     sorted_t = jnp.zeros((4, n_lanes), search.dtype)
-    sorted_t = sorted_t.at[:3, : search.shape[0]].set(search[s_order].T)
+    sorted_t = sorted_t.at[:3, :n_search].set(search[s_order].T)
     starts_ext = jnp.concatenate([s_starts, jnp.zeros(1, jnp.int32)])
     counts_ext = jnp.concatenate([s_counts, jnp.zeros(1, jnp.int32)])
 
     # --- query entries over the coarse grid (same split as build_tables)
-    q_order, q_counts, q_starts = _sort_and_count(
-        _encode(query, spec, coarse=True), q_valid, n_qgrid)
+    q_iota = jnp.arange(n_query, dtype=jnp.int32)
+    q_ids = jnp.where(q_valid, _encode(query, spec, coarse=True), n_qgrid)
+    sorted_qids, q_order = jax.lax.sort_key_val(q_ids, q_iota)
+    q_counts = jnp.zeros(n_qgrid + 1, jnp.int32).at[q_ids].add(1)[:n_qgrid]
+    q_starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(q_counts)[:-1]])
     per_tile = -(-q_counts // spec.q_cap)
     offsets = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(per_tile)])
@@ -302,8 +310,6 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
 
     qcol = jnp.arange(spec.q_cap, dtype=jnp.int32)
     q_gather = jnp.clip(start[:, None] + qcol[None, :], 0, n_query - 1)
-    query_index = jnp.where(
-        qcol[None, :] < count[:, None], q_order[q_gather], -1)
     q_pts = query[q_order[q_gather]]                  # (E, q_cap, 3)
 
     qd = spec.qdims
@@ -338,7 +344,8 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
 
     slabs = gather_kernel.span_moments.__wrapped__(
         q_local, centers, span_starts, span_lens, sorted_t,
-        radii, span_rows, exclude_radius, interpret, span_batch)
+        radii, span_rows, exclude_radius, interpret, span_batch,
+        precision)
     per_radius = multiscale_kernel.moments_from_slabs(
         slabs, centers, radii)
 
@@ -349,11 +356,20 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
             p["cov"], q_pts, radius))
     feats = jnp.concatenate(blocks, axis=-1)
 
+    # --- back to caller order WITHOUT a scatter --------------------------
+    # a row scatter of ~1M features costs ~50 ms/band on TPU; instead
+    # compute each sorted rank's (entry, slot) position arithmetically,
+    # invert the sort with one more key-value sort (~3 ms), and gather
     width = feats.shape[-1]
-    flat_idx = query_index.reshape(-1)
-    target = jnp.where(flat_idx < 0, n_query, flat_idx)
-    out = jnp.zeros((n_query + 1, width), jnp.float32)
-    out = out.at[target].set(feats.reshape(-1, width), mode="drop")
+    flat = feats.reshape(-1, width)
+    _, rank_of_q = jax.lax.sort_key_val(q_order, q_iota)
+    tid_r = jnp.clip(sorted_qids, 0, n_qgrid - 1)
+    local = q_iota - q_starts[tid_r]
+    entry_r = offsets[tid_r] + local // spec.q_cap
+    pos_r = entry_r * spec.q_cap + local % spec.q_cap
+    ok_r = (sorted_qids < n_qgrid) & (entry_r < spec.e_cap)
+    pos_q = jnp.clip(pos_r[rank_of_q], 0, flat.shape[0] - 1)
+    out = jnp.where(ok_r[rank_of_q][:, None], flat[pos_q], 0.0)
     return out[:n_out]
 
 

@@ -45,7 +45,11 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch):
+SLOTS = 4              # DMA ring depth: prefetch 3 spans ahead
+
+
+def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
+                 precision):
     """``batch`` entries ride one grid step.  The step's spans arrive
     COMPACTED: live (len > 0) spans first with their owning entry index
     alongside, and ``n_live_ref`` holds the live count -- so the loop
@@ -74,9 +78,10 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch):
                 sems.at[slot],
             )
 
-        @pl.when(n_live > 0)
-        def _():
-            dma(0, 0).start()
+        for i in range(SLOTS - 1):
+            @pl.when(i < n_live)
+            def _(i=i):
+                dma(i, i).start()
 
         # accumulator rides TRANSPOSED (width, q_cap): the moment dot is
         # aug (16, W) @ mask^T (W, q_cap) -- M=16 streams through the
@@ -88,12 +93,12 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch):
         def loop(k, _):
             @pl.when(k < n_live)
             def _():
-                slot = k % 2
+                slot = k % SLOTS
                 e = entry_ref[0, 0, k]
 
-                @pl.when(k + 1 < n_live)
+                @pl.when(k + SLOTS - 1 < n_live)
                 def _():
-                    dma(k + 1, (k + 1) % 2).start()
+                    dma(k + SLOTS - 1, (k + SLOTS - 1) % SLOTS).start()
 
                 dma(k, slot).wait()
 
@@ -126,13 +131,14 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch):
                     dz = q[:, 2:3] - z[None, :]
                     d2 = dx * dx + dy * dy + dz * dz
 
-                    ones = valid.astype(jnp.float32)
+                    # no validity multiply on aug: every radius mask
+                    # below already carries ``valid``, and the dot's
+                    # mask operand zeroes dead lanes
                     aug = jnp.stack(
-                        [ones, x, y, z,
+                        [jnp.ones_like(x), x, y, z,
                          x * x, x * y, x * z, y * y, y * z, z * z]
                         + [jnp.zeros_like(x)] * (MOMENT_PAD - 10),
-                        axis=0)
-                    aug = aug * ones[None, :]          # (16, LANES)
+                        axis=0)                        # (16, LANES)
 
                     base_mask = valid[None, :]
                     if exclude_radius is not None:
@@ -144,7 +150,7 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch):
                         mom = jax.lax.dot_general(
                             aug, mask, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST
+                            precision=precision
                         )                              # (16, q_cap)
                         sl = slice(ri * MOMENT_PAD, (ri + 1) * MOMENT_PAD)
                         out_ref[0, e, sl, :] = out_ref[0, e, sl, :] + mom
@@ -162,10 +168,11 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch):
 @functools.partial(
     jax.jit,
     static_argnames=("radii", "span_rows", "exclude_radius", "interpret",
-                     "entries_per_step"))
+                     "entries_per_step", "precision"))
 def span_moments(q_local, centers, span_starts, span_lens,
                  sorted_search_t, radii, span_rows, exclude_radius=None,
-                 interpret=False, entries_per_step=8):
+                 interpret=False, entries_per_step=8,
+                 precision="highest"):
     """
     Raw masked moment slabs via in-kernel span DMA.
 
@@ -235,7 +242,9 @@ def span_moments(q_local, centers, span_starts, span_lens,
                      int(n_span),
                      None if exclude_radius is None
                      else float(exclude_radius),
-                     n_pad, batch),
+                     n_pad, batch,
+                     {"highest": jax.lax.Precision.HIGHEST,
+                      "high": jax.lax.Precision.HIGH}[precision]),
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((1, 1, total), lambda g: (g, 0, 0),
@@ -256,8 +265,8 @@ def span_moments(q_local, centers, span_starts, span_lens,
         out_shape=jax.ShapeDtypeStruct(
             (n_steps, batch, width, q_cap), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 4, window), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((SLOTS, 4, window), jnp.float32),
+            pltpu.SemaphoreType.DMA((SLOTS,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

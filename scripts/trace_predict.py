@@ -71,8 +71,37 @@ def main():
         int(out[0])                       # force real completion
 
     busy_us, window_us = device_track_stats(trace_dir)
-    table = device_op_table(trace_dir, top=18)
+    table = device_op_table(trace_dir, top=500)
     shutil.rmtree(trace_dir, ignore_errors=True)
+
+    # attribute op names to source lines via the compiled HLO (the
+    # remote compile service ignores --xla_dump_to; AOT as_text works)
+    src_of = {}
+    try:
+        import re
+        from nimrud_tpu import pipeline
+        import jax.numpy as jnp
+        clf_kind, clf_params, clf_static = model._fused_classifier()
+        text = pipeline._fused_predict_step.lower(
+            staged["query"],
+            jnp.arange(staged["q_bucket"]) < staged["n_query"],
+            staged["search"],
+            jnp.arange(staged["s_bucket"]) < staged["n_search"],
+            clf_params, staged["specs"], model.kind, None, "highest",
+            staged["n_query"], clf_kind, clf_static, staged["dequant"],
+            None, model.vector_s_cap, model.backend,
+            jax.default_backend() not in ("tpu", "axon")).compile(
+            ).as_text()
+        pat = re.compile(
+            r"%?([\w.\-]+) = .*?source_file=\"([^\"]+)\".*?"
+            r"source_line=(\d+)")
+        for line in text.splitlines():
+            m = pat.search(line)
+            if m:
+                name, path, lineno = m.groups()
+                src_of[name] = f"{path.split('/')[-1]}:{lineno}"
+    except Exception as error:
+        print("hlo attribution failed:", str(error)[:120])
 
     print(json.dumps({
         "repeats": repeats,
@@ -85,8 +114,19 @@ def main():
             N_POINTS / (window_us / 1e6 / repeats), 1),
         "device": str(jax.devices()[0]),
     }))
-    for ms, n, name in table:
-        print(f"{ms:10.1f} ms  n={n:6d}  {name[:90]}")
+    for ms, n, name in table[:18]:
+        print(f"{ms:10.1f} ms  n={n:6d}  {name[:40]:40s} "
+              f"{src_of.get(name, '')}")
+
+    # aggregate device time by source line
+    if src_of:
+        import collections
+        by_src = collections.Counter()
+        for ms, n, name in table:
+            by_src[src_of.get(name, "<unattributed>")] += ms
+        print("---- by source line ----")
+        for src, ms in by_src.most_common(20):
+            print(f"{ms:10.1f} ms  {src}")
 
 
 if __name__ == "__main__":
