@@ -305,7 +305,7 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
         spec = device_grid.make_spec(
             lo, hi, max(radii), n_query=q_bucket,
             m=tuning.get("query_tile_factor", 3),
-            q_cap=tuning.get("query_capacity") or 128,
+            q_cap=tuning.get("query_capacity") or (256 if tuning.get("backend") == "pallas" else 128),
             voxel_edge=edge,
             entry_batch=tuning.get("entry_batch", 256))
         if tuning.get("estimate_entries", True):
@@ -315,13 +315,19 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
         backend = tuning.get("backend", "xla")
         if backend == "pallas" and kind not in ("vector", "sazo"):
             import jax
+            # span-kernel moment-dot precision: "highest" (6-pass f32)
+            # or "bf16x2" (2-pass hi+lo split; counts stay exact).  The
+            # XLA names "mixed"/"high" map onto the bf16-based option.
+            span_prec = {"highest": "highest", "bf16x2": "bf16x2",
+                         "mixed": "bf16x2", "high": "bf16x2"}.get(
+                tuning.get("precision", "highest"), "highest")
             bands.append(device_grid.fused_extract_spans(
                 query_dev, q_valid, centers, center_mask, spec, radii,
                 kind,
                 None if exclude_radius is None else float(exclude_radius),
                 n_query,
                 jax.default_backend() not in ("tpu", "axon"),
-                tuning.get("span_batch", 8)))
+                tuning.get("span_batch", 8), span_prec))
         else:
             bands.append(device_grid.fused_extract(
                 query_dev, q_valid, centers, center_mask, spec, radii,
@@ -368,7 +374,7 @@ def plan_report(query, search, scaleset, *, method="tiled", tuning=None):
             spec = device_grid.make_spec(
                 lo, hi, max(radii), n_query=q_bucket,
                 m=tuning.get("query_tile_factor", 3),
-                q_cap=tuning.get("query_capacity") or 128,
+                q_cap=tuning.get("query_capacity") or (256 if tuning.get("backend") == "pallas" else 128),
                 voxel_edge=edge,
                 entry_batch=tuning.get("entry_batch", 256))
             worst = spec.e_cap

@@ -71,9 +71,12 @@ def make_spec(bounds_lo, bounds_hi, tile_edge, *, n_query, m=3, q_cap=128,
     s_cap: per-fine-tile occupancy bound; derived exactly from
     ``voxel_edge`` when the search set is voxel-downsampled.
 
-    q_cap=128 fills the 128-lane output dim of the transposed moment
-    matmul and halves the entry count (fewer, fatter kernel steps);
-    trace-measured faster than 64 for both backends on v5e.
+    q_cap: queries per entry.  The span kernel wants 256 (fewer, fatter
+    entries -- per-span overhead dominates lane compute; trace-measured
+    64 -> 128 -> 256 gave 678 -> 600 -> ~510 ms on the 1M-pt bench
+    extract, v5e); the XLA masked-matmul path wants 128 (dead q slots
+    multiply its (B, Q, S) mask compute directly).  Callers pick per
+    backend; the default suits the XLA path.
     """
     lo = np.asarray(bounds_lo, np.float64) - 1e-3
     hi = np.asarray(bounds_hi, np.float64) + 1e-3
@@ -273,26 +276,39 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
     span_rows = span_tiles * spec.s_cap
 
     # --- sort search by fine tile id; per-tile starts/counts ------------
-    # (scatter-add counts, ~9 ms/band here; binary-searching the sorted
-    # keys instead was trace-measured at ~70 ms/band -- TPU searchsorted
-    # is a log(n)-step serial while loop)
+    # PRIMITIVE COSTS (trace-measured, scripts/probe_datamove.py, 1M
+    # rows, v5e): sort 1.7 ms, sort w/ 3 f32 payloads 2.6 ms, (N,3) row
+    # gather 5.3 ms, three (N,) flat gathers 32 ms, row scatter 86 ms,
+    # scatter-add counts 6.7 ms, searchsorted ~70 ms (serial log(n)
+    # while loop).  Hence: coordinates ride the sorts as payloads,
+    # reorders end in one row gather, counts stay scatter-adds.
     from nimrud_tpu.ops.pallas.gather_kernel import LANES, _round_up
     n_search = search.shape[0]
-    s_order, s_counts, s_starts = _sort_and_count(
-        _encode(search, spec, coarse=False), s_valid, n_grid)
+    s_ids = jnp.where(s_valid, _encode(search, spec, coarse=False),
+                      n_grid)
+    _, sx, sy, sz = jax.lax.sort(
+        (s_ids, search[:, 0], search[:, 1], search[:, 2]), num_keys=1)
+    s_counts = jnp.zeros(n_grid + 1, jnp.int32).at[s_ids].add(1)[:n_grid]
+    s_starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(s_counts)[:-1]])
     # transposed (4, n_pad) layout: points along lanes so span DMAs can
     # slice the lane dim at 128-aligned starts
     window = _round_up(span_rows, LANES) + LANES
     n_lanes = _round_up(n_search + window, LANES)
     sorted_t = jnp.zeros((4, n_lanes), search.dtype)
-    sorted_t = sorted_t.at[:3, :n_search].set(search[s_order].T)
+    sorted_t = sorted_t.at[0, :n_search].set(sx)
+    sorted_t = sorted_t.at[1, :n_search].set(sy)
+    sorted_t = sorted_t.at[2, :n_search].set(sz)
     starts_ext = jnp.concatenate([s_starts, jnp.zeros(1, jnp.int32)])
     counts_ext = jnp.concatenate([s_counts, jnp.zeros(1, jnp.int32)])
 
     # --- query entries over the coarse grid (same split as build_tables)
     q_iota = jnp.arange(n_query, dtype=jnp.int32)
     q_ids = jnp.where(q_valid, _encode(query, spec, coarse=True), n_qgrid)
-    sorted_qids, q_order = jax.lax.sort_key_val(q_ids, q_iota)
+    sorted_qids, q_order, qsx, qsy, qsz = jax.lax.sort(
+        (q_ids, q_iota, query[:, 0], query[:, 1], query[:, 2]),
+        num_keys=1)
+    q_sorted = jnp.stack([qsx, qsy, qsz], axis=-1)    # (n, 3)
     q_counts = jnp.zeros(n_qgrid + 1, jnp.int32).at[q_ids].add(1)[:n_qgrid]
     q_starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(q_counts)[:-1]])
@@ -310,7 +326,7 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
 
     qcol = jnp.arange(spec.q_cap, dtype=jnp.int32)
     q_gather = jnp.clip(start[:, None] + qcol[None, :], 0, n_query - 1)
-    q_pts = query[q_order[q_gather]]                  # (E, q_cap, 3)
+    q_pts = q_sorted[q_gather]                        # (E, q_cap, 3)
 
     qd = spec.qdims
     dims = spec.dims
@@ -357,20 +373,22 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
     feats = jnp.concatenate(blocks, axis=-1)
 
     # --- back to caller order WITHOUT a scatter --------------------------
-    # a row scatter of ~1M features costs ~50 ms/band on TPU; instead
-    # compute each sorted rank's (entry, slot) position arithmetically,
-    # invert the sort with one more key-value sort (~3 ms), and gather
+    # each sorted rank's (entry, slot) flat position is arithmetic over
+    # the sorted tile ids; carry it back to original order as the
+    # payload of one more sort, then one row gather (a row scatter
+    # would cost ~50 ms/band; this is ~7 ms)
     width = feats.shape[-1]
-    flat = feats.reshape(-1, width)
-    _, rank_of_q = jax.lax.sort_key_val(q_order, q_iota)
+    flat = jnp.concatenate(
+        [feats.reshape(-1, width),
+         jnp.zeros((1, width), jnp.float32)])         # sentinel zero row
     tid_r = jnp.clip(sorted_qids, 0, n_qgrid - 1)
     local = q_iota - q_starts[tid_r]
     entry_r = offsets[tid_r] + local // spec.q_cap
     pos_r = entry_r * spec.q_cap + local % spec.q_cap
     ok_r = (sorted_qids < n_qgrid) & (entry_r < spec.e_cap)
-    pos_q = jnp.clip(pos_r[rank_of_q], 0, flat.shape[0] - 1)
-    out = jnp.where(ok_r[rank_of_q][:, None], flat[pos_q], 0.0)
-    return out[:n_out]
+    pos_r = jnp.where(ok_r, pos_r, flat.shape[0] - 1)
+    _, pos_by_query = jax.lax.sort_key_val(q_order, pos_r)
+    return flat[pos_by_query][:n_out]
 
 
 @functools.partial(

@@ -112,10 +112,12 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
 
                 # the window covers the worst-case span, but most real
                 # spans fill a fraction of it: walk only the 128-lane
-                # chunks that hold live points ([0, prefix + live))
-                def chunk(c, _):
-                    lo_lane = pl.multiple_of(c * LANES, LANES)
-                    sl_lane = pl.ds(lo_lane, LANES)
+                # chunks that hold live points ([0, prefix + live)).
+                # STATIC unroll + pl.when -- a dynamic-bound fori_loop
+                # lowers to a while with real per-iteration overhead,
+                # and there are only window/LANES chunks (typ. 3)
+                def chunk(c):
+                    sl_lane = slice(c * LANES, (c + 1) * LANES)
                     x = buf[slot, 0, sl_lane] - cx     # (LANES,)
                     y = buf[slot, 1, sl_lane] - cy
                     z = buf[slot, 2, sl_lane] - cz
@@ -144,20 +146,39 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
                     if exclude_radius is not None:
                         base_mask = base_mask \
                             & (d2 >= exclude_radius * exclude_radius)
+                    if precision == "bf16x2":
+                        # two DEFAULT passes instead of HIGHEST's six:
+                        # aug splits into bf16 hi + lo (~16 mantissa
+                        # bits reconstructed); the 0/1 mask is exact in
+                        # bf16, so counts stay exact
+                        hi = aug.astype(jnp.bfloat16)
+                        lo = (aug - hi.astype(jnp.float32)
+                              ).astype(jnp.bfloat16)
                     for ri, radius in enumerate(radii):
-                        mask = (base_mask & (d2 <= radius * radius)
-                                ).astype(jnp.float32)
-                        mom = jax.lax.dot_general(
-                            aug, mask, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=precision
-                        )                              # (16, q_cap)
+                        sel = base_mask & (d2 <= radius * radius)
                         sl = slice(ri * MOMENT_PAD, (ri + 1) * MOMENT_PAD)
+                        if precision == "bf16x2":
+                            mask = sel.astype(jnp.bfloat16)
+                            mom = jax.lax.dot_general(
+                                hi, mask, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            ) + jax.lax.dot_general(
+                                lo, mask, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )                          # (16, q_cap)
+                        else:
+                            mask = sel.astype(jnp.float32)
+                            mom = jax.lax.dot_general(
+                                aug, mask, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=precision
+                            )                          # (16, q_cap)
                         out_ref[0, e, sl, :] = out_ref[0, e, sl, :] + mom
-                    return 0
 
-                n_chunks = (prefix + live + LANES - 1) // LANES
-                jax.lax.fori_loop(0, n_chunks, chunk, 0)
+                for c in range(window // LANES):
+                    @pl.when(c * LANES < prefix + live)
+                    def _(c=c):
+                        chunk(c)
             return 0
 
         jax.lax.fori_loop(0, total, loop, 0)
@@ -244,7 +265,7 @@ def span_moments(q_local, centers, span_starts, span_lens,
                      else float(exclude_radius),
                      n_pad, batch,
                      {"highest": jax.lax.Precision.HIGHEST,
-                      "high": jax.lax.Precision.HIGH}[precision]),
+                      "bf16x2": "bf16x2"}[precision]),
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((1, 1, total), lambda g: (g, 0, 0),

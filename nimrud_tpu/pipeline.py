@@ -81,9 +81,11 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                 and not layouts.needs_sazo(kind):
             # the span-DMA kernel: no candidate index table, live spans
             # only -- measured faster than the XLA moment loop on v5e
+            span_prec = {"bf16x2": "bf16x2", "mixed": "bf16x2",
+                         "high": "bf16x2"}.get(precision, "highest")
             bands.append(device_grid.fused_extract_spans.__wrapped__(
                 query, q_valid, centers, mask, dev_spec, radii, kind,
-                exclude_radius, n_query, interpret))
+                exclude_radius, n_query, interpret, 8, span_prec))
         else:
             bands.append(device_grid.fused_extract.__wrapped__(
                 query, q_valid, centers, mask, dev_spec, radii, kind,
@@ -140,7 +142,8 @@ class GeometryClassifier:
                  classifier_kwargs=None, exclude_radius=None,
                  method="auto", chunk_size=1024,
                  transfer_dtype="float32", vector_s_cap=32,
-                 bounds=None, trim_entries=False, backend="xla"):
+                 bounds=None, trim_entries=False, backend="xla",
+                 precision="highest"):
         self.scaleset = [(float(e), tuple(float(r) for r in rs))
                          for e, rs in scaleset]
         self.kind = kind
@@ -171,6 +174,13 @@ class GeometryClassifier:
         if backend not in ("xla", "pallas"):
             raise ValueError("backend must be xla or pallas")
         self.backend = backend
+        # "highest" everywhere by default.  For backend="pallas",
+        # "bf16x2" runs the moment dot as two bf16 passes (counts stay
+        # exact, features within ~1e-3 abs; validated
+        # scripts/validate_precision.py + tests) at ~1.4x kernel speed.
+        if precision == "bf16x2" and backend != "pallas":
+            raise ValueError("precision='bf16x2' needs backend='pallas'")
+        self.precision = precision
         self._spec_cache = None
         if transfer_dtype not in ("float32", "uint16"):
             raise ValueError("transfer_dtype must be float32 or uint16")
@@ -306,7 +316,8 @@ class GeometryClassifier:
                 vox_spec = packing.GridSpec.fit_bounds(s_lo, s_hi, edge)
                 dev_spec = device_grid.make_spec(
                     lo, hi, max(radii), n_query=q_bucket,
-                    voxel_edge=edge)
+                    voxel_edge=edge,
+                    q_cap=256 if self.backend == "pallas" else 128)
                 if self.kind == "vector":
                     # static plan for the matmul attribute interpolation
                     # (ops.interp.interp_to_voxels_matmul): a voxel-edge
@@ -401,7 +412,7 @@ class GeometryClassifier:
             jnp.arange(staged["q_bucket"]) < staged["n_query"],
             staged["search"],
             jnp.arange(staged["s_bucket"]) < staged["n_search"],
-            clf_params, staged["specs"], self.kind, None, "highest",
+            clf_params, staged["specs"], self.kind, None, self.precision,
             staged["n_query"], clf_kind, clf_static, staged["dequant"],
             staged.get("attributes"), self.vector_s_cap,
             self.backend,

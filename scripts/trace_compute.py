@@ -87,10 +87,10 @@ def main():
             None, precision, N_POINTS)
             for centers, mask, spec, radii in bands_for(q_cap)]
 
-    def run_spans(batch, q_cap=64):
+    def run_spans(batch, q_cap=64, precision="highest"):
         return [device_grid.fused_extract_spans(
             query, q_valid, centers, mask, spec, radii, "minimal",
-            None, N_POINTS, span_batch=batch)
+            None, N_POINTS, span_batch=batch, precision=precision)
             for centers, mask, spec, radii in bands_for(q_cap)]
 
     variants = {
@@ -104,6 +104,8 @@ def main():
         "pallas_spans_b8_q128": lambda: run_spans(8, 128),
         "pallas_spans_b16_q128": lambda: run_spans(16, 128),
         "pallas_spans_b8_q256": lambda: run_spans(8, 256),
+        "pallas_spans_b8_q128_bf16x2": lambda: run_spans(8, 128, "bf16x2"),
+        "pallas_spans_b32_q256": lambda: run_spans(32, 256),
     }
     if len(sys.argv) > 2:
         pick = sys.argv[2]

@@ -47,6 +47,7 @@ def main():
 
     repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     backend = sys.argv[2] if len(sys.argv) > 2 else "pallas"
+    precision = sys.argv[3] if len(sys.argv) > 3 else "highest"
     rng = np.random.default_rng(0)
     cloud, labels = make_cloud(N_POINTS, rng)
     scaleset = [(e, (r,)) for e, r in zip(EDGES, RADII)]
@@ -54,7 +55,7 @@ def main():
     model = GeometryClassifier(
         scaleset, kind="minimal", classifier="linear",
         classifier_kwargs={"epochs": 3, "seed": 0},
-        transfer_dtype="uint16", backend=backend,
+        transfer_dtype="uint16", backend=backend, precision=precision,
         bounds=(cloud.min(0), cloud.max(0)), trim_entries=True)
     model.fit(cloud, labels, sample=20_000)
 
@@ -87,11 +88,11 @@ def main():
             jnp.arange(staged["q_bucket"]) < staged["n_query"],
             staged["search"],
             jnp.arange(staged["s_bucket"]) < staged["n_search"],
-            clf_params, staged["specs"], model.kind, None, "highest",
+            clf_params, staged["specs"], model.kind, None, model.precision,
             staged["n_query"], clf_kind, clf_static, staged["dequant"],
             None, model.vector_s_cap, model.backend,
             jax.default_backend() not in ("tpu", "axon")).compile(
-            ).as_text()
+            ).as_text()  # noqa
         pat = re.compile(
             r"%?([\w.\-]+) = .*?source_file=\"([^\"]+)\".*?"
             r"source_line=(\d+)")
@@ -106,6 +107,7 @@ def main():
     print(json.dumps({
         "repeats": repeats,
         "backend": backend,
+        "precision": precision,
         "n_points": N_POINTS,
         "window_ms_total": round(window_us / 1e3, 3),
         "window_ms_per_predict": round(window_us / 1e3 / repeats, 3),

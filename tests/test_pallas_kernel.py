@@ -119,3 +119,23 @@ def test_span_backend_matches_xla_fused():
     assert pop_same.mean() > 0.999, pop_same.mean()
     assert np.allclose(spans[pop_same], xla[pop_same], atol=2e-4), \
         np.abs(spans[pop_same] - xla[pop_same]).max()
+
+
+def test_span_bf16x2_precision_counts_exact():
+    # the 2-pass bf16 hi+lo moment dot: populations must be EXACT (the
+    # 0/1 mask and the ones row are bf16-representable); other features
+    # within the reconstructed ~16-bit mantissa
+    from nimrud_tpu.features.multiscale import extract_scaleset
+    rng = np.random.default_rng(13)
+    search = (rng.random((12000, 3)) * [20, 20, 5]).astype(np.float32)
+    query = search[:2048]
+    scaleset = [(0.4, (1.2, 0.6))]
+    hi = np.asarray(extract_scaleset(
+        query, search, scaleset, kind="minimal", method="fused",
+        tuning={"backend": "pallas"}))
+    lo = np.asarray(extract_scaleset(
+        query, search, scaleset, kind="minimal", method="fused",
+        tuning={"backend": "pallas", "precision": "bf16x2"}))
+    assert (hi[:, 0] == lo[:, 0]).all()          # populations, scale 1
+    assert (hi[:, 4] == lo[:, 4]).all()          # populations, scale 2
+    assert np.abs(hi - lo).max() < 2e-3, np.abs(hi - lo).max()
