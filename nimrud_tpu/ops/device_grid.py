@@ -164,6 +164,19 @@ def _sort_and_count(ids, valid, n_grid):
     return sorted_order, counts, starts
 
 
+
+def _tile_of_entry(offsets, e_cap, n_qgrid):
+    """entry -> coarse tile, i.e. max t with offsets[t] <= e, WITHOUT
+    jnp.searchsorted (a serial log(n) while loop on TPU).  Scatter each
+    tile index at its first-entry slot (scatter-max resolves empty
+    tiles sharing a slot to the one non-empty owner, which is the
+    largest) and forward-fill with a cummax."""
+    first = jnp.zeros(e_cap, jnp.int32).at[offsets[:-1]].max(
+        jnp.arange(offsets.shape[0] - 1, dtype=jnp.int32), mode="drop")
+    return jnp.clip(
+        jax.lax.associative_scan(jnp.maximum, first), 0, n_qgrid - 1)
+
+
 def build_tables(query, q_valid, search, s_valid, spec, with_stats=False):
     """
     Device-side plan: returns (query_index, neighbor_rows, candidates,
@@ -202,8 +215,7 @@ def build_tables(query, q_valid, search, s_valid, spec, with_stats=False):
     offsets = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(per_tile)])  # (G_q+1,)
     entry = jnp.arange(spec.e_cap, dtype=jnp.int32)
-    tile = jnp.clip(
-        jnp.searchsorted(offsets, entry, side="right") - 1, 0, n_qgrid - 1)
+    tile = _tile_of_entry(offsets, spec.e_cap, n_qgrid)
     rank = entry - offsets[tile]
     live = entry < offsets[n_qgrid]
     count = jnp.clip(q_counts[tile] - rank * spec.q_cap, 0, spec.q_cap)
@@ -316,8 +328,7 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
     offsets = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(per_tile)])
     entry = jnp.arange(spec.e_cap, dtype=jnp.int32)
-    tile = jnp.clip(
-        jnp.searchsorted(offsets, entry, side="right") - 1, 0, n_qgrid - 1)
+    tile = _tile_of_entry(offsets, spec.e_cap, n_qgrid)
     rank = entry - offsets[tile]
     live = entry < offsets[n_qgrid]
     count = jnp.clip(q_counts[tile] - rank * spec.q_cap, 0, spec.q_cap)

@@ -53,9 +53,11 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
     from nimrud_tpu.features import layouts
 
     bands = []
+    vox_dropped = jnp.zeros((), jnp.int32)
     for band in band_specs:
         vox_spec, dev_spec, radii = band[:3]
         interp_spec = band[3] if len(band) > 3 else None
+        v_cap = band[4] if len(band) > 4 else None
         if kind == "vector":
             from nimrud_tpu.ops import interp
             if interp_spec is not None and attributes.shape[1] > 8:
@@ -77,6 +79,15 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
             centers, _, mask = unique.unique_voxels(
                 search, vox_spec, valid=s_valid)
             cattrs = None
+            if v_cap is not None and v_cap < centers.shape[0]:
+                # unique_voxels compacts live voxels to the front, so a
+                # static prefix slice shrinks every downstream sort /
+                # table; voxels beyond the (headroomed) capacity are
+                # counted, not silently lost
+                vox_dropped = vox_dropped + jnp.sum(
+                    mask[v_cap:].astype(jnp.int32))
+                centers = centers[:v_cap]
+                mask = mask[:v_cap]
         if backend == "pallas" and kind != "vector" \
                 and not layouts.needs_sazo(kind):
             # the span-DMA kernel: no candidate index table, live spans
@@ -94,7 +105,8 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
         else jnp.concatenate(bands, axis=1)
 
     probs = classify_features(clf_kind, clf_params, clf_static, features)
-    return jnp.argmax(probs, axis=1).astype(jnp.int32), probs
+    return (jnp.argmax(probs, axis=1).astype(jnp.int32), probs,
+            {"vox_dropped": vox_dropped})
 
 
 def classify_features(clf_kind, clf_params, clf_static, features):
@@ -240,14 +252,32 @@ class GeometryClassifier:
             self.classifier.fit(features, labels)
 
         if self.bounds is not None and self.trim_entries:
-            # size the serving specs from the fit cloud's occupancy
+            # size the serving specs from the fit cloud's occupancy:
+            # entry capacity from coarse-tile populations, and (for the
+            # geometry kinds) a per-band search capacity from the voxel
+            # count -- unique_voxels compacts live voxels first, so the
+            # serving program sorts/tables ~the real voxel count, not
+            # the padded cloud bucket.  Headroom x1.25 + 4096; denser
+            # serving clouds overflow into the counted vox_dropped
+            # diagnostic rather than failing.
             arr = np.asarray(cloud, dtype=np.float32)[:, :3]
             specs = self._fused_band_specs(arr, arr)
             if specs is not None:
+                trimmed = []
+                for band, (edge, _) in zip(specs, self.scaleset):
+                    vox, dev, rr = band[:3]
+                    interp = band[3] if len(band) > 3 else None
+                    dev = device_grid.with_entry_estimate(dev, arr)
+                    v_cap = None
+                    if self.kind != "vector" and edge > 0:
+                        n_vox = len(
+                            multiscale._host_unique_voxels(arr, edge))
+                        v_cap = n_vox + n_vox // 4 + 4096
+                        v_cap = -(-v_cap // 16384) * 16384
+                    trimmed.append((vox, dev, rr, interp, v_cap))
                 self._spec_cache = (
                     multiscale._pow2_bucket(arr.shape[0]),
-                    tuple((vox, device_grid.with_entry_estimate(dev, arr),
-                           rr) for vox, dev, rr in specs))
+                    tuple(trimmed))
         return self
 
     # -- inference ------------------------------------------------------------
@@ -328,7 +358,7 @@ class GeometryClassifier:
                         s_cap=self.vector_s_cap)
                     specs.append((vox_spec, dev_spec, radii, interp_spec))
                 else:
-                    specs.append((vox_spec, dev_spec, radii))
+                    specs.append((vox_spec, dev_spec, radii, None))
         except ValueError:
             return None
         return tuple(specs)
@@ -403,11 +433,18 @@ class GeometryClassifier:
             "specs": specs, "dequant": dequant, "attributes": attrs_dev,
         }
 
-    def predict_staged(self, staged, with_proba=False):
+    def predict_staged(self, staged, with_proba=False, with_diag=False):
         """Labels (and optionally probabilities) for a staged cloud, as
-        DEVICE arrays; one compiled dispatch, no host transfer."""
+        DEVICE arrays; one compiled dispatch, no host transfer.
+
+        ``with_diag`` additionally returns the overflow-counter dict
+        (device scalars): ``vox_dropped`` counts voxels beyond the
+        trimmed per-band search capacity (nonzero means the serving
+        cloud is denser than the fit cloud the capacity was sized
+        from).
+        """
         clf_kind, clf_params, clf_static = self._fused_classifier()
-        labels, probs = _fused_predict_step(
+        labels, probs, diag = _fused_predict_step(
             staged["query"],
             jnp.arange(staged["q_bucket"]) < staged["n_query"],
             staged["search"],
@@ -417,7 +454,12 @@ class GeometryClassifier:
             staged.get("attributes"), self.vector_s_cap,
             self.backend,
             jax.default_backend() not in ("tpu", "axon"))
-        return (labels, probs) if with_proba else labels
+        out = (labels,)
+        if with_proba:
+            out = out + (probs,)
+        if with_diag:
+            out = out + (diag,)
+        return out if len(out) > 1 else labels
 
     def predict_stream(self, clouds):
         """

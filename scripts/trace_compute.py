@@ -61,14 +61,14 @@ def main():
     query = jnp.asarray(cloud)
     q_valid = jnp.ones(N_POINTS, bool)
 
-    def make_bands(q_cap):
+    def make_bands(q_cap, m=3):
         bands = []
         for edge, radius in zip(EDGES, RADII):
             vox_spec = packing.GridSpec.fit_bounds(lo, hi, edge)
             centers, _, mask = unique.unique_voxels(query, vox_spec)
             spec = device_grid.make_spec(
                 lo, hi, radius, n_query=N_POINTS, voxel_edge=edge,
-                q_cap=q_cap)
+                q_cap=q_cap, m=m)
             spec = device_grid.with_entry_estimate(spec, cloud)
             bands.append((centers, mask, spec, (radius,)))
         jax.block_until_ready([b[0] for b in bands])
@@ -76,10 +76,10 @@ def main():
 
     bands_cache = {}
 
-    def bands_for(q_cap):
-        if q_cap not in bands_cache:
-            bands_cache[q_cap] = make_bands(q_cap)
-        return bands_cache[q_cap]
+    def bands_for(q_cap, m=3):
+        if (q_cap, m) not in bands_cache:
+            bands_cache[(q_cap, m)] = make_bands(q_cap, m)
+        return bands_cache[(q_cap, m)]
 
     def run_xla(precision, q_cap=64):
         return [device_grid.fused_extract(
@@ -87,11 +87,11 @@ def main():
             None, precision, N_POINTS)
             for centers, mask, spec, radii in bands_for(q_cap)]
 
-    def run_spans(batch, q_cap=64, precision="highest"):
+    def run_spans(batch, q_cap=64, precision="highest", m=3):
         return [device_grid.fused_extract_spans(
             query, q_valid, centers, mask, spec, radii, "minimal",
             None, N_POINTS, span_batch=batch, precision=precision)
-            for centers, mask, spec, radii in bands_for(q_cap)]
+            for centers, mask, spec, radii in bands_for(q_cap, m)]
 
     variants = {
         "xla_highest": lambda: run_xla("highest"),
@@ -106,6 +106,8 @@ def main():
         "pallas_spans_b8_q256": lambda: run_spans(8, 256),
         "pallas_spans_b8_q128_bf16x2": lambda: run_spans(8, 128, "bf16x2"),
         "pallas_spans_b32_q256": lambda: run_spans(32, 256),
+        "pallas_spans_b8_q256_m4": lambda: run_spans(8, 256, "highest", 4),
+        "pallas_spans_b8_q256_m2": lambda: run_spans(8, 256, "highest", 2),
     }
     if len(sys.argv) > 2:
         pick = sys.argv[2]
