@@ -328,6 +328,13 @@ class GeometryClassifier:
             cached_bucket, cached = self._spec_cache
             if multiscale._pow2_bucket(cloud.shape[0]) == cached_bucket:
                 return cached
+        if bounds is None and self.bounds is not None:
+            # fixed site bounds govern every grid, even when the caller
+            # (e.g. fit's spec-cache build) passes only a cloud -- a
+            # fit cloud smaller than the site must not shrink the grid
+            # serving clouds are binned into
+            b_lo, b_hi = self.bounds
+            bounds = (b_lo, b_hi, b_lo, b_hi)
         if bounds is None:
             c_lo, c_hi = _cloud_bounds(cloud)
             s_lo64, s_hi64 = (c_lo, c_hi) if search is cloud \

@@ -290,3 +290,34 @@ def test_vector_wide_attrs_staged_matmul_interp():
     assert (fused == fallback).mean() > 0.999, (fused == fallback).mean()
     # 11 of the 12 attribute columns are noise, so the bar is modest
     assert (fused == labels).mean() > 0.8
+
+
+def test_trimmed_search_capacity_counts_overflow():
+    # trim_entries sizes the per-band voxel capacity from the FIT cloud;
+    # serving a much denser cloud must not fail silently -- the staged
+    # diagnostic counts the voxels beyond capacity
+    # fit cloud: 40k points packed into a 4 m corner of the 40 m site
+    # (few voxels -> small v_cap); serving cloud: the same point count
+    # spread over the whole site (many more voxels, same pow2 bucket so
+    # the cached trimmed specs apply)
+    rng = np.random.default_rng(7)
+    packed = (rng.random((40_000, 3)) * 4).astype(np.float32)
+    labels = (packed[:, 2] > 2).astype(np.int32)
+    model = GeometryClassifier(
+        [(0.25, (0.5,))], kind="minimal", classifier="linear",
+        classifier_kwargs={"epochs": 3, "seed": 0},
+        bounds=(np.zeros(3, np.float32), np.full(3, 40, np.float32)),
+        trim_entries=True, backend="pallas")
+    model.fit(packed, labels)
+    specs = model._spec_cache[1]
+    assert specs[0][4] is not None                 # v_cap engaged
+
+    st = model.stage(packed)
+    _, diag = model.predict_staged(st, with_diag=True)
+    assert int(diag["vox_dropped"]) == 0
+
+    spread = (rng.random((40_000, 3)) * 40).astype(np.float32)
+    st = model.stage(spread)
+    labels_dev, diag = model.predict_staged(st, with_diag=True)
+    assert labels_dev.shape[0] == len(spread)
+    assert int(diag["vox_dropped"]) > 0            # counted, not silent
