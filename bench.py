@@ -35,50 +35,26 @@ import time
 
 import numpy as np
 
+from nimrud_tpu.utils.workload import (
+    BENCH_RADII as RADII, BENCH_N_POINTS as N_POINTS,
+    make_bench_cloud, make_bench_model)
 
-N_POINTS = 1_000_000
-EDGES = (0.25, 0.5, 1.0)
-RADII = (0.5, 1.0, 2.0)
 BASELINE_PTS_PER_SEC = 5000.0 / len(RADII)
 WARMUP_RUNS = 1
 TIMED_RUNS = 2
 TRACE_RUNS = 2
 
 
-def make_cloud(n, rng):
-    ground = rng.random((n // 2, 3)) * [100, 100, 0.15]
-    walls = []
-    for _ in range(8):
-        offset = rng.random(2) * 90
-        walls.append(rng.random((n // 16, 3)) * [0.2, 12, 9]
-                     + [offset[0], offset[1], 0])
-    canopy = rng.normal([60, 60, 7], [15, 15, 2], (n // 4, 3))
-    cloud = np.vstack([ground, *walls, canopy]).astype(np.float32)[:n]
-    labels = np.concatenate([
-        np.zeros(n // 2, np.int32),
-        np.ones(8 * (n // 16), np.int32),
-        np.full(n // 4, 2, np.int32)])[:n]
-    return cloud, labels
-
-
 def main():
     import jax
-    from nimrud_tpu.pipeline import GeometryClassifier
 
-    rng = np.random.default_rng(0)
-    cloud, labels = make_cloud(N_POINTS, rng)
-    scaleset = [(edge, (radius,)) for edge, radius in zip(EDGES, RADII)]
-
+    cloud, labels = make_bench_cloud()
     # production serving configuration: quantized uint16 uploads, fixed
     # site bounds (one compiled program for the whole stream), entry
     # capacity sized from fit-time occupancy, and the Pallas span-DMA
     # moment kernel (trace-measured ~3x the XLA candidate-table path on
     # v5e for this workload)
-    model = GeometryClassifier(
-        scaleset, kind="minimal", classifier="linear",
-        classifier_kwargs={"epochs": 10, "seed": 0},
-        transfer_dtype="uint16", backend="pallas",
-        bounds=(cloud.min(0), cloud.max(0)), trim_entries=True)
+    model = make_bench_model(cloud)
 
     # train on a subsample, entirely on device (no transfers at all --
     # a single device->host read flips this environment's remote relay

@@ -302,18 +302,23 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
             centers, _, center_mask = unique.unique_voxels(
                 search_dev, vox_spec, valid=s_valid)
             center_attrs = None
+        # q_cap by the kernel path this kind actually takes: the span
+        # kernel wants 256, the XLA masked-matmul fallback (vector /
+        # sazo kinds, or backend="xla") wants 128
+        use_spans = (tuning.get("backend") == "pallas"
+                     and kind not in ("vector", "sazo"))
         spec = device_grid.make_spec(
             lo, hi, max(radii), n_query=q_bucket,
             m=tuning.get("query_tile_factor", 3),
-            q_cap=tuning.get("query_capacity") or (256 if tuning.get("backend") == "pallas" else 128),
+            q_cap=tuning.get("query_capacity")
+            or (256 if use_spans else 128),
             voxel_edge=edge,
             entry_batch=tuning.get("entry_batch", 256))
         if tuning.get("estimate_entries", True):
             # trim dead entries: e_cap from measured occupancy (one
             # native host pass) instead of the worst-case grid bound
             spec = device_grid.with_entry_estimate(spec, query)
-        backend = tuning.get("backend", "xla")
-        if backend == "pallas" and kind not in ("vector", "sazo"):
+        if use_spans:
             import jax
             # span-kernel moment-dot precision: "highest" (6-pass f32)
             # or "bf16x2" (2-pass hi+lo split; counts stay exact).  The
@@ -334,7 +339,8 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
                 kind,
                 None if exclude_radius is None
                 else float(exclude_radius),
-                tuning.get("precision", "highest"), n_query,
+                "highest" if tuning.get("precision") == "bf16x2"
+                else tuning.get("precision", "highest"), n_query,
                 attributes=center_attrs))
     return bands[0] if len(bands) == 1 else jnp.concatenate(bands, axis=1)
 

@@ -166,6 +166,30 @@ def interp_to_voxels(search, s_valid, attributes, spec, s_cap, *,
     return centers, mask, attr_mean, stats
 
 
+def matmul_interp(search, s_valid, attributes, spec, dev_spec, *,
+                  radius=None, with_stats=False):
+    """
+    Jit-composable body of :func:`interp_to_voxels_matmul` for callers
+    that already hold the tile-grid ``dev_spec`` (the staged serving
+    path builds it once per model).  Enforces the Chebyshev-ball <=
+    voxel-edge contract in one place.
+    """
+    from nimrud_tpu.ops import device_grid, unique
+
+    edge = float(spec.edge_length)
+    ball = float(edge if radius is None else radius)
+    if ball > edge:
+        raise ValueError(
+            "matmul interp covers a Chebyshev ball up to one voxel "
+            f"edge ({edge}), got radius {ball}")
+    centers, _, mask = unique.unique_voxels(search, spec, valid=s_valid)
+    out = device_grid.fused_extract(
+        centers, mask, search, s_valid, dev_spec, (ball,), "vector",
+        None, "highest", search.shape[0], with_stats, attributes,
+        "chebyshev")
+    return centers, mask, out
+
+
 def interp_to_voxels_matmul(search, s_valid, attributes, spec, s_cap,
                             bounds_lo, bounds_hi, *, radius=None,
                             with_stats=False):
@@ -182,21 +206,14 @@ def interp_to_voxels_matmul(search, s_valid, attributes, spec, s_cap,
     Needs the real cloud ``bounds_lo``/``bounds_hi`` (host scalars) --
     the voxel grid's bit-budget bounds would explode the tile table.
     """
-    from nimrud_tpu.ops import device_grid, unique
+    from nimrud_tpu.ops import device_grid
 
-    n = search.shape[0]
-    edge = float(spec.edge_length)
-    ball = float(edge if radius is None else radius)
-    if ball > edge:
-        raise ValueError(
-            "matmul interp covers a Chebyshev ball up to one voxel "
-            f"edge ({edge}), got radius {ball}")
-    centers, _, mask = unique.unique_voxels(search, spec, valid=s_valid)
     dev_spec = device_grid.make_spec(
-        bounds_lo, bounds_hi, edge, n_query=n, s_cap=int(s_cap))
-    out = device_grid.fused_extract(
-        centers, mask, search, s_valid, dev_spec, (ball,), "vector",
-        None, "highest", n, with_stats, attributes, "chebyshev")
+        bounds_lo, bounds_hi, float(spec.edge_length),
+        n_query=search.shape[0], s_cap=int(s_cap))
+    centers, mask, out = matmul_interp(
+        search, s_valid, attributes, spec, dev_spec,
+        radius=radius, with_stats=with_stats)
     if with_stats:
         attr_mean, dev_stats = out
         return centers, mask, attr_mean, \

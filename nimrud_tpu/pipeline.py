@@ -62,14 +62,10 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
             from nimrud_tpu.ops import interp
             if interp_spec is not None and attributes.shape[1] > 8:
                 # wide attribute blocks: the masked Chebyshev mean rides
-                # the moment matmul (same auto rule as the extract path)
-                centers, _, mask = unique.unique_voxels(
-                    search, vox_spec, valid=s_valid)
-                cattrs = device_grid.fused_extract.__wrapped__(
-                    centers, mask, search, s_valid, interp_spec,
-                    (float(vox_spec.edge_length),), "vector", None,
-                    "highest", search.shape[0], False, attributes,
-                    "chebyshev")
+                # the moment matmul (same auto rule as the extract path;
+                # interp.matmul_interp owns the ball<=edge contract)
+                centers, mask, cattrs = interp.matmul_interp(
+                    search, s_valid, attributes, vox_spec, interp_spec)
             else:
                 centers, mask, cattrs = \
                     interp.interp_to_voxels.__wrapped__(
@@ -98,9 +94,10 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                 query, q_valid, centers, mask, dev_spec, radii, kind,
                 exclude_radius, n_query, interpret, 8, span_prec))
         else:
+            xla_prec = "highest" if precision == "bf16x2" else precision
             bands.append(device_grid.fused_extract.__wrapped__(
                 query, q_valid, centers, mask, dev_spec, radii, kind,
-                exclude_radius, precision, n_query, False, cattrs))
+                exclude_radius, xla_prec, n_query, False, cattrs))
     features = bands[0] if len(bands) == 1 \
         else jnp.concatenate(bands, axis=1)
 
@@ -232,6 +229,7 @@ class GeometryClassifier:
         """
         labels = np.asarray(labels)
         n_classes = int(labels.max() + 1)
+        self._spec_cache = None        # a refit resizes everything
         rows = None
         if sample is not None and sample < len(labels):
             rows = np.random.RandomState(seed).permutation(
@@ -276,7 +274,8 @@ class GeometryClassifier:
                         v_cap = -(-v_cap // 16384) * 16384
                     trimmed.append((vox, dev, rr, interp, v_cap))
                 self._spec_cache = (
-                    multiscale._pow2_bucket(arr.shape[0]),
+                    (multiscale._pow2_bucket(arr.shape[0]),
+                     multiscale._pow2_bucket(arr.shape[0])),
                     tuple(trimmed))
         return self
 
@@ -325,8 +324,10 @@ class GeometryClassifier:
         if any(edge <= 0 for edge, _ in self.scaleset):
             return None
         if self._spec_cache is not None:
-            cached_bucket, cached = self._spec_cache
-            if multiscale._pow2_bucket(cloud.shape[0]) == cached_bucket:
+            cached_key, cached = self._spec_cache
+            key = (multiscale._pow2_bucket(cloud.shape[0]),
+                   multiscale._pow2_bucket(search.shape[0]))
+            if key == cached_key:
                 return cached
         if bounds is None and self.bounds is not None:
             # fixed site bounds govern every grid, even when the caller
@@ -351,10 +352,18 @@ class GeometryClassifier:
             specs = []
             for edge, radii in self.scaleset:
                 vox_spec = packing.GridSpec.fit_bounds(s_lo, s_hi, edge)
+                # 256 only when the band really runs the span kernel
+                # (vector/sazo kinds fall back to the XLA matmul path,
+                # which wants 128 -- dead query slots multiply its mask
+                # compute directly)
+                from nimrud_tpu.features import layouts as _layouts
+                use_spans = (self.backend == "pallas"
+                             and self.kind != "vector"
+                             and not _layouts.needs_sazo(self.kind))
                 dev_spec = device_grid.make_spec(
                     lo, hi, max(radii), n_query=q_bucket,
                     voxel_edge=edge,
-                    q_cap=256 if self.backend == "pallas" else 128)
+                    q_cap=256 if use_spans else 128)
                 if self.kind == "vector":
                     # static plan for the matmul attribute interpolation
                     # (ops.interp.interp_to_voxels_matmul): a voxel-edge

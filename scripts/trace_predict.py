@@ -19,44 +19,23 @@ import shutil
 import sys
 import tempfile
 
-import numpy as np
+import numpy as np  # noqa: F401
 
 from nimrud_tpu.utils.profiling import device_op_table, device_track_stats
-
-N_POINTS = 1_000_000
-EDGES = (0.25, 0.5, 1.0)
-RADII = (0.5, 1.0, 2.0)
-
-
-def make_cloud(n, rng):
-    ground = rng.random((n // 2, 3)) * [100, 100, 0.15]
-    walls = [rng.random((n // 16, 3)) * [0.2, 12, 9]
-             + [rng.random() * 90, rng.random() * 90, 0] for _ in range(8)]
-    canopy = rng.normal([60, 60, 7], [15, 15, 2], (n // 4, 3))
-    cloud = np.vstack([ground, *walls, canopy]).astype(np.float32)[:n]
-    labels = np.concatenate([
-        np.zeros(n // 2, np.int32),
-        np.ones(8 * (n // 16), np.int32),
-        np.full(n // 4, 2, np.int32)])[:n]
-    return cloud, labels
+from nimrud_tpu.utils.workload import (
+    BENCH_N_POINTS as N_POINTS, lower_predict, make_bench_cloud,
+    make_bench_model)
 
 
 def main():
     import jax
-    from nimrud_tpu.pipeline import GeometryClassifier
 
     repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     backend = sys.argv[2] if len(sys.argv) > 2 else "pallas"
     precision = sys.argv[3] if len(sys.argv) > 3 else "highest"
-    rng = np.random.default_rng(0)
-    cloud, labels = make_cloud(N_POINTS, rng)
-    scaleset = [(e, (r,)) for e, r in zip(EDGES, RADII)]
-
-    model = GeometryClassifier(
-        scaleset, kind="minimal", classifier="linear",
-        classifier_kwargs={"epochs": 3, "seed": 0},
-        transfer_dtype="uint16", backend=backend, precision=precision,
-        bounds=(cloud.min(0), cloud.max(0)), trim_entries=True)
+    cloud, labels = make_bench_cloud()
+    model = make_bench_model(cloud, backend=backend,
+                             precision=precision, epochs=3)
     model.fit(cloud, labels, sample=20_000)
 
     staged = model.stage(cloud)
@@ -80,19 +59,7 @@ def main():
     src_of = {}
     try:
         import re
-        from nimrud_tpu import pipeline
-        import jax.numpy as jnp
-        clf_kind, clf_params, clf_static = model._fused_classifier()
-        text = pipeline._fused_predict_step.lower(
-            staged["query"],
-            jnp.arange(staged["q_bucket"]) < staged["n_query"],
-            staged["search"],
-            jnp.arange(staged["s_bucket"]) < staged["n_search"],
-            clf_params, staged["specs"], model.kind, None, model.precision,
-            staged["n_query"], clf_kind, clf_static, staged["dequant"],
-            None, model.vector_s_cap, model.backend,
-            jax.default_backend() not in ("tpu", "axon")).compile(
-            ).as_text()  # noqa
+        text = lower_predict(model, staged).compile().as_text()
         pat = re.compile(
             r"%?([\w.\-]+) = .*?source_file=\"([^\"]+)\".*?"
             r"source_line=(\d+)")
