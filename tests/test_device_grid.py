@@ -110,3 +110,33 @@ def test_entry_estimate_trims_and_stays_lossless():
         None, "highest", len(pts), with_stats=True)
     assert int(stats_trim["dropped_query"]) == 0
     assert np.array_equal(np.asarray(full), np.asarray(trim))
+
+
+def test_span_plan_occupancy_regression_guard():
+    # the span kernel's cost is driven by plan occupancy (entries and
+    # live candidate spans); this pins the plan on a reference scene so
+    # a change that silently balloons it fails loudly.  Numbers derive
+    # from the construction, not the kernel: entries >= ceil(n/q_cap),
+    # and the live-span fraction on a surface-heavy scene stays well
+    # under the dense worst case (m+2)^2 per entry.
+    import numpy as np
+    from nimrud_tpu.ops import device_grid
+    rng = np.random.default_rng(4)
+    n = 40_000
+    ground = rng.random((n // 2, 3)) * [40, 40, 0.1]
+    canopy = rng.normal([20, 20, 4], [6, 6, 1], (n // 2, 3))
+    cloud = np.vstack([ground, canopy]).astype(np.float32)
+    lo, hi = cloud.min(0).astype(np.float64), cloud.max(0).astype(np.float64)
+
+    spec = device_grid.make_spec(lo, hi, 1.0, n_query=n, voxel_edge=0.5,
+                                 q_cap=256)
+    spec = device_grid.with_entry_estimate(spec, cloud)
+    live_entries = device_grid.estimate_entries(cloud, spec)
+
+    assert live_entries >= -(-n // spec.q_cap)
+    # e_cap trims to live entries + headroom, not the worst-case grid
+    assert spec.e_cap <= 2 * live_entries + 2 * spec.entry_batch
+    # query slots: at least a third full on this scene (dead-slot
+    # compute scales inversely with this)
+    fill = n / (live_entries * spec.q_cap)
+    assert fill > 0.25, fill
