@@ -311,9 +311,10 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
             lo, hi, max(radii), n_query=q_bucket,
             m=tuning.get("query_tile_factor", 3),
             q_cap=tuning.get("query_capacity")
-            or (256 if use_spans else 128),
+            or (1024 if use_spans else 128),
             voxel_edge=edge,
-            entry_batch=tuning.get("entry_batch", 256))
+            entry_batch=tuning.get("entry_batch", 256),
+            x_seg=tuning.get("x_seg", 64) if use_spans else 1)
         if tuning.get("estimate_entries", True):
             # trim dead entries: e_cap from measured occupancy (one
             # native host pass) instead of the worst-case grid bound
@@ -377,12 +378,15 @@ def plan_report(query, search, scaleset, *, method="tiled", tuning=None):
         for edge, radii in scaleset:
             if edge <= 0:
                 raise ValueError("fused plan needs voxel edges > 0")
+            use_spans = tuning.get("backend") == "pallas"
             spec = device_grid.make_spec(
                 lo, hi, max(radii), n_query=q_bucket,
                 m=tuning.get("query_tile_factor", 3),
-                q_cap=tuning.get("query_capacity") or (256 if tuning.get("backend") == "pallas" else 128),
+                q_cap=tuning.get("query_capacity")
+                or (1024 if use_spans else 128),
                 voxel_edge=edge,
-                entry_batch=tuning.get("entry_batch", 256))
+                entry_batch=tuning.get("entry_batch", 256),
+                x_seg=tuning.get("x_seg", 64) if use_spans else 1)
             worst = spec.e_cap
             if tuning.get("estimate_entries", True):
                 spec = device_grid.with_entry_estimate(spec, query)

@@ -46,10 +46,34 @@ class DeviceGridSpec:
     s_cap: int                # max search points per fine tile
     e_cap: int                # entry capacity (multiple of entry_batch)
     entry_batch: int
+    # span-path entry packing: entries are blocks of q_cap consecutive
+    # SORTED-RANK queries within a coarse-row SEGMENT of up to x_seg
+    # x-adjacent coarse tiles (x_seg=1 degenerates to one-coarse-tile
+    # entries, the XLA candidate-table scheme).  Packing along the
+    # sorted-rank axis keeps q slots ~100% full regardless of per-tile
+    # occupancy, and x-adjacent tiles' candidate x-rows UNION into one
+    # contiguous span each -- fewer, denser DMAs.
+    x_seg: int = 1
 
     @property
     def qdims(self):
         return tuple(-(-d // self.m) for d in self.dims)
+
+    @property
+    def seg_shape(self):
+        """(segments per coarse row, total segments)."""
+        qd = self.qdims
+        x_seg = max(min(self.x_seg, qd[0]), 1)
+        nseg_x = -(-qd[0] // x_seg)
+        return nseg_x, nseg_x * qd[1] * qd[2]
+
+    @property
+    def span_rows(self):
+        """Worst-case live points in one candidate x-row span: an entry
+        whose queries stretch across a whole x_seg-tile segment covers
+        (x_seg * m + 2) fine tiles per row."""
+        x_seg = max(min(self.x_seg, self.qdims[0]), 1)
+        return (x_seg * self.m + 2) * self.s_cap
 
     @property
     def n_grid(self):
@@ -64,7 +88,7 @@ class DeviceGridSpec:
 
 def make_spec(bounds_lo, bounds_hi, tile_edge, *, n_query, m=3, q_cap=128,
               s_cap=None, voxel_edge=None, entry_batch=256,
-              dims_round=16):
+              dims_round=16, x_seg=1):
     """
     Build the static spec from dataset bounds (host side, scalars only).
 
@@ -77,6 +101,10 @@ def make_spec(bounds_lo, bounds_hi, tile_edge, *, n_query, m=3, q_cap=128,
     extract, v5e); the XLA masked-matmul path wants 128 (dead q slots
     multiply its (B, Q, S) mask compute directly).  Callers pick per
     backend; the default suits the XLA path.
+
+    x_seg: span-path entry packing width in coarse tiles (see
+    DeviceGridSpec.x_seg).  >1 only affects fused_extract_spans; the
+    XLA candidate-table path ignores it.
     """
     lo = np.asarray(bounds_lo, np.float64) - 1e-3
     hi = np.asarray(bounds_hi, np.float64) + 1e-3
@@ -89,23 +117,26 @@ def make_spec(bounds_lo, bounds_hi, tile_edge, *, n_query, m=3, q_cap=128,
         per_axis = int(np.ceil(tile_edge / voxel_edge)) + 1
         s_cap = host_grid._pow2(per_axis ** 3)
     qdims = -(-dims // m)
-    n_qgrid = int(qdims.prod())
-    raw_entries = n_qgrid + n_query // q_cap + 1
+    x_seg = max(min(int(x_seg), int(qdims[0])), 1)
+    nseg_x = int(-(-qdims[0] // x_seg))
+    n_seg = nseg_x * int(qdims[1]) * int(qdims[2])
+    raw_entries = n_seg + n_query // q_cap + 1
     e_cap = ((raw_entries + entry_batch - 1) // entry_batch) * entry_batch
     return DeviceGridSpec(
         lo=tuple(float(v) for v in lo),
         dims=tuple(int(d) for d in dims),
         tile_edge=float(tile_edge),
         m=int(m), q_cap=int(q_cap), s_cap=int(host_grid._pow2(s_cap)),
-        e_cap=int(e_cap), entry_batch=int(entry_batch))
+        e_cap=int(e_cap), entry_batch=int(entry_batch), x_seg=x_seg)
 
 
 def estimate_entries(query, spec):
     """
     Host-exact entry demand for a query cloud under ``spec``: the sum of
-    ceil(population / q_cap) over occupied coarse tiles.  Used to size
-    ``e_cap`` from real occupancy instead of the worst-case
-    n_qgrid + n/q_cap bound (dead entries still cost kernel batches).
+    ceil(population / q_cap) over occupied coarse-row SEGMENTS (x_seg
+    x-adjacent coarse tiles; plain coarse tiles when x_seg=1).  Used to
+    size ``e_cap`` from real occupancy instead of the worst-case
+    n_segments + n/q_cap bound (dead entries still cost kernel batches).
     """
     from nimrud_tpu import native
     query = np.asarray(query, np.float32)
@@ -121,6 +152,15 @@ def estimate_entries(query, spec):
         qd = np.asarray(spec.qdims, np.int64)
         ids = cell[:, 0] + cell[:, 1] * qd[0] + cell[:, 2] * qd[0] * qd[1]
         counts = np.bincount(ids, minlength=int(qd.prod()))
+    qd = spec.qdims
+    x_seg = max(min(spec.x_seg, qd[0]), 1)
+    if x_seg > 1:
+        nseg_x, _ = spec.seg_shape
+        counts = np.asarray(counts).reshape(qd[2] * qd[1], qd[0])
+        pad = nseg_x * x_seg - qd[0]
+        if pad:
+            counts = np.pad(counts, ((0, 0), (0, pad)))
+        counts = counts.reshape(-1, nseg_x, x_seg).sum(axis=2)
     return int(np.sum(-(-counts // spec.q_cap)))
 
 
@@ -263,16 +303,29 @@ def build_tables(query, q_valid, search, s_valid, spec, with_stats=False):
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "radii", "kind", "exclude_radius",
-                     "n_out", "interpret", "span_batch", "precision"))
+                     "n_out", "interpret", "span_batch", "precision",
+                     "with_stats"))
 def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
                         kind, exclude_radius, n_out, interpret=False,
-                        span_batch=8, precision="highest"):
+                        span_batch=8, precision="highest",
+                        with_stats=False):
     """
     Raw padded clouds -> feature block via the Pallas span-DMA kernel
     (nimrud_tpu.ops.pallas.gather_kernel): search points are sorted by
-    fine tile id on device, and the kernel streams each query tile's
-    candidate x-row spans from HBM with double-buffered DMA -- no
+    fine tile id on device, and the kernel streams each entry's
+    candidate x-row spans from HBM with ring-buffered DMA -- no
     candidate index table exists at all.
+
+    Entries are ROW-PACKED (spec.x_seg > 1): blocks of q_cap
+    consecutive sorted-rank queries within a coarse-row segment of up
+    to x_seg x-adjacent coarse tiles.  All queries of an entry share
+    one candidate span per (dy, dz) row -- the UNION of their tiles'
+    x-row segments, which is contiguous because the tiles are
+    x-adjacent.  Versus one-tile entries this fills the q slots ~100%
+    (the moment dot wastes no lanes on padding) and replaces many short
+    spans with few dense ones (per-span DMA latency was the measured
+    bottleneck).  Candidates beyond a query's own (m+2)^3 box are
+    excluded by the same distance masks that handle in-box misses.
 
     Numerically equivalent to :func:`fused_extract` when no fine tile
     overflows ``spec.s_cap`` (voxel-downsampled search sets by
@@ -284,8 +337,11 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
 
     n_grid, n_qgrid = spec.n_grid, spec.n_qgrid
     n_query = query.shape[0]
-    span_tiles = spec.m + 2
-    span_rows = span_tiles * spec.s_cap
+    span_rows = spec.span_rows
+    qd = spec.qdims
+    dims = spec.dims
+    x_seg = max(min(spec.x_seg, qd[0]), 1)
+    nseg_x, n_seg = spec.seg_shape
 
     # --- sort search by fine tile id; per-tile starts/counts ------------
     # PRIMITIVE COSTS (trace-measured, scripts/probe_datamove.py, 1M
@@ -305,7 +361,7 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
         [jnp.zeros(1, jnp.int32), jnp.cumsum(s_counts)[:-1]])
     # transposed (4, n_pad) layout: points along lanes so span DMAs can
     # slice the lane dim at 128-aligned starts
-    window = _round_up(span_rows, LANES) + LANES
+    window = gather_kernel.span_window(span_rows)
     n_lanes = _round_up(n_search + window, LANES)
     sorted_t = jnp.zeros((4, n_lanes), search.dtype)
     sorted_t = sorted_t.at[0, :n_search].set(sx)
@@ -314,44 +370,64 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
     starts_ext = jnp.concatenate([s_starts, jnp.zeros(1, jnp.int32)])
     counts_ext = jnp.concatenate([s_counts, jnp.zeros(1, jnp.int32)])
 
-    # --- query entries over the coarse grid (same split as build_tables)
+    # --- query entries: rank blocks within coarse-row segments ----------
+    # tile ids linearize x fastest, so one sort by tile id also groups
+    # by segment id (monotone in tile id) AND leaves each segment's
+    # queries x-sorted -- an entry's tiles are a contiguous x range.
     q_iota = jnp.arange(n_query, dtype=jnp.int32)
     q_ids = jnp.where(q_valid, _encode(query, spec, coarse=True), n_qgrid)
+    sid = jnp.where(q_valid,
+                    (q_ids // qd[0]) * nseg_x + (q_ids % qd[0]) // x_seg,
+                    n_seg)
     sorted_qids, q_order, qsx, qsy, qsz = jax.lax.sort(
         (q_ids, q_iota, query[:, 0], query[:, 1], query[:, 2]),
         num_keys=1)
     q_sorted = jnp.stack([qsx, qsy, qsz], axis=-1)    # (n, 3)
-    q_counts = jnp.zeros(n_qgrid + 1, jnp.int32).at[q_ids].add(1)[:n_qgrid]
-    q_starts = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(q_counts)[:-1]])
-    per_tile = -(-q_counts // spec.q_cap)
+    seg_counts = jnp.zeros(n_seg + 1, jnp.int32).at[sid].add(1)[:n_seg]
+    seg_starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(seg_counts)[:-1]])
+    per_seg = -(-seg_counts // spec.q_cap)
     offsets = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(per_tile)])
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(per_seg)])
     entry = jnp.arange(spec.e_cap, dtype=jnp.int32)
-    tile = _tile_of_entry(offsets, spec.e_cap, n_qgrid)
-    rank = entry - offsets[tile]
-    live = entry < offsets[n_qgrid]
-    count = jnp.clip(q_counts[tile] - rank * spec.q_cap, 0, spec.q_cap)
+    seg = _tile_of_entry(offsets, spec.e_cap, n_seg)
+    rank = entry - offsets[seg]
+    live = entry < offsets[n_seg]
+    count = jnp.clip(seg_counts[seg] - rank * spec.q_cap, 0, spec.q_cap)
     count = jnp.where(live, count, 0)
-    start = q_starts[tile] + rank * spec.q_cap
+    start = seg_starts[seg] + rank * spec.q_cap
 
     qcol = jnp.arange(spec.q_cap, dtype=jnp.int32)
     q_gather = jnp.clip(start[:, None] + qcol[None, :], 0, n_query - 1)
     q_pts = q_sorted[q_gather]                        # (E, q_cap, 3)
 
-    qd = spec.qdims
-    dims = spec.dims
-    tx = tile % qd[0]
-    ty = (tile // qd[0]) % qd[1]
-    tz = tile // (qd[0] * qd[1])
+    # the entry's actual coarse-x range [tx_lo, tx_hi]: tile ids of its
+    # first and last sorted queries (x-sorted within the segment)
+    first_tid = jnp.clip(
+        sorted_qids[jnp.clip(start, 0, n_query - 1)], 0, n_qgrid - 1)
+    last_tid = jnp.clip(
+        sorted_qids[jnp.clip(start + count - 1, 0, n_query - 1)],
+        0, n_qgrid - 1)
+    tx_lo = first_tid % qd[0]
+    tx_hi = last_tid % qd[0]
+    rid = seg // nseg_x
+    ty = rid % qd[1]
+    tz = rid // qd[1]
     lo = jnp.asarray(spec.lo, dtype=jnp.float32)
-    centers = (jnp.stack([tx, ty, tz], axis=1).astype(jnp.float32) + 0.5) \
-        * (spec.m * spec.tile_edge) + lo
+
+    # candidate fine-x range (single-tile entries: [tx*m-1, tx*m+m])
+    x0 = jnp.maximum(tx_lo * spec.m - 1, 0)
+    x1 = jnp.minimum(tx_hi * spec.m + spec.m, dims[0] - 1)
+    # entry center: midpoint of the actual candidate range (fp32 health
+    # of the local frame); any consistent per-entry point is valid
+    centers = jnp.stack([
+        lo[0] + (x0 + x1 + 1).astype(jnp.float32) * (0.5 * spec.tile_edge),
+        lo[1] + (ty.astype(jnp.float32) + 0.5) * (spec.m * spec.tile_edge),
+        lo[2] + (tz.astype(jnp.float32) + 0.5) * (spec.m * spec.tile_edge),
+    ], axis=1)
     q_local = q_pts - centers[:, None, :]
 
     # --- candidate x-row spans: one contiguous segment per (dy, dz) -----
-    x0 = jnp.maximum(tx * spec.m - 1, 0)
-    x1 = jnp.minimum(tx * spec.m + spec.m, dims[0] - 1)
     span_starts, span_lens = [], []
     for dy in range(-1, spec.m + 1):
         for dz in range(-1, spec.m + 1):
@@ -393,13 +469,24 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
         [feats.reshape(-1, width),
          jnp.zeros((1, width), jnp.float32)])         # sentinel zero row
     tid_r = jnp.clip(sorted_qids, 0, n_qgrid - 1)
-    local = q_iota - q_starts[tid_r]
-    entry_r = offsets[tid_r] + local // spec.q_cap
+    sid_r = (tid_r // qd[0]) * nseg_x + (tid_r % qd[0]) // x_seg
+    local = q_iota - seg_starts[sid_r]
+    entry_r = offsets[sid_r] + local // spec.q_cap
     pos_r = entry_r * spec.q_cap + local % spec.q_cap
     ok_r = (sorted_qids < n_qgrid) & (entry_r < spec.e_cap)
     pos_r = jnp.where(ok_r, pos_r, flat.shape[0] - 1)
     _, pos_by_query = jax.lax.sort_key_val(q_order, pos_r)
-    return flat[pos_by_query][:n_out]
+    feats_out = flat[pos_by_query][:n_out]
+    if not with_stats:
+        return feats_out
+    # entries past e_cap never ran: their queries got the sentinel zero
+    # row above.  Cheap (one sum over e_cap), always-correct overflow
+    # accounting for the span path (SURVEY section 7: fixed capacities
+    # must never truncate silently).
+    stats = {"dropped_query": (
+        jnp.sum(q_valid.astype(jnp.int32)) - jnp.sum(count)
+    ).astype(jnp.int32)}
+    return feats_out, stats
 
 
 @functools.partial(

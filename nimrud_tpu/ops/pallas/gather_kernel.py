@@ -39,17 +39,33 @@ from jax.experimental.pallas import tpu as pltpu
 from nimrud_tpu.ops.pallas.multiscale_kernel import MOMENT_PAD
 
 LANES = 128
+SUB = 512              # DMA sub-chunk: spans are copied in (4, SUB)
+                       # pieces so short spans move ~one piece while the
+                       # static window covers the worst case
 
 
 def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-SLOTS = 4              # DMA ring depth: prefetch 3 spans ahead
+def span_window(span_rows):
+    """Static VMEM window per span: worst-case live rows plus one LANES
+    block of alignment prefix, rounded to whole DMA sub-chunks (one
+    LANES-rounded chunk when the whole window fits inside SUB)."""
+    need = int(span_rows) + LANES
+    if need <= SUB:
+        return _round_up(need, LANES)
+    return _round_up(need, SUB)
+
+
+SLOTS = 8              # default DMA ring depth: spans are short, so the
+                       # pipeline is DMA-LATENCY bound, not bandwidth
+                       # bound -- a deep ring keeps ~ring-1 copies in
+                       # flight to hide the per-copy issue latency
 
 
 def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
-                 precision):
+                 precision, ring):
     """``batch`` entries ride one grid step.  The step's spans arrive
     COMPACTED: live (len > 0) spans first with their owning entry index
     alongside, and ``n_live_ref`` holds the live count -- so the loop
@@ -59,6 +75,8 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
     between working the real data and working the worst case."""
     width = len(radii) * MOMENT_PAD
     total = batch * n_span
+    sub = min(SUB, window)
+    n_sub = window // sub
 
     def body(starts_ref, lens_ref, entry_ref, n_live_ref, center_ref,
              q_ref, search_hbm, out_ref, buf, sems):
@@ -70,18 +88,34 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
             base = (start // LANES) * LANES
             return pl.multiple_of(base, LANES), start - base
 
-        def dma(k, slot):
-            base, _ = aligned(k)
-            return pltpu.make_async_copy(
-                search_hbm.at[:, pl.ds(base, window)],
-                buf.at[slot],
-                sems.at[slot],
-            )
+        def span_dma(k, slot, op):
+            # the window covers the worst-case span; copy only the
+            # sub-chunks holding live lanes ([0, prefix + len)).  All
+            # sub-copies share the slot's semaphore; start and wait run
+            # under identical predicates, so the amounts balance.
+            base, prefix = aligned(k)
+            need = prefix + lens_ref[0, 0, k]
+            for j in range(n_sub):
+                # j == 0 always fires: live spans have need >= 1
+                @pl.when(j * sub < need)
+                def _(j=j):
+                    copy = pltpu.make_async_copy(
+                        search_hbm.at[:, pl.ds(base + j * sub, sub)],
+                        buf.at[slot, :, pl.ds(j * sub, sub)],
+                        sems.at[slot],
+                    )
+                    op(copy)
 
-        for i in range(SLOTS - 1):
+        def start_dma(k, slot):
+            span_dma(k, slot, lambda c: c.start())
+
+        def wait_dma(k, slot):
+            span_dma(k, slot, lambda c: c.wait())
+
+        for i in range(ring - 1):
             @pl.when(i < n_live)
             def _(i=i):
-                dma(i, i).start()
+                start_dma(i, i)
 
         # accumulator rides TRANSPOSED (width, q_cap): the moment dot is
         # aug (16, W) @ mask^T (W, q_cap) -- M=16 streams through the
@@ -93,14 +127,14 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
         def loop(k, _):
             @pl.when(k < n_live)
             def _():
-                slot = k % SLOTS
+                slot = k % ring
                 e = entry_ref[0, 0, k]
 
-                @pl.when(k + SLOTS - 1 < n_live)
+                @pl.when(k + ring - 1 < n_live)
                 def _():
-                    dma(k + SLOTS - 1, (k + SLOTS - 1) % SLOTS).start()
+                    start_dma(k + ring - 1, (k + ring - 1) % ring)
 
-                dma(k, slot).wait()
+                wait_dma(k, slot)
 
                 q = q_ref[0, e]                        # (q_cap, 3)
                 cx = center_ref[0, e, 0]
@@ -147,25 +181,26 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
                         base_mask = base_mask \
                             & (d2 >= exclude_radius * exclude_radius)
                     if precision == "bf16x2":
-                        # two DEFAULT passes instead of HIGHEST's six:
-                        # aug splits into bf16 hi + lo (~16 mantissa
-                        # bits reconstructed); the 0/1 mask is exact in
-                        # bf16, so counts stay exact
+                        # three DEFAULT passes instead of HIGHEST's six:
+                        # aug splits into bf16 hi + mid + lo (~24
+                        # mantissa bits reconstructed -- two terms were
+                        # not enough once row-packed entries widened the
+                        # local frame to a whole segment); the 0/1 mask
+                        # is exact in bf16, so counts stay exact
                         hi = aug.astype(jnp.bfloat16)
-                        lo = (aug - hi.astype(jnp.float32)
+                        rem = aug - hi.astype(jnp.float32)
+                        mid = rem.astype(jnp.bfloat16)
+                        lo = (rem - mid.astype(jnp.float32)
                               ).astype(jnp.bfloat16)
                     for ri, radius in enumerate(radii):
                         sel = base_mask & (d2 <= radius * radius)
                         sl = slice(ri * MOMENT_PAD, (ri + 1) * MOMENT_PAD)
                         if precision == "bf16x2":
                             mask = sel.astype(jnp.bfloat16)
-                            mom = jax.lax.dot_general(
-                                hi, mask, (((1,), (1,)), ((), ())),
+                            mom = sum(jax.lax.dot_general(
+                                part, mask, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
-                            ) + jax.lax.dot_general(
-                                lo, mask, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            )                          # (16, q_cap)
+                            ) for part in (hi, mid, lo))  # (16, q_cap)
                         else:
                             mask = sel.astype(jnp.float32)
                             mom = jax.lax.dot_general(
@@ -189,11 +224,11 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
 @functools.partial(
     jax.jit,
     static_argnames=("radii", "span_rows", "exclude_radius", "interpret",
-                     "entries_per_step", "precision"))
+                     "entries_per_step", "precision", "ring"))
 def span_moments(q_local, centers, span_starts, span_lens,
                  sorted_search_t, radii, span_rows, exclude_radius=None,
                  interpret=False, entries_per_step=8,
-                 precision="highest"):
+                 precision="highest", ring=SLOTS):
     """
     Raw masked moment slabs via in-kernel span DMA.
 
@@ -224,7 +259,8 @@ def span_moments(q_local, centers, span_starts, span_lens,
     n_pad = sorted_search_t.shape[1]
     width = len(radii) * MOMENT_PAD
     # window covers a worst-case-misaligned span at 128-lane granularity
-    window = _round_up(int(span_rows), LANES) + LANES
+    window = span_window(span_rows)
+    ring = max(int(ring), 2)
 
     batch = max(int(entries_per_step), 1)
     pad_e = (-n_entries) % batch
@@ -265,7 +301,7 @@ def span_moments(q_local, centers, span_starts, span_lens,
                      else float(exclude_radius),
                      n_pad, batch,
                      {"highest": jax.lax.Precision.HIGHEST,
-                      "bf16x2": "bf16x2"}[precision]),
+                      "bf16x2": "bf16x2"}[precision], ring),
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((1, 1, total), lambda g: (g, 0, 0),
@@ -286,8 +322,8 @@ def span_moments(q_local, centers, span_starts, span_lens,
         out_shape=jax.ShapeDtypeStruct(
             (n_steps, batch, width, q_cap), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((SLOTS, 4, window), jnp.float32),
-            pltpu.SemaphoreType.DMA((SLOTS,)),
+            pltpu.VMEM((ring, 4, window), jnp.float32),
+            pltpu.SemaphoreType.DMA((ring,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -498,7 +498,7 @@ def make_fused_extract_2d(mesh, halo_x, halo_y, scaleset, kind,
 def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
                           bounds_lo, bounds_hi, rows, clf_kind,
                           clf_params, clf_static=None, *,
-                          precision="highest"):
+                          precision="highest", backend="xla"):
     """
     Multi-chip SERVING: the whole production inference step -- two-phase
     halo exchange, device voxelize, tile build, masked moments, feature
@@ -508,13 +508,20 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
 
     ``clf_kind``/``clf_params``/``clf_static`` come from
     :meth:`nimrud_tpu.pipeline.GeometryClassifier._fused_classifier`.
+    ``backend="pallas"`` runs each shard's moments through the span-DMA
+    kernel (the single-chip production backend) instead of the XLA
+    candidate-table path; geometry kinds only, like the single-chip
+    route.
 
     Returns f(blocks, valid) -> (n_devices, rows) int32 labels,
     device-major (reassemble with :func:`nimrud_tpu.parallel.tiles.unshard`).
     """
+    from nimrud_tpu.features import layouts
     from nimrud_tpu.ops import device_grid, packing, unique
     from nimrud_tpu.pipeline import classify_features
 
+    use_spans = (backend == "pallas" and kind != "vector"
+                 and not layouts.needs_sazo(kind))
     specs = []
     for edge, radii in scaleset:
         if edge <= 0:
@@ -524,9 +531,15 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
         vox_spec = packing.GridSpec.fit_bounds(bounds_lo, bounds_hi, edge)
         dev_spec = device_grid.make_spec(
             bounds_lo, bounds_hi, max(radii), n_query=rows,
-            voxel_edge=edge)
+            voxel_edge=edge,
+            q_cap=1024 if use_spans else 128,
+            x_seg=64 if use_spans else 1)
         specs.append((vox_spec, dev_spec, radii))
     specs = tuple(specs)
+    span_prec = {"bf16x2": "bf16x2", "mixed": "bf16x2",
+                 "high": "bf16x2"}.get(precision, "highest")
+    xla_prec = "highest" if precision == "bf16x2" else precision
+    interpret = jax.default_backend() not in ("tpu", "axon")
 
     @jax.jit
     @functools.partial(
@@ -545,9 +558,15 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
         for vox_spec, dev_spec, radii in specs:
             centers, _, mask = unique.unique_voxels(
                 search, vox_spec, valid=s_valid)
-            bands.append(device_grid.fused_extract.__wrapped__(
-                block, v, centers, mask, dev_spec, radii, kind,
-                None, precision, rows))
+            if use_spans:
+                bands.append(
+                    device_grid.fused_extract_spans.__wrapped__(
+                        block, v, centers, mask, dev_spec, radii, kind,
+                        None, rows, interpret, 8, span_prec))
+            else:
+                bands.append(device_grid.fused_extract.__wrapped__(
+                    block, v, centers, mask, dev_spec, radii, kind,
+                    None, xla_prec, rows))
         feats = bands[0] if len(bands) == 1 \
             else jnp.concatenate(bands, axis=1)
         probs = classify_features(clf_kind, clf_params, clf_static, feats)

@@ -53,7 +53,13 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
     from nimrud_tpu.features import layouts
 
     bands = []
+    # always-on overflow accounting (device scalars; costs a few sums):
+    # a serving cloud denser than the capacities were sized for must be
+    # LOUD, not silently truncated.  predict() checks these at its d2h.
     vox_dropped = jnp.zeros((), jnp.int32)
+    dropped_query = jnp.zeros((), jnp.int32)
+    dropped_search = jnp.zeros((), jnp.int32)
+    interp_dropped = jnp.zeros((), jnp.int32)
     for band in band_specs:
         vox_spec, dev_spec, radii = band[:3]
         interp_spec = band[3] if len(band) > 3 else None
@@ -67,10 +73,12 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                 centers, mask, cattrs = interp.matmul_interp(
                     search, s_valid, attributes, vox_spec, interp_spec)
             else:
-                centers, mask, cattrs = \
+                centers, mask, cattrs, i_stats = \
                     interp.interp_to_voxels.__wrapped__(
                         search, s_valid, attributes, vox_spec,
-                        vector_s_cap)
+                        vector_s_cap, with_stats=True)
+                interp_dropped = interp_dropped \
+                    + i_stats["dropped_search"]
         else:
             centers, _, mask = unique.unique_voxels(
                 search, vox_spec, valid=s_valid)
@@ -90,20 +98,29 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
             # only -- measured faster than the XLA moment loop on v5e
             span_prec = {"bf16x2": "bf16x2", "mixed": "bf16x2",
                          "high": "bf16x2"}.get(precision, "highest")
-            bands.append(device_grid.fused_extract_spans.__wrapped__(
+            feats, b_stats = device_grid.fused_extract_spans.__wrapped__(
                 query, q_valid, centers, mask, dev_spec, radii, kind,
-                exclude_radius, n_query, interpret, 8, span_prec))
+                exclude_radius, n_query, interpret, 8, span_prec,
+                with_stats=True)
+            dropped_query = dropped_query + b_stats["dropped_query"]
+            bands.append(feats)
         else:
             xla_prec = "highest" if precision == "bf16x2" else precision
-            bands.append(device_grid.fused_extract.__wrapped__(
+            feats, b_stats = device_grid.fused_extract.__wrapped__(
                 query, q_valid, centers, mask, dev_spec, radii, kind,
-                exclude_radius, xla_prec, n_query, False, cattrs))
+                exclude_radius, xla_prec, n_query, True, cattrs)
+            dropped_query = dropped_query + b_stats["dropped_query"]
+            dropped_search = dropped_search + b_stats["dropped_search"]
+            bands.append(feats)
     features = bands[0] if len(bands) == 1 \
         else jnp.concatenate(bands, axis=1)
 
     probs = classify_features(clf_kind, clf_params, clf_static, features)
     return (jnp.argmax(probs, axis=1).astype(jnp.int32), probs,
-            {"vox_dropped": vox_dropped})
+            {"vox_dropped": vox_dropped,
+             "dropped_query": dropped_query,
+             "dropped_search": dropped_search,
+             "interp_dropped": interp_dropped})
 
 
 def classify_features(clf_kind, clf_params, clf_static, features):
@@ -151,7 +168,7 @@ class GeometryClassifier:
                  classifier_kwargs=None, exclude_radius=None,
                  method="auto", chunk_size=1024,
                  transfer_dtype="float32", vector_s_cap=32,
-                 bounds=None, trim_entries=False, backend="xla",
+                 bounds=None, trim_entries=False, backend="auto",
                  precision="highest"):
         self.scaleset = [(float(e), tuple(float(r) for r in rs))
                          for e, rs in scaleset]
@@ -179,9 +196,15 @@ class GeometryClassifier:
         self.trim_entries = bool(trim_entries)
         # moment-kernel backend for the fused predict: "xla" (masked
         # matmuls over a candidate table) or "pallas" (span-DMA kernel;
-        # geometry kinds only -- vector/sazo bands fall back to xla)
-        if backend not in ("xla", "pallas"):
-            raise ValueError("backend must be xla or pallas")
+        # geometry kinds only -- vector/sazo bands fall back to xla).
+        # "auto" (default) picks pallas on real TPU -- trace-measured
+        # faster on the production workload -- and xla elsewhere (the
+        # span kernel only runs interpreted off-TPU, which is for tests)
+        if backend not in ("xla", "pallas", "auto"):
+            raise ValueError("backend must be xla, pallas or auto")
+        if backend == "auto":
+            backend = "pallas" \
+                if jax.default_backend() in ("tpu", "axon") else "xla"
         self.backend = backend
         # "highest" everywhere by default.  For backend="pallas",
         # "bf16x2" runs the moment dot as two bf16 passes (counts stay
@@ -191,6 +214,7 @@ class GeometryClassifier:
             raise ValueError("precision='bf16x2' needs backend='pallas'")
         self.precision = precision
         self._spec_cache = None
+        self._multichip_cache = {}
         if transfer_dtype not in ("float32", "uint16"):
             raise ValueError("transfer_dtype must be float32 or uint16")
         self.transfer_dtype = transfer_dtype
@@ -230,6 +254,7 @@ class GeometryClassifier:
         labels = np.asarray(labels)
         n_classes = int(labels.max() + 1)
         self._spec_cache = None        # a refit resizes everything
+        self._multichip_cache = {}     # ...including the mesh programs
         rows = None
         if sample is not None and sample < len(labels):
             rows = np.random.RandomState(seed).permutation(
@@ -363,7 +388,8 @@ class GeometryClassifier:
                 dev_spec = device_grid.make_spec(
                     lo, hi, max(radii), n_query=q_bucket,
                     voxel_edge=edge,
-                    q_cap=256 if use_spans else 128)
+                    q_cap=1024 if use_spans else 128,
+                    x_seg=64 if use_spans else 1)
                 if self.kind == "vector":
                     # static plan for the matmul attribute interpolation
                     # (ops.interp.interp_to_voxels_matmul): a voxel-edge
@@ -454,10 +480,14 @@ class GeometryClassifier:
         DEVICE arrays; one compiled dispatch, no host transfer.
 
         ``with_diag`` additionally returns the overflow-counter dict
-        (device scalars): ``vox_dropped`` counts voxels beyond the
-        trimmed per-band search capacity (nonzero means the serving
-        cloud is denser than the fit cloud the capacity was sized
-        from).
+        (device scalars, computed on every call): ``vox_dropped``
+        (voxels beyond the trimmed per-band search capacity),
+        ``dropped_query`` (queries left without an entry slot),
+        ``dropped_search`` (search points beyond a fine tile's s_cap on
+        the XLA path) and ``interp_dropped`` (vector-interp voxel
+        overflow).  Nonzero means the serving cloud is denser than what
+        the capacities were sized from; :meth:`predict` warns on these
+        automatically.
         """
         clf_kind, clf_params, clf_static = self._fused_classifier()
         labels, probs, diag = _fused_predict_step(
@@ -525,8 +555,30 @@ class GeometryClassifier:
         return jnp.argmax(probs, axis=1).astype(jnp.int32)
 
     def predict(self, cloud, search=None, attributes=None):
-        """Per-point class labels; only int32 labels leave the device."""
-        return np.asarray(self.predict_device(cloud, search, attributes))
+        """Per-point class labels; only int32 labels leave the device.
+
+        This path already pays a device->host read for the labels, so it
+        also fetches the (tiny) overflow counters and WARNS when the
+        cloud was denser than the model's fixed capacities -- silent
+        truncation must be loud somewhere, and transfer-free serving
+        (predict_device / predict_staged) cannot afford the read.
+        """
+        staged = self.stage(cloud, search, attributes)
+        if staged is None:
+            return np.asarray(
+                self.predict_device(cloud, search, attributes))
+        labels, diag = self.predict_staged(staged, with_diag=True)
+        labels, diag = jax.device_get((labels, diag))
+        dropped = {k: int(v) for k, v in diag.items() if int(v) > 0}
+        if dropped:
+            import warnings
+            warnings.warn(
+                "serving cloud overflowed fixed capacities "
+                f"({dropped}); affected points got zero/truncated "
+                "features.  Refit with larger capacities or "
+                "trim_entries sized on a denser cloud.",
+                RuntimeWarning, stacklevel=2)
+        return np.asarray(labels)
 
     # -- multi-chip serving -----------------------------------------------------
 
@@ -572,10 +624,24 @@ class GeometryClassifier:
         buffer = max(max(r) for _, r in self.scaleset) \
             + max(e for e, _ in self.scaleset)
         shards = tiles.shard_cloud_2d(cloud, mesh_shape, buffer)
-        run = pmesh.make_fused_predict_2d(
-            mesh, shards["halo_x"], shards["halo_y"], self.scaleset,
-            self.kind, lo, hi, shards["blocks"].shape[1],
-            clf_kind, clf_params, clf_static)
+        # one compiled program per (mesh, static shard shape, backend):
+        # streams of same-size clouds hit the cache (halo caps are
+        # pow2-bucketed, so they repeat for same-scene clouds); fit()
+        # clears it alongside the single-chip spec cache
+        key = (id(mesh), tuple(int(s) for s in mesh_shape),
+               int(shards["blocks"].shape[1]),
+               int(shards["halo_x"]), int(shards["halo_y"]),
+               self.backend)
+        if not hasattr(self, "_multichip_cache"):   # pre-cache pickles
+            self._multichip_cache = {}
+        run = self._multichip_cache.get(key)
+        if run is None:
+            run = pmesh.make_fused_predict_2d(
+                mesh, shards["halo_x"], shards["halo_y"], self.scaleset,
+                self.kind, lo, hi, shards["blocks"].shape[1],
+                clf_kind, clf_params, clf_static,
+                precision=self.precision, backend=self.backend)
+            self._multichip_cache[key] = run
         labels = run(jnp.asarray(shards["blocks"]),
                      jnp.asarray(shards["valid"]))
         return tiles.unshard(

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 from nimrud_tpu.ops.pallas import gather_kernel as gk
 
 E, Q, NS, SR = 8, 16, 4, 32
-window = gk._round_up(SR, gk.LANES) + gk.LANES
+window = gk.span_window(SR)
 NP = gk._round_up(300 + window, gk.LANES)
 rng = np.random.default_rng(0)
 q = jnp.asarray(rng.random((E, Q, 3)).astype(np.float32))
