@@ -29,7 +29,10 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import shutil
+import subprocess
+import sys
 import tempfile
 import time
 
@@ -45,8 +48,35 @@ TIMED_RUNS = 2
 TRACE_RUNS = 2
 
 
+def _bench_large():
+    """BASELINE config 3 (10M+ points) in its OWN process -- the relay
+    degrades a process after its first d2h, so the 10M trace needs
+    fresh relay state; runs BEFORE this process touches the TPU.
+    Set NIMRUD_BENCH_SKIP_LARGE=1 to skip (e.g. for quick reruns)."""
+    if os.environ.get("NIMRUD_BENCH_SKIP_LARGE"):
+        return {"skipped": True}
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_large.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__)) \
+        + os.pathsep + env.get("PYTHONPATH", "")
+    try:
+        proc = subprocess.run(
+            [sys.executable, script], capture_output=True, text=True,
+            timeout=2400, env=env)
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        return {"error": (proc.stderr or "no output")[-200:]}
+    except Exception as error:      # pragma: no cover - relay flakiness
+        return {"error": str(error)[:200]}
+
+
 def main():
     import jax
+
+    large = _bench_large()
 
     cloud, labels = make_bench_cloud()
     # production serving configuration: quantized uint16 uploads, fixed
@@ -149,6 +179,7 @@ def main():
         "vs_baseline": round(rate / BASELINE_PTS_PER_SEC, 1),
         "detail": {
             "trace": trace_stats,
+            "large_scale_10m": large,
             "stages_sec": stages,
             "n_points": N_POINTS,
             "scales": list(RADII),

@@ -209,6 +209,70 @@ class RPTEnsemble:
             })
         return out
 
+    # -- fitting (device) -----------------------------------------------------
+
+    def fit_device(self, features, labels, n_classes=None, depth=14):
+        """
+        Fit the whole forest ON DEVICE: projections, per-node medians
+        (sorted-segment lookup), Dasgupta-Freund jitter, gini stopping
+        and the dense node tables all run inside one jitted program --
+        features never cross back to the host.  ``labels`` should be a
+        HOST array (class-balanced subset selection is index bookkeeping;
+        fit()'s labels are host-resident anyway), so the only transfer
+        is the usual parameter-free upload path.
+
+        Semantics match :meth:`fit` (reference ml.py:110-180 grow rules)
+        with two documented deviations: the split-jitter anchor is the
+        cell's first sample in sorted order instead of a uniformly
+        random one (both satisfy the Dasgupta-Freund "random point of
+        the cell" role), and depth caps at ``depth`` (<= 15, the dense
+        direct-index table budget) instead of 30.  RNG is jax.random,
+        so a device fit is reproducible against itself, not against the
+        host fit.
+        """
+        labels = np.asarray(labels).astype(np.int64)
+        features = jnp.asarray(features, dtype=jnp.float32)
+        self.numlabs = int(labels.max() + 1) if n_classes is None \
+            else int(n_classes)
+        self.dim = int(features.shape[1])
+        depth = int(min(depth, 15))
+        rng = np.random.RandomState(self.seed)
+
+        index = np.arange(labels.shape[0])
+        per_class = [index[labels == c] for c in range(self.numlabs)]
+        for rows in per_class:
+            rng.shuffle(rows)
+        min_pop = min(rows.size for rows in per_class)
+        per_tree = min_pop // self.n_estimators
+        if per_tree < 1:
+            raise ValueError(
+                f"smallest class has {min_pop} samples; cannot build "
+                f"{self.n_estimators} balanced trees")
+        perm = rng.permutation(min_pop)
+        row_sets, imps = [], []
+        for n in range(self.n_estimators):
+            chosen = perm[n * per_tree:(n + 1) * per_tree]
+            row_sets.append(np.concatenate(
+                [rows.take(chosen) for rows in per_class]))
+            if isinstance(self.impurity, tuple):
+                imps.append(max(self.impurity)
+                            - rng.rand() * min(self.impurity))
+            else:
+                imps.append(float(self.impurity))
+        rows = jnp.asarray(np.stack(row_sets).astype(np.int32))
+        imps = jnp.asarray(np.asarray(imps, np.float32))
+        key = jax.random.PRNGKey(
+            rng.randint(0, 2 ** 31 - 1) if self.seed is None
+            else self.seed)
+
+        tables = _fit_forest_device(
+            features, jnp.asarray(labels.astype(np.int32)), rows, imps,
+            key, self.numlabs, depth, float(self.min_obs))
+        self.max_depth_ = depth
+        self._tables = tables
+        self.trees_ = None              # host rule dicts not built
+        return self
+
     # -- inference (device) ---------------------------------------------------
 
     def predict_proba(self, data):
@@ -264,6 +328,146 @@ def _prune_terminal_chains(rules, dim):
                 and np.array_equal(cprop, prop):
             del rules[children[0]]
             rules[code] = (_LEAF, np.zeros(dim), gini, prop)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("numlabs", "depth"))
+def _fit_forest_device(features, labels, rows, impurities, key,
+                       numlabs, depth, min_obs):
+    """
+    Grow the whole forest on device, level-synchronously: at each level
+    every live sample carries its branch code, per-node class counts /
+    medians / cell diameters come from one scatter + one two-key sort,
+    and the dense direct-index tables are written in place.  vmapped
+    over trees.
+
+    Returns the dense table dict of :meth:`RPTEnsemble._flatten`.
+    """
+    size = 1 << (depth + 2)
+    dim = features.shape[1]
+    # ~the host's 30-attempt budget: retries consume iterations without
+    # deepening codes, so the loop runs longer than the depth cap
+    attempts = 2 * depth + 4
+    # node level by branch code (host constant; exact for these ints)
+    lvl_of = jnp.asarray(np.floor(np.log2(np.maximum(
+        np.arange(size), 1))).astype(np.int32))
+
+    def one_tree(tree_rows, impurity, tree_key):
+        data = features[tree_rows]                  # (n, dim)
+        labs = labels[tree_rows]                    # (n,)
+        n = data.shape[0]
+
+        splits0 = jnp.full((size,), jnp.inf, jnp.float32)
+        vecs0 = jnp.zeros((size, dim), jnp.float32)
+        ginis0 = jnp.zeros((size,), jnp.float32)
+        props0 = jnp.zeros((size, numlabs), jnp.float32)
+        written0 = jnp.zeros((size,), bool)
+        code0 = jnp.ones((n,), jnp.int32)
+        done0 = jnp.zeros((n,), bool)
+
+        def level(lvl, carry):
+            code, done, splits, vecs, ginis, props, written = carry
+            live = ~done
+            safe = jnp.where(live, code, size)       # OOB drops
+            counts = jnp.zeros((size, numlabs), jnp.float32).at[
+                safe, labs].add(1.0, mode="drop")
+            tot = counts.sum(axis=1)
+            occ = tot > 0
+            denom = jnp.maximum(tot, 1.0)
+            prop_d = counts / denom[:, None]
+            gini_d = 1.0 - jnp.sum(prop_d * prop_d, axis=1)
+            ginis = jnp.where(occ, gini_d, ginis)
+            props = jnp.where(occ[:, None], prop_d, props)
+            written = written | occ
+
+            leaf_d = occ & ((gini_d <= impurity) | (tot <= min_obs)
+                            | (lvl >= attempts - 1) | (lvl_of >= depth))
+
+            # one random unit projection per (potential) node
+            kv, kj = jax.random.split(jax.random.fold_in(tree_key, lvl))
+            vec_d = jax.random.uniform(kv, (size, dim), jnp.float32)
+            vec_d = vec_d / jnp.linalg.norm(vec_d, axis=1, keepdims=True)
+            proj = jnp.sum(data * vec_d[jnp.clip(code, 0, size - 1)],
+                           axis=1)                   # (n,)
+
+            # per-node median + first-sample anchor via one 2-key sort
+            order = jnp.arange(n, dtype=jnp.int32)
+            s_code, s_proj, s_row = jax.lax.sort(
+                (safe, proj, order), num_keys=2)
+            head = jnp.concatenate(
+                [jnp.ones((1,), bool), s_code[1:] != s_code[:-1]])
+            starts = jnp.zeros((size,), jnp.int32).at[
+                jnp.where(head, s_code, size)].set(order, mode="drop")
+            mid_lo = starts + (tot.astype(jnp.int32) - 1) // 2
+            mid_hi = starts + tot.astype(jnp.int32) // 2
+            s_proj_ext = jnp.concatenate([s_proj, jnp.zeros((1,))])
+            median = 0.5 * (
+                s_proj_ext[jnp.clip(mid_lo, 0, n - 1)]
+                + s_proj_ext[jnp.clip(mid_hi, 0, n - 1)])  # (size,)
+
+            # Dasgupta-Freund jitter: +-6 * diameter / sqrt(dim), the
+            # anchor being the cell's min-projection sample (a point of
+            # the cell; the host fit draws it uniformly)
+            anchor_row = s_row[jnp.clip(starts, 0, n - 1)]   # (size,)
+            anchor = data[jnp.clip(anchor_row[
+                jnp.clip(code, 0, size - 1)], 0, n - 1)]     # (n, dim)
+            dist = jnp.linalg.norm(data - anchor, axis=1)
+            diam = jnp.zeros((size,), jnp.float32).at[safe].max(
+                dist, mode="drop")
+            u = jax.random.uniform(kj, (size,), jnp.float32)
+            split_d = median + (u - 0.5) * 12.0 * diam \
+                / jnp.sqrt(jnp.float32(dim))
+
+            # RETRY-IN-PLACE: the Dasgupta-Freund jitter frequently
+            # lands the split outside the cell (one child empty).  The
+            # host fit recurses anyway, producing degenerate chains it
+            # later prunes; here a non-separating draw simply leaves
+            # the node pending, and the next level redraws a fresh
+            # projection for it -- chain-pruned semantics with no code
+            # space growth, so the level budget buys real splits.
+            go_left = proj <= split_d[jnp.clip(code, 0, size - 1)]
+            lcnt = jnp.zeros((size,), jnp.float32).at[safe].add(
+                go_left.astype(jnp.float32), mode="drop")
+            sep = (lcnt > 0) & (lcnt < tot)
+            grow = occ & ~leaf_d & sep
+            splits = jnp.where(grow, split_d, splits)
+            vecs = jnp.where(grow[:, None], vec_d, vecs)
+
+            # advance only samples whose node actually split; samples
+            # whose node went leaf stop
+            node_code = jnp.clip(code, 0, size - 1)
+            done = done | (live & leaf_d[node_code])
+            nxt = (code << 1) | (~go_left).astype(jnp.int32)
+            advance = (~done) & grow[node_code]
+            code = jnp.where(advance, nxt, code)
+            return code, done, splits, vecs, ginis, props, written
+
+        _, _, splits, vecs, ginis, props, written = jax.lax.fori_loop(
+            0, attempts, level,
+            (code0, done0, splits0, vecs0, ginis0, props0, written0))
+
+        # dead-branch backoff: unvisited cells inherit the parent's
+        # statistics as leaves (reference ml.py:369-380 semantics; same
+        # fill as the host _flatten dense pack)
+        for lvl in range(1, depth + 2):
+            lo, hi = 1 << lvl, min(1 << (lvl + 1), size)
+            miss = ~written[lo:hi]
+            pg = jnp.repeat(ginis[lo >> 1:hi >> 1], 2)
+            pp = jnp.repeat(props[lo >> 1:hi >> 1], 2, axis=0)
+            ginis = ginis.at[lo:hi].set(
+                jnp.where(miss, pg, ginis[lo:hi]))
+            props = props.at[lo:hi].set(
+                jnp.where(miss[:, None], pp, props[lo:hi]))
+            written = written.at[lo:hi].set(True)
+        return splits, vecs, ginis, props
+
+    keys = jax.random.split(key, rows.shape[0])
+    dsplits, dvecs, dginis, dprops = jax.vmap(one_tree)(
+        rows, impurities, keys)
+    return {
+        "dense_splits": dsplits, "dense_vecs": dvecs,
+        "dense_ginis": dginis, "dense_props": dprops,
+    }
 
 
 def _walk_one_tree(tags, splits, vecs, ginis, props, data, max_depth):

@@ -459,11 +459,12 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
             p["cov"], q_pts, radius))
     feats = jnp.concatenate(blocks, axis=-1)
 
-    # --- back to caller order WITHOUT a scatter --------------------------
+    # --- back to caller order WITHOUT a row scatter ----------------------
     # each sorted rank's (entry, slot) flat position is arithmetic over
-    # the sorted tile ids; carry it back to original order as the
-    # payload of one more sort, then one row gather (a row scatter
-    # would cost ~50 ms/band; this is ~7 ms)
+    # the sorted tile ids; an int32 SCATTER inverts the sort permutation
+    # (cheaper than carrying it through one more full sort: scatter-add
+    # measures 6.7 ms/M vs ~10 ms for the keyed sort), then one row
+    # gather pulls the features (a row scatter would cost ~50 ms/band)
     width = feats.shape[-1]
     flat = jnp.concatenate(
         [feats.reshape(-1, width),
@@ -475,7 +476,8 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
     pos_r = entry_r * spec.q_cap + local % spec.q_cap
     ok_r = (sorted_qids < n_qgrid) & (entry_r < spec.e_cap)
     pos_r = jnp.where(ok_r, pos_r, flat.shape[0] - 1)
-    _, pos_by_query = jax.lax.sort_key_val(q_order, pos_r)
+    pos_by_query = jnp.full((n_query,), flat.shape[0] - 1,
+                            jnp.int32).at[q_order].set(pos_r)
     feats_out = flat[pos_by_query][:n_out]
     if not with_stats:
         return feats_out

@@ -58,6 +58,9 @@ def span_window(span_rows):
     return _round_up(need, SUB)
 
 
+STATIC_CHUNKS = 4      # hybrid chunk walk: unrolled head size (lanes
+                       # covered = STATIC_CHUNKS * LANES)
+
 SLOTS = 8              # default DMA ring depth: spans are short, so the
                        # pipeline is DMA-LATENCY bound, not bandwidth
                        # bound -- a deep ring keeps ~ring-1 copies in
@@ -147,14 +150,16 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
                 # the window covers the worst-case span, but most real
                 # spans fill a fraction of it: walk only the 128-lane
                 # chunks that hold live points ([0, prefix + live)).
-                # STATIC unroll + pl.when -- a dynamic-bound fori_loop
-                # lowers to a while with real per-iteration overhead,
-                # and there are only window/LANES chunks (typ. 3)
+                # DYNAMIC-bound fori_loop: the statically-unrolled
+                # pl.when walk paid per WINDOW chunk, not per live
+                # chunk, once row-packed entries grew the window past
+                # ~20 chunks (trace-measured 145 -> 345 ms per extract
+                # going window 26 -> 52 chunks at identical live data)
                 def chunk(c):
-                    sl_lane = slice(c * LANES, (c + 1) * LANES)
-                    x = buf[slot, 0, sl_lane] - cx     # (LANES,)
-                    y = buf[slot, 1, sl_lane] - cy
-                    z = buf[slot, 2, sl_lane] - cz
+                    off = pl.multiple_of(c * LANES, LANES)
+                    x = buf[slot, 0, pl.ds(off, LANES)] - cx   # (LANES,)
+                    y = buf[slot, 1, pl.ds(off, LANES)] - cy
+                    z = buf[slot, 2, pl.ds(off, LANES)] - cz
                     lane = jax.lax.broadcasted_iota(
                         jnp.int32, (1, LANES), 1)[0] + c * LANES
                     valid = (lane >= prefix) & (lane < prefix + live)
@@ -210,10 +215,25 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
                             )                          # (16, q_cap)
                         out_ref[0, e, sl, :] = out_ref[0, e, sl, :] + mom
 
-                for c in range(window // LANES):
-                    @pl.when(c * LANES < prefix + live)
+                # HYBRID walk: a few statically-unrolled chunks cover
+                # the common case (typical live span is well under 512
+                # lanes), a dynamic fori_loop takes the rare long tail.
+                # Measured on v5e: full static unroll pays per WINDOW
+                # chunk once windows grow (145 -> 345 ms per extract at
+                # 26 -> 52 chunks), full dynamic pays while-loop
+                # overhead per LIVE chunk everywhere (145 -> 318 ms);
+                # the hybrid pays neither.
+                need = prefix + live
+                n_static = min(STATIC_CHUNKS, window // LANES)
+                for c in range(n_static):
+                    @pl.when(c * LANES < need)
                     def _(c=c):
                         chunk(c)
+                if window // LANES > n_static:
+                    n_chunks = (need + LANES - 1) // LANES
+                    jax.lax.fori_loop(
+                        n_static, n_chunks,
+                        lambda c, _: (chunk(c), 0)[1], 0)
             return 0
 
         jax.lax.fori_loop(0, total, loop, 0)

@@ -265,9 +265,12 @@ class GeometryClassifier:
             if rows is not None:
                 features = jnp.take(features, jnp.asarray(rows), axis=0)
                 labels = labels[rows]
+            # labels stay HOST-side: fit_device implementations upload
+            # them if they need to (the RPT device fit keeps them on
+            # host for subset bookkeeping -- a jnp round-trip would be
+            # a needless d2h on relay-attached devices)
             self.classifier.fit_device(
-                features, jnp.asarray(labels.astype(np.int32)),
-                n_classes=n_classes)
+                features, labels.astype(np.int32), n_classes=n_classes)
         else:
             features = self.extract(cloud, search, attributes)
             if rows is not None:

@@ -1,0 +1,86 @@
+"""
+BASELINE config 3: the 10M+-point outdoor LiDAR tile, served in ONE
+fused dispatch.  The reference's minimal kdtree pipeline "chokes in the
+single digit millions" (reference: nimrud/minimal/README.md:7); this
+proves the static-grid design does not -- same site as the 1M bench at
+10x density, overflow counters asserted zero.
+
+Runs standalone in its OWN process (bench.py spawns it before touching
+the TPU): the relay degrades a process after its first device->host
+read, so the 10M measurement needs fresh relay state for an honest
+device trace.
+
+Prints ONE JSON line.
+"""
+
+import json
+import shutil
+import tempfile
+import time
+
+import numpy as np
+
+N_LARGE = 10_000_000
+
+
+def main():
+    import jax
+
+    from nimrud_tpu.utils.profiling import device_track_stats
+    from nimrud_tpu.utils.workload import make_bench_cloud, make_bench_model
+
+    t0 = time.perf_counter()
+    cloud, labels = make_bench_cloud(n=N_LARGE, seed=1)
+    model = make_bench_model(cloud)
+    model.fit(cloud, labels, sample=100_000)
+    staged = model.stage(cloud)
+    out = model.predict_staged(staged, with_diag=True)
+    jax.block_until_ready(out)                 # compile + settle
+    t_prep = time.perf_counter() - t0
+
+    trace_stats = {}
+    try:
+        trace_dir = tempfile.mkdtemp(prefix="nimrud_bench10m_trace_")
+        with jax.profiler.trace(trace_dir):
+            labels_dev, diag = model.predict_staged(staged, with_diag=True)
+            jax.block_until_ready((labels_dev, diag))
+            int(labels_dev[0])                 # force real completion
+        busy_us, window_us = device_track_stats(trace_dir)
+        shutil.rmtree(trace_dir, ignore_errors=True)
+        trace_stats = {
+            "window_ms_per_step": round(window_us / 1e3, 3),
+            "busy_ms": round(busy_us / 1e3, 3),
+        }
+    except Exception as error:                 # pragma: no cover
+        labels_dev, diag = model.predict_staged(staged, with_diag=True)
+        trace_stats = {"trace_error": str(error)[:160]}
+
+    diag = {k: int(v) for k, v in jax.device_get(diag).items()}
+
+    accuracy = None
+    try:
+        # subset label download: a full 40 MB d2h has crashed this
+        # relay's TPU worker before (CLAUDE.md); 1M labels = 4 MB
+        sub = np.asarray(labels_dev[:1_000_000])
+        accuracy = float((sub == labels[:1_000_000]).mean())
+    except Exception:
+        pass
+
+    result = {
+        "n_points": N_LARGE,
+        "scales": 3,
+        "trace": trace_stats,
+        "overflow_counters": diag,
+        "counters_all_zero": all(v == 0 for v in diag.values()),
+        "train_accuracy_1m_subset":
+            None if accuracy is None else round(accuracy, 4),
+        "prep_fit_compile_sec": round(t_prep, 1),
+    }
+    if "window_ms_per_step" in trace_stats:
+        result["points_per_sec_device"] = round(
+            N_LARGE / (trace_stats["window_ms_per_step"] / 1e3), 1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

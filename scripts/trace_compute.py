@@ -61,14 +61,14 @@ def main():
     query = jnp.asarray(cloud)
     q_valid = jnp.ones(N_POINTS, bool)
 
-    def make_bands(q_cap, m=3):
+    def make_bands(q_cap, m=3, x_seg=1):
         bands = []
         for edge, radius in zip(EDGES, RADII):
             vox_spec = packing.GridSpec.fit_bounds(lo, hi, edge)
             centers, _, mask = unique.unique_voxels(query, vox_spec)
             spec = device_grid.make_spec(
                 lo, hi, radius, n_query=N_POINTS, voxel_edge=edge,
-                q_cap=q_cap, m=m)
+                q_cap=q_cap, m=m, x_seg=x_seg)
             spec = device_grid.with_entry_estimate(spec, cloud)
             bands.append((centers, mask, spec, (radius,)))
         jax.block_until_ready([b[0] for b in bands])
@@ -76,10 +76,10 @@ def main():
 
     bands_cache = {}
 
-    def bands_for(q_cap, m=3):
-        if (q_cap, m) not in bands_cache:
-            bands_cache[(q_cap, m)] = make_bands(q_cap, m)
-        return bands_cache[(q_cap, m)]
+    def bands_for(q_cap, m=3, x_seg=1):
+        if (q_cap, m, x_seg) not in bands_cache:
+            bands_cache[(q_cap, m, x_seg)] = make_bands(q_cap, m, x_seg)
+        return bands_cache[(q_cap, m, x_seg)]
 
     def run_xla(precision, q_cap=64):
         return [device_grid.fused_extract(
@@ -87,11 +87,11 @@ def main():
             None, precision, N_POINTS)
             for centers, mask, spec, radii in bands_for(q_cap)]
 
-    def run_spans(batch, q_cap=64, precision="highest", m=3):
+    def run_spans(batch, q_cap=64, precision="highest", m=3, x_seg=1):
         return [device_grid.fused_extract_spans(
             query, q_valid, centers, mask, spec, radii, "minimal",
             None, N_POINTS, span_batch=batch, precision=precision)
-            for centers, mask, spec, radii in bands_for(q_cap, m)]
+            for centers, mask, spec, radii in bands_for(q_cap, m, x_seg)]
 
     variants = {
         "xla_highest": lambda: run_xla("highest"),
@@ -108,6 +108,15 @@ def main():
         "pallas_spans_b32_q256": lambda: run_spans(32, 256),
         "pallas_spans_b8_q256_m4": lambda: run_spans(8, 256, "highest", 4),
         "pallas_spans_b8_q256_m2": lambda: run_spans(8, 256, "highest", 2),
+        "spans_q256_xs32": lambda: run_spans(8, 256, "highest", 3, 32),
+        "spans_q1024_xs64": lambda: run_spans(8, 1024, "highest", 3, 64),
+        "spans_q1024_xs64_r16": lambda: run_spans(8, 1024, "highest", 3, 64),
+        "spans_q256_xs64": lambda: run_spans(8, 256, "highest", 3, 64),
+        "spans_q1024_xs32": lambda: run_spans(8, 1024, "highest", 3, 32),
+        "spans_q512_xs32": lambda: run_spans(8, 512, "highest", 3, 32),
+        "spans_q512_xs16": lambda: run_spans(8, 512, "highest", 3, 16),
+        "spans_q256_xs16": lambda: run_spans(8, 256, "highest", 3, 16),
+        "spans_q128_xs16": lambda: run_spans(8, 128, "highest", 3, 16),
     }
     if len(sys.argv) > 2:
         pick = sys.argv[2]

@@ -51,6 +51,31 @@ def test_rpt_fit_predict_accuracy():
     assert accuracy > 0.9, f"accuracy {accuracy}"
 
 
+def test_rpt_fit_device_accuracy_and_tables():
+    # the fully on-device forest fit (level-synchronous grow with
+    # retry-in-place redraws) must reach host-fit accuracy and emit
+    # dense tables the fused serving path consumes directly
+    import jax.numpy as jnp
+    data, labels = _blobs()
+    host = RPTEnsemble(n_estimators=8, seed=0).fit(data, labels)
+    acc_host = (host.predict(data) == labels).mean()
+
+    dev = RPTEnsemble(n_estimators=8, seed=0)
+    dev.fit_device(jnp.asarray(data.astype(np.float32)),
+                   labels.astype(np.int32), n_classes=3)
+    proba = np.asarray(dev.proba_device(
+        jnp.asarray(data.astype(np.float32))))
+    assert proba.shape == (len(data), 3)
+    assert np.allclose(proba.sum(1), 1.0, atol=1e-3)
+    acc_dev = (proba.argmax(1) == labels).mean()
+    assert acc_dev > 0.9, f"device-fit accuracy {acc_dev}"
+    assert acc_dev > acc_host - 0.05, (acc_host, acc_dev)
+    assert "dense_splits" in dev._tables
+    # leaves carry valid statistics everywhere the walk can land
+    gin = np.asarray(dev._tables["dense_ginis"])
+    assert np.isfinite(gin).all()
+
+
 def test_rpt_device_walk_matches_numpy_walk():
     data, labels = _blobs(n_per_class=200)
     clf = RPTEnsemble(n_estimators=4, seed=1)

@@ -171,7 +171,9 @@ def test_distributed_train_step():
     slabs = jnp.asarray(shards["slabs"])
     valid = jnp.asarray(shards["valid"])
     labs = jnp.asarray(shards["extras"][0])
-    for _ in range(150):
+    # 40 adam steps: enough to assert convergence (each step re-extracts
+    # features, so iterations dominate this test's wall time)
+    for _ in range(40):
         params, opt_state, loss = step(params, opt_state, slabs, valid, labs)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
@@ -288,12 +290,16 @@ def test_2d_fused_extract_matches_single_device():
         np.asarray(feats), shards["valid"], shards["order"], len(points))
 
     assert multi.shape == single.shape
+    # EXACT population agreement: the global voxel grid + halo sizing
+    # (radius + half voxel diagonal) make every shard's neighbor-voxel
+    # set identical to the single-device one, and entry centers depend
+    # only on the (global) tile grid, so the f32 radius decisions are
+    # bit-identical (verified over multiple seeds; matches the exact
+    # contract of the non-fused 1-D and 2-D paths)
     for c in (0, 4):
-        diff = np.abs(multi[:, c] - single[:, c])
-        assert diff.max() <= 1, f"pop col {c}: {diff.max()}"
-        assert (diff > 0).mean() < 0.005
-    agree = np.all(multi[:, [0, 4]] == single[:, [0, 4]], axis=1)
-    sturdy = agree & np.all(multi[:, [0, 4]] >= 3, axis=1)
+        assert np.array_equal(multi[:, c], single[:, c]), \
+            f"pop col {c}: {np.abs(multi[:, c] - single[:, c]).max()}"
+    sturdy = np.all(multi[:, [0, 4]] >= 3, axis=1)
     assert np.allclose(multi[sturdy], single[sturdy], atol=2e-3)
 
 
@@ -325,7 +331,7 @@ def test_2d_distributed_train_step():
     valid = jnp.asarray(shards["valid"])
     labs = jnp.asarray(shards["extras"][0])
     losses = []
-    for _ in range(150):
+    for _ in range(40):
         params, opt_state, loss = step(
             params, opt_state, blocks, valid, labs)
         losses.append(float(loss))
