@@ -311,10 +311,10 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
             lo, hi, max(radii), n_query=q_bucket,
             m=tuning.get("query_tile_factor", 3),
             q_cap=tuning.get("query_capacity")
-            or (1024 if use_spans else 128),
+            or (256 if use_spans else 128),
             voxel_edge=edge,
             entry_batch=tuning.get("entry_batch", 256),
-            x_seg=tuning.get("x_seg", 64) if use_spans else 1)
+            x_seg=tuning.get("x_seg", 32) if use_spans else 1)
         if tuning.get("estimate_entries", True):
             # trim dead entries: e_cap from measured occupancy (one
             # native host pass) instead of the worst-case grid bound
@@ -383,10 +383,10 @@ def plan_report(query, search, scaleset, *, method="tiled", tuning=None):
                 lo, hi, max(radii), n_query=q_bucket,
                 m=tuning.get("query_tile_factor", 3),
                 q_cap=tuning.get("query_capacity")
-                or (1024 if use_spans else 128),
+                or (256 if use_spans else 128),
                 voxel_edge=edge,
                 entry_batch=tuning.get("entry_batch", 256),
-                x_seg=tuning.get("x_seg", 64) if use_spans else 1)
+                x_seg=tuning.get("x_seg", 32) if use_spans else 1)
             worst = spec.e_cap
             if tuning.get("estimate_entries", True):
                 spec = device_grid.with_entry_estimate(spec, query)

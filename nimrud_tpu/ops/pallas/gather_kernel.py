@@ -61,6 +61,10 @@ def span_window(span_rows):
 STATIC_CHUNKS = 4      # hybrid chunk walk: unrolled head size (lanes
                        # covered = STATIC_CHUNKS * LANES)
 
+STATIC_WALK_CHUNKS = 32  # windows at or below this many 128-lane
+                         # chunks use the fully-unrolled walk (fast);
+                         # larger windows take the hybrid walk
+
 SLOTS = 8              # default DMA ring depth: spans are short, so the
                        # pipeline is DMA-LATENCY bound, not bandwidth
                        # bound -- a deep ring keeps ~ring-1 copies in
@@ -215,21 +219,29 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
                             )                          # (16, q_cap)
                         out_ref[0, e, sl, :] = out_ref[0, e, sl, :] + mom
 
-                # HYBRID walk: a few statically-unrolled chunks cover
-                # the common case (typical live span is well under 512
-                # lanes), a dynamic fori_loop takes the rare long tail.
-                # Measured on v5e: full static unroll pays per WINDOW
-                # chunk once windows grow (145 -> 345 ms per extract at
-                # 26 -> 52 chunks), full dynamic pays while-loop
-                # overhead per LIVE chunk everywhere (145 -> 318 ms);
-                # the hybrid pays neither.
+                # Walk mode is a STATIC per-spec decision (v5e sweep):
+                # the fully-unrolled walk pays one predicated block per
+                # WINDOW chunk but pipelines/vectorizes cleanly (145 ms
+                # per extract at a 26-chunk window); any dynamic loop in
+                # the walk pays ~2x per LIVE chunk in scalar/loop
+                # overhead (300-330 ms across every config measured, no
+                # matter the window).  So: unroll fully while the window
+                # is modest, and only fall back to a static head +
+                # dynamic tail when the window is too large to unroll
+                # (where full unroll measured 345+ ms at 52 chunks).
                 need = prefix + live
-                n_static = min(STATIC_CHUNKS, window // LANES)
-                for c in range(n_static):
-                    @pl.when(c * LANES < need)
-                    def _(c=c):
-                        chunk(c)
-                if window // LANES > n_static:
+                n_chunks_window = window // LANES
+                if n_chunks_window <= STATIC_WALK_CHUNKS:
+                    for c in range(n_chunks_window):
+                        @pl.when(c * LANES < need)
+                        def _(c=c):
+                            chunk(c)
+                else:
+                    n_static = min(STATIC_CHUNKS, n_chunks_window)
+                    for c in range(n_static):
+                        @pl.when(c * LANES < need)
+                        def _(c=c):
+                            chunk(c)
                     n_chunks = (need + LANES - 1) // LANES
                     jax.lax.fori_loop(
                         n_static, n_chunks,

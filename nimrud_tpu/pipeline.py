@@ -391,8 +391,8 @@ class GeometryClassifier:
                 dev_spec = device_grid.make_spec(
                     lo, hi, max(radii), n_query=q_bucket,
                     voxel_edge=edge,
-                    q_cap=1024 if use_spans else 128,
-                    x_seg=64 if use_spans else 1)
+                    q_cap=256 if use_spans else 128,
+                    x_seg=32 if use_spans else 1)
                 if self.kind == "vector":
                     # static plan for the matmul attribute interpolation
                     # (ops.interp.interp_to_voxels_matmul): a voxel-edge

@@ -6,6 +6,7 @@ must report saturation, never truncate silently (SURVEY section 7).
 import dataclasses
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from nimrud_tpu.ops import device_grid
@@ -88,6 +89,7 @@ def test_voxel_downsampled_spec_is_exact():
     assert int(stats["dropped_query"]) == 0
 
 
+@pytest.mark.slow
 def test_entry_estimate_trims_and_stays_lossless():
     # a sparse scene occupies few coarse tiles: e_cap shrinks, and the
     # trimmed spec must still slot every query (no silent drops)

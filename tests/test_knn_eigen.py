@@ -3,6 +3,7 @@ kNN features and the full eigenvalue feature set, against float64 oracles.
 """
 
 import numpy as np
+import pytest
 from scipy.spatial import cKDTree
 
 from nimrud_tpu.features.knn import knn_features
@@ -43,6 +44,7 @@ def test_knn_features_horizon():
     assert feats[0, 0] == 2       # third point beyond the horizon
 
 
+@pytest.mark.slow
 def test_knn_eigen_kind():
     query = (RNG.random((50, 3)) * 3).astype(np.float32)
     search = (RNG.random((2000, 3)) * 3).astype(np.float32)

@@ -4,6 +4,7 @@ GeometryClassifier end-to-end: device fit, single-dispatch fused predict
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from nimrud_tpu.pipeline import GeometryClassifier
@@ -201,6 +202,7 @@ def test_fit_with_sampling():
     model.fit(cloud, labels, sample=800)
     assert (model.predict(cloud) == labels).mean() > 0.85
 
+@pytest.mark.slow
 def test_predict_multichip_matches_single_chip():
     # the whole serving pipeline (fused extract + classifier) under
     # shard_map on the 2-D tile mesh must agree with single-chip predict
@@ -265,6 +267,7 @@ def test_pallas_backend_matches_xla_predict():
     assert (a == b).mean() > 0.999, (a == b).mean()
 
 
+@pytest.mark.slow
 def test_vector_wide_attrs_staged_matmul_interp():
     # wide attribute blocks (A > 8) route the staged V_MSO interpolation
     # through the moment matmul (ops.interp.interp_to_voxels_matmul);
