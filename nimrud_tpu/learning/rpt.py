@@ -400,7 +400,8 @@ def _fit_forest_device(features, labels, rows, impurities, key,
                 jnp.where(head, s_code, size)].set(order, mode="drop")
             mid_lo = starts + (tot.astype(jnp.int32) - 1) // 2
             mid_hi = starts + tot.astype(jnp.int32) // 2
-            s_proj_ext = jnp.concatenate([s_proj, jnp.zeros((1,))])
+            s_proj_ext = jnp.concatenate(
+                [s_proj, jnp.zeros((1,), s_proj.dtype)])
             median = 0.5 * (
                 s_proj_ext[jnp.clip(mid_lo, 0, n - 1)]
                 + s_proj_ext[jnp.clip(mid_hi, 0, n - 1)])  # (size,)

@@ -84,6 +84,8 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
     total = batch * n_span
     sub = min(SUB, window)
     n_sub = window // sub
+    cw = sub               # walk super-chunk width == DMA sub-chunk
+                           # width (window is a whole multiple of it)
 
     def body(starts_ref, lens_ref, entry_ref, n_live_ref, center_ref,
              q_ref, search_hbm, out_ref, buf, sems):
@@ -152,20 +154,28 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
                 live = lens_ref[0, 0, k]
 
                 # the window covers the worst-case span, but most real
-                # spans fill a fraction of it: walk only the 128-lane
-                # chunks that hold live points ([0, prefix + live)).
-                # DYNAMIC-bound fori_loop: the statically-unrolled
-                # pl.when walk paid per WINDOW chunk, not per live
-                # chunk, once row-packed entries grew the window past
-                # ~20 chunks (trace-measured 145 -> 345 ms per extract
-                # going window 26 -> 52 chunks at identical live data)
+                # spans fill a fraction of it: walk only the SUPER-
+                # chunks (one DMA sub-chunk wide, up to SUB=512 lanes)
+                # that hold live points ([0, prefix + live)).  Wide
+                # chunks quarter the number of predicated blocks and
+                # run the moment dot at K=cw per pass instead of 128 --
+                # per-chunk issue overhead was the measured kernel
+                # bottleneck (v5e: ~constant ~6 us/128-lane chunk
+                # across every (q_cap, x_seg) config).
                 def chunk(c):
-                    off = pl.multiple_of(c * LANES, LANES)
-                    x = buf[slot, 0, pl.ds(off, LANES)] - cx   # (LANES,)
-                    y = buf[slot, 1, pl.ds(off, LANES)] - cy
-                    z = buf[slot, 2, pl.ds(off, LANES)] - cz
+                    # STATIC python index -> static slice (free
+                    # addressing); traced index (dynamic tail only) ->
+                    # aligned dynamic slice
+                    if isinstance(c, int):
+                        sl_lane = slice(c * cw, (c + 1) * cw)
+                    else:
+                        sl_lane = pl.ds(
+                            pl.multiple_of(c * cw, LANES), cw)
+                    x = buf[slot, 0, sl_lane] - cx     # (cw,)
+                    y = buf[slot, 1, sl_lane] - cy
+                    z = buf[slot, 2, sl_lane] - cz
                     lane = jax.lax.broadcasted_iota(
-                        jnp.int32, (1, LANES), 1)[0] + c * LANES
+                        jnp.int32, (1, cw), 1)[0] + c * cw
                     valid = (lane >= prefix) & (lane < prefix + live)
 
                     # squared distances elementwise on the VPU: no
@@ -219,30 +229,26 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
                             )                          # (16, q_cap)
                         out_ref[0, e, sl, :] = out_ref[0, e, sl, :] + mom
 
-                # Walk mode is a STATIC per-spec decision (v5e sweep):
-                # the fully-unrolled walk pays one predicated block per
-                # WINDOW chunk but pipelines/vectorizes cleanly (145 ms
-                # per extract at a 26-chunk window); any dynamic loop in
-                # the walk pays ~2x per LIVE chunk in scalar/loop
-                # overhead (300-330 ms across every config measured, no
-                # matter the window).  So: unroll fully while the window
-                # is modest, and only fall back to a static head +
-                # dynamic tail when the window is too large to unroll
-                # (where full unroll measured 345+ ms at 52 chunks).
+                # Walk mode is a STATIC per-spec decision: unroll fully
+                # while the super-chunk count is modest (predicated
+                # blocks pipeline cleanly), fall back to a static head
+                # + dynamic tail only for very large windows (a dynamic
+                # loop in the walk pays ~2x per live chunk in
+                # scalar/loop overhead -- v5e sweep).
                 need = prefix + live
-                n_chunks_window = window // LANES
+                n_chunks_window = window // cw
                 if n_chunks_window <= STATIC_WALK_CHUNKS:
                     for c in range(n_chunks_window):
-                        @pl.when(c * LANES < need)
+                        @pl.when(c * cw < need)
                         def _(c=c):
                             chunk(c)
                 else:
                     n_static = min(STATIC_CHUNKS, n_chunks_window)
                     for c in range(n_static):
-                        @pl.when(c * LANES < need)
+                        @pl.when(c * cw < need)
                         def _(c=c):
                             chunk(c)
-                    n_chunks = (need + LANES - 1) // LANES
+                    n_chunks = (need + cw - 1) // cw
                     jax.lax.fori_loop(
                         n_static, n_chunks,
                         lambda c, _: (chunk(c), 0)[1], 0)
