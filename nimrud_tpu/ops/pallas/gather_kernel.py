@@ -84,8 +84,12 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
     total = batch * n_span
     sub = min(SUB, window)
     n_sub = window // sub
-    cw = sub               # walk super-chunk width == DMA sub-chunk
-                           # width (window is a whole multiple of it)
+    cw = LANES             # walk chunk width.  128 measured best on
+                           # v5e: live data is sparse (~1-3 live chunks
+                           # per span), so fine-grained predication
+                           # skips more masked compute than wide chunks
+                           # save in issue overhead (512-lane walk:
+                           # 482 ms/extract vs 345 ms at 128)
 
     def body(starts_ref, lens_ref, entry_ref, n_live_ref, center_ref,
              q_ref, search_hbm, out_ref, buf, sems):
@@ -211,23 +215,32 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
                         mid = rem.astype(jnp.bfloat16)
                         lo = (rem - mid.astype(jnp.float32)
                               ).astype(jnp.bfloat16)
-                    for ri, radius in enumerate(radii):
-                        sel = base_mask & (d2 <= radius * radius)
+                    # ONE dot over all radii per precision pass: the
+                    # per-radius masks concatenate along the output
+                    # axis, so n_r dots of (16,cw)@(cw,q_cap) become a
+                    # single (16,cw)@(cw,n_r*q_cap) -- identical FLOPs,
+                    # 1/n_r the MXU invocations (per-dot issue overhead
+                    # is the measured per-live-chunk cost driver)
+                    mask_all = jnp.concatenate(
+                        [base_mask & (d2 <= radius * radius)
+                         for radius in radii], axis=0)
+                    if precision == "bf16x2":
+                        m16 = mask_all.astype(jnp.bfloat16)
+                        mom_all = sum(jax.lax.dot_general(
+                            part, m16, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ) for part in (hi, mid, lo))
+                    else:
+                        mom_all = jax.lax.dot_general(
+                            aug, mask_all.astype(jnp.float32),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=precision
+                        )                       # (16, n_r * q_cap)
+                    for ri in range(len(radii)):
                         sl = slice(ri * MOMENT_PAD, (ri + 1) * MOMENT_PAD)
-                        if precision == "bf16x2":
-                            mask = sel.astype(jnp.bfloat16)
-                            mom = sum(jax.lax.dot_general(
-                                part, mask, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            ) for part in (hi, mid, lo))  # (16, q_cap)
-                        else:
-                            mask = sel.astype(jnp.float32)
-                            mom = jax.lax.dot_general(
-                                aug, mask, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=precision
-                            )                          # (16, q_cap)
-                        out_ref[0, e, sl, :] = out_ref[0, e, sl, :] + mom
+                        out_ref[0, e, sl, :] = out_ref[0, e, sl, :] \
+                            + mom_all[:, ri * q_cap:(ri + 1) * q_cap]
 
                 # Walk mode is a STATIC per-spec decision: unroll fully
                 # while the super-chunk count is modest (predicated

@@ -117,6 +117,7 @@ def main():
         "spans_q512_xs16": lambda: run_spans(8, 512, "highest", 3, 16),
         "spans_q256_xs16": lambda: run_spans(8, 256, "highest", 3, 16),
         "spans_q128_xs16": lambda: run_spans(8, 128, "highest", 3, 16),
+        "spans_q256_xs32_bf16x2": lambda: run_spans(8, 256, "bf16x2", 3, 32),
     }
     if len(sys.argv) > 2:
         pick = sys.argv[2]
