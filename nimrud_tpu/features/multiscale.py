@@ -302,24 +302,28 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
             centers, _, center_mask = unique.unique_voxels(
                 search_dev, vox_spec, valid=s_valid)
             center_attrs = None
-        # q_cap by the kernel path this kind actually takes: the span
-        # kernel wants 256, the XLA masked-matmul fallback (vector /
-        # sazo kinds, or backend="xla") wants 128
-        use_spans = (tuning.get("backend") == "pallas"
+        # q_cap by the kernel path this kind actually takes: the span/
+        # packed kernels want 256, the XLA masked-matmul fallback
+        # (vector / sazo kinds, or backend="xla") wants 128
+        backend = tuning.get("backend")
+        use_packed = (backend == "packed"
+                      and kind not in ("vector", "sazo"))
+        use_spans = (backend == "pallas"
                      and kind not in ("vector", "sazo"))
         spec = device_grid.make_spec(
             lo, hi, max(radii), n_query=q_bucket,
             m=tuning.get("query_tile_factor", 3),
             q_cap=tuning.get("query_capacity")
-            or (256 if use_spans else 128),
+            or (256 if (use_spans or use_packed) else 128),
             voxel_edge=edge,
             entry_batch=tuning.get("entry_batch", 256),
-            x_seg=tuning.get("x_seg", 32) if use_spans else 1)
+            x_seg=tuning.get("x_seg", 32)
+            if (use_spans or use_packed) else 1)
         if tuning.get("estimate_entries", True):
             # trim dead entries: e_cap from measured occupancy (one
             # native host pass) instead of the worst-case grid bound
             spec = device_grid.with_entry_estimate(spec, query)
-        if use_spans:
+        if use_spans or use_packed:
             import jax
             # span-kernel moment-dot precision: "highest" (6-pass f32)
             # or "bf16x2" (2-pass hi+lo split; counts stay exact).  The
@@ -327,12 +331,25 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
             span_prec = {"highest": "highest", "bf16x2": "bf16x2",
                          "mixed": "bf16x2", "high": "bf16x2"}.get(
                 tuning.get("precision", "highest"), "highest")
+            interpret = jax.default_backend() not in ("tpu", "axon")
+        if use_packed:
+            # candidate capacity: explicit tuning wins (serving paths
+            # size it host-side to stay transfer-free); otherwise one
+            # device measure + scalar readback
+            cap = tuning.get("candidate_cap") or device_grid.packed_cap(
+                query_dev, q_valid, centers, center_mask, spec)
+            bands.append(device_grid.fused_extract_packed(
+                query_dev, q_valid, centers, center_mask, spec, radii,
+                kind,
+                None if exclude_radius is None else float(exclude_radius),
+                n_query, int(cap), interpret,
+                tuning.get("span_batch", 8), span_prec))
+        elif use_spans:
             bands.append(device_grid.fused_extract_spans(
                 query_dev, q_valid, centers, center_mask, spec, radii,
                 kind,
                 None if exclude_radius is None else float(exclude_radius),
-                n_query,
-                jax.default_backend() not in ("tpu", "axon"),
+                n_query, interpret,
                 tuning.get("span_batch", 8), span_prec))
         else:
             bands.append(device_grid.fused_extract(

@@ -304,11 +304,11 @@ def build_tables(query, q_valid, search, s_valid, spec, with_stats=False):
     jax.jit,
     static_argnames=("spec", "radii", "kind", "exclude_radius",
                      "n_out", "interpret", "span_batch", "precision",
-                     "with_stats"))
+                     "with_stats", "debug"))
 def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
                         kind, exclude_radius, n_out, interpret=False,
                         span_batch=8, precision="highest",
-                        with_stats=False):
+                        with_stats=False, debug=None):
     """
     Raw padded clouds -> feature block via the Pallas span-DMA kernel
     (nimrud_tpu.ops.pallas.gather_kernel): search points are sorted by
@@ -334,6 +334,44 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
     """
     from nimrud_tpu.features import layouts
     from nimrud_tpu.ops.pallas import gather_kernel, multiscale_kernel
+
+    prob = _span_problem(query, q_valid, search, s_valid, spec)
+    slabs = gather_kernel.span_moments.__wrapped__(
+        prob["q_local"], prob["centers"], prob["span_starts"],
+        prob["span_lens"], prob["sorted_t"],
+        radii, spec.span_rows, exclude_radius, interpret, span_batch,
+        precision, debug=debug)
+    per_radius = multiscale_kernel.moments_from_slabs(
+        slabs, prob["centers"], radii)
+
+    blocks = []
+    for p, radius in zip(per_radius, radii):
+        blocks.append(layouts.build_block(
+            kind, p["count"], p["mean_local"] + prob["centers"][:, None, :],
+            p["cov"], prob["q_pts"], radius))
+    feats = jnp.concatenate(blocks, axis=-1)
+    feats_out = _unsort_features(feats, prob, spec, query.shape[0], n_out)
+    if not with_stats:
+        return feats_out
+    # entries past e_cap never ran: their queries got the sentinel zero
+    # row above.  Cheap (one sum over e_cap), always-correct overflow
+    # accounting for the span path (SURVEY section 7: fixed capacities
+    # must never truncate silently).
+    stats = {"dropped_query": (
+        jnp.sum(q_valid.astype(jnp.int32)) - jnp.sum(prob["count"])
+    ).astype(jnp.int32)}
+    return feats_out, stats
+
+
+def _span_problem(query, q_valid, search, s_valid, spec):
+    """Shared plan for the span-structured Pallas paths: sort search by
+    fine tile id, pack queries into sorted-rank entries over coarse-row
+    segments, and derive each entry's candidate x-row spans.  Returns a
+    dict consumed by :func:`fused_extract_spans` (streaming span-DMA
+    kernel) and :func:`fused_extract_packed` (gathered dense candidate
+    blocks); jit dead-code-eliminates whichever pieces a caller ignores.
+    """
+    from nimrud_tpu.ops.pallas import gather_kernel
 
     n_grid, n_qgrid = spec.n_grid, spec.n_qgrid
     n_query = query.shape[0]
@@ -445,50 +483,145 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
     span_starts = jnp.stack(span_starts, axis=1).astype(jnp.int32)
     span_lens = jnp.stack(span_lens, axis=1).astype(jnp.int32)
 
-    slabs = gather_kernel.span_moments.__wrapped__(
-        q_local, centers, span_starts, span_lens, sorted_t,
-        radii, span_rows, exclude_radius, interpret, span_batch,
-        precision)
-    per_radius = multiscale_kernel.moments_from_slabs(
-        slabs, centers, radii)
+    return {
+        "q_local": q_local, "centers": centers, "q_pts": q_pts,
+        "span_starts": span_starts, "span_lens": span_lens,
+        "sorted_t": sorted_t,
+        "sorted_pts": jnp.stack([sx, sy, sz], axis=-1),
+        "count": count,
+        # unsort pieces
+        "sorted_qids": sorted_qids, "q_order": q_order,
+        "q_iota": q_iota, "seg_starts": seg_starts, "offsets": offsets,
+    }
 
-    blocks = []
-    for p, radius in zip(per_radius, radii):
-        blocks.append(layouts.build_block(
-            kind, p["count"], p["mean_local"] + centers[:, None, :],
-            p["cov"], q_pts, radius))
-    feats = jnp.concatenate(blocks, axis=-1)
 
-    # --- back to caller order WITHOUT a row scatter ----------------------
-    # each sorted rank's (entry, slot) flat position is arithmetic over
-    # the sorted tile ids; an int32 SCATTER inverts the sort permutation
-    # (cheaper than carrying it through one more full sort: scatter-add
-    # measures 6.7 ms/M vs ~10 ms for the keyed sort), then one row
-    # gather pulls the features (a row scatter would cost ~50 ms/band)
+def _unsort_features(feats, prob, spec, n_query, n_out):
+    """Back to caller order WITHOUT a row scatter: each sorted rank's
+    (entry, slot) flat position is arithmetic over the sorted tile ids;
+    an int32 SCATTER inverts the sort permutation (cheaper than carrying
+    it through one more full sort: scatter-add measures 6.7 ms/M vs ~10
+    ms for the keyed sort), then one row gather pulls the features (a
+    row scatter would cost ~50 ms/band)."""
+    n_qgrid = spec.n_qgrid
+    qd = spec.qdims
+    x_seg = max(min(spec.x_seg, qd[0]), 1)
+    nseg_x, n_seg = spec.seg_shape
+    sorted_qids = prob["sorted_qids"]
     width = feats.shape[-1]
     flat = jnp.concatenate(
         [feats.reshape(-1, width),
          jnp.zeros((1, width), jnp.float32)])         # sentinel zero row
     tid_r = jnp.clip(sorted_qids, 0, n_qgrid - 1)
     sid_r = (tid_r // qd[0]) * nseg_x + (tid_r % qd[0]) // x_seg
-    local = q_iota - seg_starts[sid_r]
-    entry_r = offsets[sid_r] + local // spec.q_cap
+    local = prob["q_iota"] - prob["seg_starts"][sid_r]
+    entry_r = prob["offsets"][sid_r] + local // spec.q_cap
     pos_r = entry_r * spec.q_cap + local % spec.q_cap
     ok_r = (sorted_qids < n_qgrid) & (entry_r < spec.e_cap)
     pos_r = jnp.where(ok_r, pos_r, flat.shape[0] - 1)
     pos_by_query = jnp.full((n_query,), flat.shape[0] - 1,
-                            jnp.int32).at[q_order].set(pos_r)
-    feats_out = flat[pos_by_query][:n_out]
+                            jnp.int32).at[prob["q_order"]].set(pos_r)
+    return flat[pos_by_query][:n_out]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "radii", "kind", "exclude_radius",
+                     "n_out", "c_cap", "interpret", "entry_batch",
+                     "precision", "with_stats"))
+def fused_extract_packed(query, q_valid, search, s_valid, spec, radii,
+                         kind, exclude_radius, n_out, c_cap,
+                         interpret=False, entry_batch=8,
+                         precision="highest", with_stats=False):
+    """
+    Raw padded clouds -> feature block via the dense packed-candidate
+    Pallas kernel (nimrud_tpu.ops.pallas.packed_kernel).
+
+    Same span plan as :func:`fused_extract_spans`, but instead of
+    streaming each tiny span through an in-kernel DMA ring (~1.4 us of
+    scalar machinery per span -- the measured bottleneck; see
+    scripts/span_stats.py), the spans are packed contiguously into one
+    c_cap-lane candidate block per entry with a single fused XLA row
+    gather, and the kernel is a pure grid-pipelined static sweep with
+    no scalar-core work at all.
+
+    ``c_cap`` (static, multiple of 128) bounds candidates per entry;
+    entries beyond it are truncated and counted in the
+    ``dropped_candidates`` stat -- size it with :func:`packed_cap`
+    (measured max + margin) to keep the path exact.
+    """
+    from nimrud_tpu.features import layouts
+    from nimrud_tpu.ops.pallas import packed_kernel, multiscale_kernel
+
+    prob = _span_problem(query, q_valid, search, s_valid, spec)
+    starts = prob["span_starts"]                     # (E, n_span)
+    lens = prob["span_lens"]
+    n_span = lens.shape[1]
+    e_cap = starts.shape[0]
+
+    # pack spans contiguously: entry e's span i occupies packed slots
+    # [off[e,i], off[e,i]+lens[e,i]).  The slot->source map is a fused
+    # chain of n_span selects over (E, c_cap) -- no gather, no
+    # searchsorted (XLA's is a serial while loop).
+    off = jnp.cumsum(lens, axis=1) - lens
+    total = off[:, -1] + lens[:, -1]                 # (E,)
+    j = jnp.arange(c_cap, dtype=jnp.int32)[None, :]  # (1, c_cap)
+    src = jnp.zeros((e_cap, c_cap), jnp.int32)
+    for i in range(n_span):
+        o = off[:, i:i + 1]
+        hit = (j >= o) & (j < o + lens[:, i:i + 1])
+        src = jnp.where(hit, starts[:, i:i + 1] + (j - o), src)
+    valid = j < total[:, None]
+
+    # one row gather pulls every packed candidate; dead slots park at
+    # the FAR sentinel in the entry-local frame, so the kernel's
+    # distance masks drop them with zero masking cost
+    cand = prob["sorted_pts"][jnp.where(valid, src, 0).reshape(-1)]
+    local = jnp.where(
+        valid.reshape(-1, 1),
+        cand - jnp.repeat(prob["centers"], c_cap, axis=0),
+        packed_kernel.FAR)
+    cand_t = jnp.concatenate(
+        [local.T, jnp.zeros((1, e_cap * c_cap), jnp.float32)], axis=0)
+
+    slabs = packed_kernel.packed_moments.__wrapped__(
+        prob["q_local"], cand_t, radii, exclude_radius, interpret,
+        entry_batch, precision)
+    per_radius = multiscale_kernel.moments_from_slabs(
+        slabs, prob["centers"], radii)
+
+    blocks = []
+    for p, radius in zip(per_radius, radii):
+        blocks.append(layouts.build_block(
+            kind, p["count"], p["mean_local"] + prob["centers"][:, None, :],
+            p["cov"], prob["q_pts"], radius))
+    feats = jnp.concatenate(blocks, axis=-1)
+    feats_out = _unsort_features(feats, prob, spec, query.shape[0], n_out)
     if not with_stats:
         return feats_out
-    # entries past e_cap never ran: their queries got the sentinel zero
-    # row above.  Cheap (one sum over e_cap), always-correct overflow
-    # accounting for the span path (SURVEY section 7: fixed capacities
-    # must never truncate silently).
-    stats = {"dropped_query": (
-        jnp.sum(q_valid.astype(jnp.int32)) - jnp.sum(count)
-    ).astype(jnp.int32)}
+    stats = {
+        "dropped_query": (
+            jnp.sum(q_valid.astype(jnp.int32)) - jnp.sum(prob["count"])
+        ).astype(jnp.int32),
+        "dropped_candidates": jnp.sum(
+            jnp.maximum(total - c_cap, 0)).astype(jnp.int32),
+    }
     return feats_out, stats
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _max_candidates(query, q_valid, search, s_valid, spec):
+    prob = _span_problem(query, q_valid, search, s_valid, spec)
+    return jnp.max(jnp.sum(prob["span_lens"], axis=1))
+
+
+def packed_cap(query, q_valid, search, s_valid, spec, margin=1.25):
+    """Measured per-entry candidate maximum for this (cloud, spec),
+    with headroom, rounded up to a 128-lane multiple -- the ``c_cap``
+    at which :func:`fused_extract_packed` is exact on this cloud and
+    robust to moderate densification at serving time."""
+    from nimrud_tpu.ops.pallas.gather_kernel import _round_up
+    m = int(_max_candidates(query, q_valid, search, s_valid, spec))
+    return max(_round_up(max(int(m * margin), 1), 128), 128)
 
 
 @functools.partial(

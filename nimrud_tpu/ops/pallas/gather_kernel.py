@@ -65,14 +65,27 @@ STATIC_WALK_CHUNKS = 32  # windows at or below this many 128-lane
                          # chunks use the fully-unrolled walk (fast);
                          # larger windows take the hybrid walk
 
+UNROLL = 4             # span-loop bodies per fori_loop iteration
+
 SLOTS = 8              # default DMA ring depth: spans are short, so the
                        # pipeline is DMA-LATENCY bound, not bandwidth
                        # bound -- a deep ring keeps ~ring-1 copies in
                        # flight to hide the per-copy issue latency
 
 
+RESIDENT_MAX_LANES = 0         # VMEM-resident search mode is OFF: on
+                               # v5e, reading span chunks from a large
+                               # VMEM-resident array with DYNAMIC lane
+                               # offsets measured ~1.6 us per slice on
+                               # the scalar core (1084 ms/extract vs
+                               # 345 ms streaming) -- the DMA engine
+                               # resolves dynamic offsets in hardware
+                               # and is strictly better.  Kept behind
+                               # this flag as a record of the probe.
+
+
 def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
-                 precision, ring):
+                 precision, ring, debug=None, resident=False):
     """``batch`` entries ride one grid step.  The step's spans arrive
     COMPACTED: live (len > 0) spans first with their owning entry index
     alongside, and ``n_live_ref`` holds the live count -- so the loop
@@ -92,7 +105,10 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
                            # 482 ms/extract vs 345 ms at 128)
 
     def body(starts_ref, lens_ref, entry_ref, n_live_ref, center_ref,
-             q_ref, search_hbm, out_ref, buf, sems):
+             q_ref, search_hbm, out_ref, buf=None, sems=None):
+        # resident mode: ``search_hbm`` is actually a whole-array VMEM
+        # ref; spans are read with direct dynamic slices and the DMA
+        # ring (buf/sems scratch) does not exist.
         q_cap = q_ref.shape[2]
         n_live = n_live_ref[0, 0, 0]
 
@@ -106,6 +122,11 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
             # sub-chunks holding live lanes ([0, prefix + len)).  All
             # sub-copies share the slot's semaphore; start and wait run
             # under identical predicates, so the amounts balance.
+            # (A single unconditional full-window copy was considered
+            # to cut predicated regions, but real spans average ~17
+            # live lanes against 2.5-3.5k-lane worst-case windows --
+            # full windows would stream ~10 GB/extract on the 1M bench
+            # vs ~1.4 GB live-aware; see scripts/span_stats.py.)
             base, prefix = aligned(k)
             need = prefix + lens_ref[0, 0, k]
             for j in range(n_sub):
@@ -125,10 +146,11 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
         def wait_dma(k, slot):
             span_dma(k, slot, lambda c: c.wait())
 
-        for i in range(ring - 1):
-            @pl.when(i < n_live)
-            def _(i=i):
-                start_dma(i, i)
+        if not resident and debug not in ("nodma", "noboth"):
+            for i in range(ring - 1):
+                @pl.when(i < n_live)
+                def _(i=i):
+                    start_dma(i, i)
 
         # accumulator rides TRANSPOSED (width, q_cap): the moment dot is
         # aug (16, W) @ mask^T (W, q_cap) -- M=16 streams through the
@@ -137,24 +159,25 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
         # axis and waste 7/8 of every pass.
         out_ref[0] = jnp.zeros((batch, width, q_cap), jnp.float32)
 
-        def loop(k, _):
-            @pl.when(k < n_live)
-            def _():
+        def span_body(k):
                 slot = k % ring
                 e = entry_ref[0, 0, k]
 
-                @pl.when(k + ring - 1 < n_live)
-                def _():
-                    start_dma(k + ring - 1, (k + ring - 1) % ring)
+                if not resident and debug not in ("nodma", "noboth"):
+                    @pl.when(k + ring - 1 < n_live)
+                    def _():
+                        start_dma(k + ring - 1, (k + ring - 1) % ring)
 
-                wait_dma(k, slot)
+                    wait_dma(k, slot)
+                if debug in ("nocompute", "noboth"):
+                    return
 
                 q = q_ref[0, e]                        # (q_cap, 3)
                 cx = center_ref[0, e, 0]
                 cy = center_ref[0, e, 1]
                 cz = center_ref[0, e, 2]
 
-                _, prefix = aligned(k)
+                base, prefix = aligned(k)
                 live = lens_ref[0, 0, k]
 
                 # the window covers the worst-case span, but most real
@@ -167,17 +190,30 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
                 # bottleneck (v5e: ~constant ~6 us/128-lane chunk
                 # across every (q_cap, x_seg) config).
                 def chunk(c):
-                    # STATIC python index -> static slice (free
-                    # addressing); traced index (dynamic tail only) ->
-                    # aligned dynamic slice
-                    if isinstance(c, int):
+                    if resident:
+                        # whole search set is VMEM-resident: read the
+                        # chunk at its ABSOLUTE (128-aligned) position
+                        sl_lane = pl.ds(
+                            pl.multiple_of(base + c * cw, LANES), cw)
+                        src, row0 = search_hbm, 0
+                    elif isinstance(c, int):
+                        # STATIC python index -> static slice (free
+                        # addressing); traced index (dynamic tail
+                        # only) -> aligned dynamic slice
                         sl_lane = slice(c * cw, (c + 1) * cw)
+                        src, row0 = buf, slot
                     else:
                         sl_lane = pl.ds(
                             pl.multiple_of(c * cw, LANES), cw)
-                    x = buf[slot, 0, sl_lane] - cx     # (cw,)
-                    y = buf[slot, 1, sl_lane] - cy
-                    z = buf[slot, 2, sl_lane] - cz
+                        src, row0 = buf, slot
+                    if resident:
+                        x = src[0, sl_lane] - cx       # (cw,)
+                        y = src[1, sl_lane] - cy
+                        z = src[2, sl_lane] - cz
+                    else:
+                        x = src[row0, 0, sl_lane] - cx
+                        y = src[row0, 1, sl_lane] - cy
+                        z = src[row0, 2, sl_lane] - cz
                     lane = jax.lax.broadcasted_iota(
                         jnp.int32, (1, cw), 1)[0] + c * cw
                     valid = (lane >= prefix) & (lane < prefix + live)
@@ -265,9 +301,23 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
                     jax.lax.fori_loop(
                         n_static, n_chunks,
                         lambda c, _: (chunk(c), 0)[1], 0)
+
+        # The span loop's scalar machinery is expensive (v5e: an EMPTY
+        # loop over the static span-slot count cost 200 ms of a 345 ms
+        # extract, ~1.3 us/iteration).  Two cuts: the loop bound is the
+        # DYNAMIC live count (spans arrive compacted, so dead slots are
+        # never visited at all), and UNROLL bodies per iteration
+        # amortize the branch/bounds work of each trip.
+        def loop(i, _):
+            for j in range(UNROLL):
+                k = i * UNROLL + j
+                @pl.when(k < n_live)
+                def _(k=k):
+                    span_body(k)
             return 0
 
-        jax.lax.fori_loop(0, total, loop, 0)
+        jax.lax.fori_loop(
+            0, (n_live + UNROLL - 1) // UNROLL, loop, 0)
 
     return body
 
@@ -275,11 +325,13 @@ def _kernel_body(radii, window, n_span, exclude_radius, n_pad, batch,
 @functools.partial(
     jax.jit,
     static_argnames=("radii", "span_rows", "exclude_radius", "interpret",
-                     "entries_per_step", "precision", "ring"))
+                     "entries_per_step", "precision", "ring", "debug",
+                     "resident"))
 def span_moments(q_local, centers, span_starts, span_lens,
                  sorted_search_t, radii, span_rows, exclude_radius=None,
                  interpret=False, entries_per_step=8,
-                 precision="highest", ring=SLOTS):
+                 precision="highest", ring=SLOTS, debug=None,
+                 resident=False):
     """
     Raw masked moment slabs via in-kernel span DMA.
 
@@ -352,7 +404,8 @@ def span_moments(q_local, centers, span_starts, span_lens,
                      else float(exclude_radius),
                      n_pad, batch,
                      {"highest": jax.lax.Precision.HIGHEST,
-                      "bf16x2": "bf16x2"}[precision], ring),
+                      "bf16x2": "bf16x2"}[precision], ring, debug,
+                     resident),
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((1, 1, total), lambda g: (g, 0, 0),
@@ -366,13 +419,17 @@ def span_moments(q_local, centers, span_starts, span_lens,
             pl.BlockSpec((1, batch, 3), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, batch, q_cap, 3), lambda g: (g, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),        # sorted cloud, HBM
+            # sorted cloud: whole-array VMEM residency when it fits
+            # (constant block index -> fetched once, reused across all
+            # grid steps), HBM + in-kernel span DMA otherwise
+            pl.BlockSpec(memory_space=pltpu.VMEM) if resident
+            else pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, batch, width, q_cap),
                                lambda g: (g, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(
             (n_steps, batch, width, q_cap), jnp.float32),
-        scratch_shapes=[
+        scratch_shapes=[] if resident else [
             pltpu.VMEM((ring, 4, window), jnp.float32),
             pltpu.SemaphoreType.DMA((ring,)),
         ],

@@ -1,0 +1,204 @@
+"""
+Pallas TPU kernel: masked moments over dense packed candidate blocks.
+
+The span-DMA kernel (nimrud_tpu.ops.pallas.gather_kernel) streams each
+entry's candidate x-row spans from HBM with an in-kernel DMA ring.
+Measurement on v5e (scripts/span_stats.py + trace_compute.py debug
+modes) showed that design is mismatched to real clouds: spans average
+~17 live lanes against worst-case windows of 2.5-3.5k lanes, so the
+kernel pays ~1.4 us of scalar-core machinery (loop trip, predication,
+SMEM descriptor reads, DMA issue) per span to move a handful of points
+-- ~200 ms of a 345 ms extract was the *empty* span loop.
+
+This kernel removes the scalar core from the picture entirely.  The
+XLA side packs each entry's spans into one contiguous c_cap-lane
+candidate block (one fused row gather -- see
+device_grid.fused_extract_packed), entry-LOCAL and with dead slots
+parked at a far sentinel so the distance masks kill them for free.
+The kernel is then a pure grid-pipelined sweep: every block spec is a
+static index map (Pallas double-buffers the fetches), the walk is a
+fully static unroll, and there is no pl.when, no fori_loop, no DMA
+ring, and no SMEM descriptor traffic anywhere.
+
+Output slabs use the MOMENT_PAD layout of
+nimrud_tpu.ops.pallas.multiscale_kernel, so ``moments_from_slabs``
+converts them for the feature layouts.
+
+Replaces the reference's neighborhood gather + compaction + covariance
+chain (reference: nimrud/prototypes/ch.py ngrab:1445, PTshrink:969,
+PT_cov:494) with a gather + one streaming kernel.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nimrud_tpu.ops.pallas.multiscale_kernel import MOMENT_PAD
+
+LANES = 128
+
+PACK_CW = 512          # compute chunk width: candidates processed per
+                       # unrolled step.  Wide chunks keep the moment
+                       # dot at K=512 per MXU issue and bound VPU
+                       # temporaries to (q_cap, PACK_CW).
+
+FAR = 1.0e6            # dead-slot sentinel magnitude (entry-local
+                       # coordinates are tile-scale, so d2 >= 1e12
+                       # fails every radius mask; 3 * FAR^2 is finite
+                       # in f32)
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def _packed_body(radii, c_cap, exclude_radius, batch, precision):
+    """One grid step = ``batch`` entries.  All addressing is static:
+    entry e's candidates live at lanes [e*c_cap, (e+1)*c_cap) of the
+    step's candidate block."""
+    width = len(radii) * MOMENT_PAD
+    cw = min(PACK_CW, c_cap)
+
+    def body(q_ref, cand_ref, out_ref):
+        # q_ref:    (1, batch, q_cap, 3) f32 entry-local queries
+        # cand_ref: (4, batch * c_cap) f32 entry-local candidates
+        #           (rows x, y, z, unused), dead slots at FAR
+        # out_ref:  (1, batch, width, q_cap) f32 moment slabs,
+        #           TRANSPOSED (width, q_cap) per entry: the dot is
+        #           aug (16, cw) @ mask (cw, n_r*q_cap) -- M=16
+        #           streams through the MXU while K and N tile fully.
+        q_cap = q_ref.shape[2]
+
+        for e in range(batch):
+            q = q_ref[0, e]                            # (q_cap, 3)
+            acc = None
+            for start in range(0, c_cap, cw):
+                w = min(cw, c_cap - start)
+                lane0 = e * c_cap + start
+                x = cand_ref[0, lane0:lane0 + w]       # (w,)
+                y = cand_ref[1, lane0:lane0 + w]
+                z = cand_ref[2, lane0:lane0 + w]
+
+                # squared distances elementwise on the VPU: no
+                # cancellation (exact f32 boundary decisions) and no
+                # K=3 matmul waste
+                dx = q[:, 0:1] - x[None, :]            # (q_cap, cw)
+                dy = q[:, 1:2] - y[None, :]
+                dz = q[:, 2:3] - z[None, :]
+                d2 = dx * dx + dy * dy + dz * dz
+
+                aug = jnp.stack(
+                    [jnp.ones_like(x), x, y, z,
+                     x * x, x * y, x * z, y * y, y * z, z * z]
+                    + [jnp.zeros_like(x)] * (MOMENT_PAD - 10),
+                    axis=0)                            # (16, cw)
+
+                if exclude_radius is not None:
+                    base_mask = d2 >= exclude_radius * exclude_radius
+                    mask_all = jnp.concatenate(
+                        [base_mask & (d2 <= radius * radius)
+                         for radius in radii], axis=0)
+                else:
+                    mask_all = jnp.concatenate(
+                        [d2 <= radius * radius for radius in radii],
+                        axis=0)                        # (n_r*q_cap, cw)
+
+                # ONE dot over all radii per precision pass (the
+                # per-radius masks concatenate along the output axis)
+                if precision == "bf16x2":
+                    # three DEFAULT passes instead of HIGHEST's six:
+                    # aug splits into bf16 hi + mid + lo; the 0/1 mask
+                    # is exact in bf16, so counts stay exact
+                    hi = aug.astype(jnp.bfloat16)
+                    rem = aug - hi.astype(jnp.float32)
+                    mid = rem.astype(jnp.bfloat16)
+                    lo = (rem - mid.astype(jnp.float32)
+                          ).astype(jnp.bfloat16)
+                    m16 = mask_all.astype(jnp.bfloat16)
+                    mom = sum(jax.lax.dot_general(
+                        part, m16, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) for part in (hi, mid, lo))
+                else:
+                    mom = jax.lax.dot_general(
+                        aug, mask_all.astype(jnp.float32),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision)           # (16, n_r*q_cap)
+                acc = mom if acc is None else acc + mom
+
+            for ri in range(len(radii)):
+                out_ref[0, e, ri * MOMENT_PAD:(ri + 1) * MOMENT_PAD, :] \
+                    = acc[:, ri * q_cap:(ri + 1) * q_cap]
+
+    return body
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radii", "exclude_radius", "interpret",
+                     "entries_per_step", "precision"))
+def packed_moments(q_local, cand_local_t, radii, exclude_radius=None,
+                   interpret=False, entries_per_step=8,
+                   precision="highest"):
+    """
+    Raw masked moment slabs over dense packed candidate blocks.
+
+    Args:
+      q_local:      (E, q_cap, 3) f32 entry-local query blocks.
+      cand_local_t: (4, E * c_cap) f32 entry-LOCAL candidates,
+                    TRANSPOSED (rows x, y, z, unused); entry e's block
+                    occupies lanes [e*c_cap, (e+1)*c_cap), dead slots
+                    parked at the FAR sentinel.  c_cap must be a
+                    multiple of 128.
+      radii:        static tuple.
+      entries_per_step: entries batched into one grid step.
+
+    Returns:
+      (E, q_cap, len(radii) * MOMENT_PAD) f32 slabs
+      (see multiscale_kernel.moments_from_slabs).
+    """
+    n_entries, q_cap, _ = q_local.shape
+    c_cap = cand_local_t.shape[1] // n_entries
+    if c_cap * n_entries != cand_local_t.shape[1]:
+        raise ValueError("cand_local_t lane count must be E * c_cap")
+    if c_cap % LANES:
+        raise ValueError(f"c_cap must be a multiple of {LANES}")
+    width = len(radii) * MOMENT_PAD
+
+    batch = max(int(entries_per_step), 1)
+    pad_e = (-n_entries) % batch
+    if pad_e:
+        q_local = jnp.concatenate(
+            [q_local, jnp.zeros((pad_e, q_cap, 3), q_local.dtype)])
+        cand_local_t = jnp.concatenate(
+            [cand_local_t,
+             jnp.full((4, pad_e * c_cap), FAR, cand_local_t.dtype)],
+            axis=1)
+    n_steps = (n_entries + pad_e) // batch
+
+    out = pl.pallas_call(
+        _packed_body(tuple(float(r) for r in radii), int(c_cap),
+                     None if exclude_radius is None
+                     else float(exclude_radius),
+                     batch,
+                     {"highest": jax.lax.Precision.HIGHEST,
+                      "bf16x2": "bf16x2"}[precision]),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((1, batch, q_cap, 3), lambda g: (g, 0, 0, 0)),
+            pl.BlockSpec((4, batch * c_cap), lambda g: (0, g)),
+        ],
+        out_specs=pl.BlockSpec((1, batch, width, q_cap),
+                               lambda g: (g, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_steps, batch, width, q_cap), jnp.float32),
+        interpret=interpret,
+    )(q_local.reshape(n_steps, batch, q_cap, 3), cand_local_t)
+    # slabs leave the kernel transposed (width, q_cap); restore the
+    # (q_cap, width) contract with one fused XLA transpose
+    return jnp.swapaxes(
+        out.reshape(-1, width, q_cap), 1, 2)[:n_entries]

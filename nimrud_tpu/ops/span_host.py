@@ -1,0 +1,126 @@
+"""
+Host-side (pure NumPy) mirror of the span plan that
+``device_grid._span_problem`` builds on device.
+
+Two jobs:
+
+* capacity sizing without device round-trips: the packed-candidate
+  serving path needs a static per-entry candidate capacity (``c_cap``)
+  at program-build time.  Reading it back from the device would cost a
+  d2h transfer -- which on relay-attached TPUs permanently degrades the
+  process (CLAUDE.md) -- so production sizing runs here, on the host
+  copy of the cloud that staging already holds.
+
+* plan diagnostics: scripts/span_stats.py reports span-slot statistics
+  from the same code, so the numbers driving kernel design decisions
+  are exactly the numbers production uses.
+
+The arithmetic mirrors device_grid._span_problem / _encode step for
+step in float32 so tile assignment matches the device plan bit for
+bit; capacities derived here still carry a margin and are backed by
+the always-on ``dropped_candidates`` overflow counter.
+"""
+
+import numpy as np
+
+
+def encode_np(points, spec, coarse):
+    """Numpy mirror of device_grid._encode: linear tile ids (clipped)."""
+    pts = np.asarray(points, np.float32)
+    lo = np.asarray(spec.lo, np.float32)
+    cell = np.floor((pts - lo) / np.float32(spec.tile_edge)).astype(np.int64)
+    dims = np.asarray(spec.dims)
+    cell = np.clip(cell, 0, dims - 1)
+    if coarse:
+        cell = cell // spec.m
+        d = spec.qdims
+    else:
+        d = spec.dims
+    return cell[:, 0] + cell[:, 1] * d[0] + cell[:, 2] * d[0] * d[1]
+
+
+def span_plan(query, q_valid, search, s_valid, spec):
+    """Per-entry candidate x-row span lengths (e_cap, n_span) plus the
+    live-entry mask, mirroring device_grid._span_problem."""
+    n_grid, n_qgrid = spec.n_grid, spec.n_qgrid
+    n_query = query.shape[0]
+    qd = spec.qdims
+    dims = spec.dims
+    x_seg = max(min(spec.x_seg, qd[0]), 1)
+    nseg_x, n_seg = spec.seg_shape
+
+    s_ids = np.where(np.asarray(s_valid),
+                     encode_np(search, spec, coarse=False), n_grid)
+    s_counts = np.zeros(n_grid + 1, np.int64)
+    np.add.at(s_counts, s_ids, 1)
+    s_counts = s_counts[:n_grid]
+    s_starts = np.concatenate([[0], np.cumsum(s_counts)[:-1]])
+    starts_ext = np.concatenate([s_starts, [0]])
+    counts_ext = np.concatenate([s_counts, [0]])
+
+    q_ids = np.where(np.asarray(q_valid),
+                     encode_np(query, spec, coarse=True), n_qgrid)
+    sid = np.where(np.asarray(q_valid),
+                   (q_ids // qd[0]) * nseg_x + (q_ids % qd[0]) // x_seg,
+                   n_seg)
+    order = np.argsort(q_ids, kind="stable")
+    sorted_qids = q_ids[order]
+    seg_counts = np.zeros(n_seg + 1, np.int64)
+    np.add.at(seg_counts, sid, 1)
+    seg_counts = seg_counts[:n_seg]
+    seg_starts = np.concatenate([[0], np.cumsum(seg_counts)[:-1]])
+    per_seg = -(-seg_counts // spec.q_cap)
+    offsets = np.concatenate([[0], np.cumsum(per_seg)])
+    entry = np.arange(spec.e_cap)
+    seg = np.clip(np.searchsorted(offsets[1:], entry, side="right"),
+                  0, n_seg - 1)
+    rank = entry - offsets[seg]
+    live_e = entry < offsets[n_seg]
+    count = np.clip(seg_counts[seg] - rank * spec.q_cap, 0, spec.q_cap)
+    count = np.where(live_e, count, 0)
+    start = seg_starts[seg] + rank * spec.q_cap
+
+    first_tid = np.clip(sorted_qids[np.clip(start, 0, n_query - 1)],
+                        0, n_qgrid - 1)
+    last_tid = np.clip(
+        sorted_qids[np.clip(start + count - 1, 0, n_query - 1)],
+        0, n_qgrid - 1)
+    tx_lo = first_tid % qd[0]
+    tx_hi = last_tid % qd[0]
+    rid = seg // nseg_x
+    ty = rid % qd[1]
+    tz = rid // qd[1]
+    x0 = np.maximum(tx_lo * spec.m - 1, 0)
+    x1 = np.minimum(tx_hi * spec.m + spec.m, dims[0] - 1)
+
+    lens = []
+    for dy in range(-1, spec.m + 1):
+        for dz in range(-1, spec.m + 1):
+            y = ty * spec.m + dy
+            z = tz * spec.m + dz
+            ok = ((y >= 0) & (y < dims[1]) & (z >= 0) & (z < dims[2])
+                  & (count > 0))
+            row = y * dims[0] + z * dims[0] * dims[1]
+            first = np.where(ok, x0 + row, n_grid)
+            last = np.where(ok, x1 + row, n_grid)
+            begin = starts_ext[first]
+            end = starts_ext[last] + counts_ext[last]
+            lens.append(np.where(ok, np.clip(end - begin, 0,
+                                             spec.span_rows), 0))
+    return np.stack(lens, axis=1), live_e, count
+
+
+def candidate_cap(query, search, spec, s_valid=None, margin=1.25):
+    """Static per-entry candidate capacity for
+    device_grid.fused_extract_packed: the measured per-entry maximum
+    with headroom, rounded up to 128 lanes.  ``search`` is the (host)
+    voxel-downsampled search set the band will run against."""
+    search = np.asarray(search, np.float32)
+    if s_valid is None:
+        s_valid = np.ones(search.shape[0], bool)
+    q = np.asarray(query, np.float32)
+    lens, _, _ = span_plan(
+        q, np.ones(q.shape[0], bool), search, s_valid, spec)
+    peak = int(lens.sum(axis=1).max()) if lens.size else 0
+    cap = max(int(peak * margin), 1)
+    return max(-(-cap // 128) * 128, 128)

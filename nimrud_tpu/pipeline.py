@@ -60,6 +60,7 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
     dropped_query = jnp.zeros((), jnp.int32)
     dropped_search = jnp.zeros((), jnp.int32)
     interp_dropped = jnp.zeros((), jnp.int32)
+    cand_dropped = jnp.zeros((), jnp.int32)
     for band in band_specs:
         vox_spec, dev_spec, radii = band[:3]
         interp_spec = band[3] if len(band) > 3 else None
@@ -92,7 +93,23 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                     mask[v_cap:].astype(jnp.int32))
                 centers = centers[:v_cap]
                 mask = mask[:v_cap]
-        if backend == "pallas" and kind != "vector" \
+        c_cap = band[5] if len(band) > 5 else None
+        if backend == "packed" and c_cap is not None \
+                and kind != "vector" and not layouts.needs_sazo(kind):
+            # dense packed candidate blocks + grid-pipelined kernel:
+            # no scalar-core span loop at all (the span-DMA kernel's
+            # measured floor); candidates beyond the host-sized c_cap
+            # are truncated AND counted
+            span_prec = {"bf16x2": "bf16x2", "mixed": "bf16x2",
+                         "high": "bf16x2"}.get(precision, "highest")
+            feats, b_stats = device_grid.fused_extract_packed.__wrapped__(
+                query, q_valid, centers, mask, dev_spec, radii, kind,
+                exclude_radius, n_query, int(c_cap), interpret, 8,
+                span_prec, with_stats=True)
+            dropped_query = dropped_query + b_stats["dropped_query"]
+            cand_dropped = cand_dropped + b_stats["dropped_candidates"]
+            bands.append(feats)
+        elif backend == "pallas" and kind != "vector" \
                 and not layouts.needs_sazo(kind):
             # the span-DMA kernel: no candidate index table, live spans
             # only -- measured faster than the XLA moment loop on v5e
@@ -120,7 +137,8 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
             {"vox_dropped": vox_dropped,
              "dropped_query": dropped_query,
              "dropped_search": dropped_search,
-             "interp_dropped": interp_dropped})
+             "interp_dropped": interp_dropped,
+             "dropped_candidates": cand_dropped})
 
 
 def classify_features(clf_kind, clf_params, clf_static, features):
@@ -195,23 +213,31 @@ class GeometryClassifier:
         # (counted by with_stats), so this is opt-in
         self.trim_entries = bool(trim_entries)
         # moment-kernel backend for the fused predict: "xla" (masked
-        # matmuls over a candidate table) or "pallas" (span-DMA kernel;
-        # geometry kinds only -- vector/sazo bands fall back to xla).
-        # "auto" (default) picks pallas on real TPU -- trace-measured
-        # faster on the production workload -- and xla elsewhere (the
-        # span kernel only runs interpreted off-TPU, which is for tests)
-        if backend not in ("xla", "pallas", "auto"):
-            raise ValueError("backend must be xla, pallas or auto")
+        # matmuls over a candidate table), "pallas" (streaming span-DMA
+        # kernel), or "packed" (dense gathered candidate blocks +
+        # grid-pipelined kernel; geometry kinds only -- vector/sazo
+        # bands fall back to xla).  "auto" (default) picks packed on
+        # real TPU -- trace-measured fastest on the production workload
+        # (225 ms vs 302 ms spans vs ~1.9 s xla per 1M x 3-scale
+        # extract, v5e device trace) -- and xla elsewhere (the Pallas
+        # kernels only run interpreted off-TPU, which is for tests).
+        # NOTE: "packed" sizes per-entry candidate capacity on the HOST
+        # (ops.span_host) at spec-build time; with fixed ``bounds`` the
+        # result is cached, without them it recomputes per staged cloud.
+        if backend not in ("xla", "pallas", "packed", "auto"):
+            raise ValueError(
+                "backend must be xla, pallas, packed or auto")
         if backend == "auto":
-            backend = "pallas" \
+            backend = "packed" \
                 if jax.default_backend() in ("tpu", "axon") else "xla"
         self.backend = backend
-        # "highest" everywhere by default.  For backend="pallas",
-        # "bf16x2" runs the moment dot as two bf16 passes (counts stay
+        # "highest" everywhere by default.  For the Pallas backends,
+        # "bf16x2" runs the moment dot as three bf16 passes (counts stay
         # exact, features within ~1e-3 abs; validated
-        # scripts/validate_precision.py + tests) at ~1.4x kernel speed.
-        if precision == "bf16x2" and backend != "pallas":
-            raise ValueError("precision='bf16x2' needs backend='pallas'")
+        # scripts/validate_precision.py + tests).
+        if precision == "bf16x2" and backend not in ("pallas", "packed"):
+            raise ValueError(
+                "precision='bf16x2' needs backend='pallas' or 'packed'")
         self.precision = precision
         self._spec_cache = None
         self._multichip_cache = {}
@@ -293,6 +319,7 @@ class GeometryClassifier:
                 for band, (edge, _) in zip(specs, self.scaleset):
                     vox, dev, rr = band[:3]
                     interp = band[3] if len(band) > 3 else None
+                    c_cap = band[5] if len(band) > 5 else None
                     dev = device_grid.with_entry_estimate(dev, arr)
                     v_cap = None
                     if self.kind != "vector" and edge > 0:
@@ -300,7 +327,7 @@ class GeometryClassifier:
                             multiscale._host_unique_voxels(arr, edge))
                         v_cap = n_vox + n_vox // 4 + 4096
                         v_cap = -(-v_cap // 16384) * 16384
-                    trimmed.append((vox, dev, rr, interp, v_cap))
+                    trimmed.append((vox, dev, rr, interp, v_cap, c_cap))
                 self._spec_cache = (
                     (multiscale._pow2_bucket(arr.shape[0]),
                      multiscale._pow2_bucket(arr.shape[0])),
@@ -380,30 +407,46 @@ class GeometryClassifier:
             specs = []
             for edge, radii in self.scaleset:
                 vox_spec = packing.GridSpec.fit_bounds(s_lo, s_hi, edge)
-                # 256 only when the band really runs the span kernel
+                # 256 only when the band really runs a Pallas kernel
                 # (vector/sazo kinds fall back to the XLA matmul path,
                 # which wants 128 -- dead query slots multiply its mask
                 # compute directly)
                 from nimrud_tpu.features import layouts as _layouts
-                use_spans = (self.backend == "pallas"
-                             and self.kind != "vector"
-                             and not _layouts.needs_sazo(self.kind))
+                use_pallas = (self.backend in ("pallas", "packed")
+                              and self.kind != "vector"
+                              and not _layouts.needs_sazo(self.kind))
                 dev_spec = device_grid.make_spec(
                     lo, hi, max(radii), n_query=q_bucket,
                     voxel_edge=edge,
-                    q_cap=256 if use_spans else 128,
-                    x_seg=32 if use_spans else 1)
+                    q_cap=256 if use_pallas else 128,
+                    x_seg=32 if use_pallas else 1)
+                c_cap = None
+                if use_pallas and self.backend == "packed":
+                    # static per-entry candidate capacity, sized on the
+                    # HOST against this cloud's voxel-downsampled search
+                    # set (a device readback would degrade the relay
+                    # process); serving clouds denser than the sizing
+                    # cloud overflow into the counted dropped_candidates
+                    # diagnostic
+                    from nimrud_tpu.ops import span_host
+                    host_centers = multiscale._host_unique_voxels(
+                        np.asarray(search, np.float32)[:, :3], edge)
+                    c_cap = span_host.candidate_cap(
+                        np.asarray(cloud, np.float32)[:, :3],
+                        host_centers, dev_spec)
                 if self.kind == "vector":
                     # static plan for the matmul attribute interpolation
                     # (ops.interp.interp_to_voxels_matmul): a voxel-edge
                     # tile grid whose queries are the voxel centers
                     s_bucket = multiscale._pow2_bucket(search.shape[0])
-                    interp_spec = device_grid.make_spec(
-                        lo, hi, edge, n_query=s_bucket,
-                        s_cap=self.vector_s_cap)
-                    specs.append((vox_spec, dev_spec, radii, interp_spec))
+                    specs.append((vox_spec, dev_spec, radii,
+                                  device_grid.make_spec(
+                                      lo, hi, edge, n_query=s_bucket,
+                                      s_cap=self.vector_s_cap),
+                                  None, c_cap))
                 else:
-                    specs.append((vox_spec, dev_spec, radii, None))
+                    specs.append((vox_spec, dev_spec, radii, None,
+                                  None, c_cap))
         except ValueError:
             return None
         return tuple(specs)

@@ -31,7 +31,7 @@ import tempfile
 import numpy as np
 
 
-N_POINTS = 1_048_576
+N_POINTS = int(os.environ.get("TC_N", 1_048_576))  # override for smokes
 EDGES = (0.25, 0.5, 1.0)
 RADII = (0.5, 1.0, 2.0)
 
@@ -87,11 +87,42 @@ def main():
             None, precision, N_POINTS)
             for centers, mask, spec, radii in bands_for(q_cap)]
 
-    def run_spans(batch, q_cap=64, precision="highest", m=3, x_seg=1):
+    def run_spans(batch, q_cap=64, precision="highest", m=3, x_seg=1,
+                  debug=None):
         return [device_grid.fused_extract_spans(
             query, q_valid, centers, mask, spec, radii, "minimal",
-            None, N_POINTS, span_batch=batch, precision=precision)
+            None, N_POINTS, span_batch=batch, precision=precision,
+            debug=debug)
             for centers, mask, spec, radii in bands_for(q_cap, m, x_seg)]
+
+    def host_caps(q_cap, m=3, x_seg=1, margin=1.25):
+        # c_cap from HOST-side stats on the CPU backend (a device
+        # packed_cap readback would trip the relay's first-d2h
+        # degradation pre-trace)
+        from scripts.span_stats import span_plan_stats
+        cpu = jax.local_devices(backend="cpu")[0]
+        caps = []
+        for (edge, radius), (_, _, spec, _) in zip(
+                zip(EDGES, RADII), bands_for(q_cap, m, x_seg)):
+            with jax.default_device(cpu):
+                vox_spec = packing.GridSpec.fit_bounds(lo, hi, edge)
+                c, _, mk = unique.unique_voxels(
+                    jnp.asarray(cloud), vox_spec)
+                stats = span_plan_stats(
+                    cloud, np.ones(N_POINTS, bool),
+                    np.asarray(c), np.asarray(mk), spec)
+            caps.append(max(
+                -(-int(stats["tot_max"] * margin) // 128) * 128, 128))
+        return caps
+
+    def run_packed(batch, q_cap=64, precision="highest", m=3, x_seg=1):
+        caps = host_caps(q_cap, m, x_seg)
+        return [device_grid.fused_extract_packed(
+            query, q_valid, centers, mask, spec, radii, "minimal",
+            None, N_POINTS, cap, entry_batch=batch,
+            precision=precision)
+            for cap, (centers, mask, spec, radii)
+            in zip(caps, bands_for(q_cap, m, x_seg))]
 
     variants = {
         "xla_highest": lambda: run_xla("highest"),
@@ -118,6 +149,17 @@ def main():
         "spans_q256_xs16": lambda: run_spans(8, 256, "highest", 3, 16),
         "spans_q128_xs16": lambda: run_spans(8, 128, "highest", 3, 16),
         "spans_q256_xs32_bf16x2": lambda: run_spans(8, 256, "bf16x2", 3, 32),
+        "spans_q1024_xs16": lambda: run_spans(8, 1024, "highest", 3, 16),
+        "spans_q512_xs8": lambda: run_spans(8, 512, "highest", 3, 8),
+        "spans_q1024_xs8": lambda: run_spans(8, 1024, "highest", 3, 8),
+        "dbg_nodma": lambda: run_spans(8, 256, "highest", 3, 32, "nodma"),
+        "dbg_nocompute": lambda: run_spans(8, 256, "highest", 3, 32, "nocompute"),
+        "dbg_noboth": lambda: run_spans(8, 256, "highest", 3, 32, "noboth"),
+        "packed_q256_xs32": lambda: run_packed(8, 256, "highest", 3, 32),
+        "packed_q512_xs32": lambda: run_packed(8, 512, "highest", 3, 32),
+        "packed_q1024_xs64": lambda: run_packed(8, 1024, "highest", 3, 64),
+        "packed_q256_xs32_b16": lambda: run_packed(16, 256, "highest", 3, 32),
+        "packed_q512_xs32_bf16x2": lambda: run_packed(8, 512, "bf16x2", 3, 32),
     }
     if len(sys.argv) > 2:
         pick = sys.argv[2]

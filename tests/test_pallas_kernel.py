@@ -143,3 +143,52 @@ def test_span_bf16x2_precision_counts_exact():
     assert (hi[:, 0] == lo[:, 0]).all()          # populations, scale 1
     assert (hi[:, 4] == lo[:, 4]).all()          # populations, scale 2
     assert np.abs(hi - lo).max() < 2e-3, np.abs(hi - lo).max()
+
+
+def test_packed_backend_matches_span_backend():
+    # the dense packed-candidate kernel against the span-DMA kernel:
+    # identical span plan, so identical neighbor sets; features agree
+    # to f32 accumulation-order tolerance and populations exactly
+    from nimrud_tpu.features.multiscale import extract_scaleset
+    rng = np.random.default_rng(21)
+    search = (rng.random((20000, 3)) * [20, 20, 5]).astype(np.float32)
+    query = search[:4096]
+    scaleset = [(0.4, (1.2, 0.6))]
+    spans = np.asarray(extract_scaleset(
+        query, search, scaleset, kind="minimal", method="fused",
+        tuning={"backend": "pallas"}))
+    packed = np.asarray(extract_scaleset(
+        query, search, scaleset, kind="minimal", method="fused",
+        tuning={"backend": "packed"}))
+    assert packed.shape == spans.shape
+    assert np.array_equal(packed[:, 0], spans[:, 0])     # populations
+    assert np.array_equal(packed[:, 4], spans[:, 4])
+    assert np.allclose(packed, spans, atol=1e-3), \
+        np.abs(packed - spans).max()
+
+
+def test_packed_candidate_overflow_is_counted():
+    # a c_cap below the measured per-entry candidate maximum must
+    # surface in the dropped_candidates stat, never silently
+    import jax
+    from nimrud_tpu.ops import device_grid, packing, unique
+    rng = np.random.default_rng(22)
+    pts = (rng.random((4000, 3)) * 6).astype(np.float32)
+    lo, hi = pts.min(0), pts.max(0)
+    spec = device_grid.make_spec(
+        lo, hi, 0.8, n_query=4096, voxel_edge=0.2, q_cap=64, x_seg=4)
+    vox = packing.GridSpec.fit_bounds(lo, hi, 0.2)
+    q = jnp.asarray(np.vstack([pts, np.zeros((96, 3), np.float32)]))
+    qv = jnp.arange(4096) < 4000
+    centers, _, mask = unique.unique_voxels(q, vox, valid=qv)
+    cap = device_grid.packed_cap(q, qv, centers, mask, spec, margin=1.0)
+    interp = jax.default_backend() not in ("tpu", "axon")
+    _, full = device_grid.fused_extract_packed(
+        q, qv, centers, mask, spec, (0.8,), "minimal", None, 4096,
+        cap, interpret=interp, with_stats=True)
+    assert int(full["dropped_candidates"]) == 0
+    tight, st = device_grid.fused_extract_packed(
+        q, qv, centers, mask, spec, (0.8,), "minimal", None, 4096,
+        128, interpret=interp, with_stats=True)
+    assert int(st["dropped_candidates"]) > 0
+    assert tight.shape == (4096, 4)
