@@ -572,20 +572,21 @@ def fused_extract_packed(query, q_valid, search, s_valid, spec, radii,
         src = jnp.where(hit, starts[:, i:i + 1] + (j - o), src)
     valid = j < total[:, None]
 
-    # one row gather pulls every packed candidate; dead slots park at
-    # the FAR sentinel in the entry-local frame, so the kernel's
-    # distance masks drop them with zero masking cost
-    cand = prob["sorted_pts"][jnp.where(valid, src, 0).reshape(-1)]
-    local = jnp.where(
-        valid.reshape(-1, 1),
-        cand - jnp.repeat(prob["centers"], c_cap, axis=0),
-        packed_kernel.FAR)
-    cand_t = jnp.concatenate(
-        [local.T, jnp.zeros((1, e_cap * c_cap), jnp.float32)], axis=0)
+    # one row gather pulls every packed candidate.  Dead slots gather
+    # the appended FAR sentinel row -- no (N, 3) select pass -- and the
+    # entry-local frame is formed inside the kernel (scalar broadcast
+    # per entry), so the only remaining layout work is one (N, 4) ->
+    # (4, N) transpose into the kernel's lanes-major layout.
+    n_live_rows = prob["sorted_pts"].shape[0]
+    src4 = jnp.where(valid, src, n_live_rows).reshape(-1)
+    sorted4 = jnp.concatenate([
+        jnp.pad(prob["sorted_pts"], ((0, 0), (0, 1))),
+        jnp.full((1, 4), packed_kernel.FAR, jnp.float32)])
+    cand_t = sorted4[src4].T
 
     slabs = packed_kernel.packed_moments.__wrapped__(
-        prob["q_local"], cand_t, radii, exclude_radius, interpret,
-        entry_batch, precision)
+        prob["q_pts"], cand_t, prob["centers"], radii,
+        exclude_radius, interpret, entry_batch, precision)
     per_radius = multiscale_kernel.moments_from_slabs(
         slabs, prob["centers"], radii)
 

@@ -13,8 +13,10 @@ SMEM descriptor reads, DMA issue) per span to move a handful of points
 This kernel removes the scalar core from the picture entirely.  The
 XLA side packs each entry's spans into one contiguous c_cap-lane
 candidate block (one fused row gather -- see
-device_grid.fused_extract_packed), entry-LOCAL and with dead slots
-parked at a far sentinel so the distance masks kill them for free.
+device_grid.fused_extract_packed); dead slots gather a far sentinel
+row so the distance masks kill them for free, and the entry-local
+frame is formed in-kernel from SMEM centers (bit-identical f32
+subtractions, no per-band XLA layout passes).
 The kernel is then a pure grid-pipelined sweep: every block spec is a
 static index map (Pallas double-buffers the fetches), the walk is a
 fully static unroll, and there is no pl.when, no fori_loop, no DMA
@@ -62,10 +64,20 @@ def _packed_body(radii, c_cap, exclude_radius, batch, precision):
     width = len(radii) * MOMENT_PAD
     cw = min(PACK_CW, c_cap)
 
-    def body(q_ref, cand_ref, out_ref):
-        # q_ref:    (1, batch, q_cap, 3) f32 entry-local queries
-        # cand_ref: (4, batch * c_cap) f32 entry-local candidates
-        #           (rows x, y, z, unused), dead slots at FAR
+    def body(center_ref, q_ref, cand_ref, out_ref):
+        # center_ref: (1, batch, 3) f32 entry centers, SMEM
+        # q_ref:    (1, batch, q_cap, 3) f32 GLOBAL-frame queries; the
+        #           entry-local frame is formed here (the same f32
+        #           subtractions the XLA paths do, so radius decisions
+        #           stay bit-identical) instead of in a dedicated
+        #           (E, q_cap, 3) XLA pass per band
+        # cand_ref: (4, batch * c_cap) f32 GLOBAL-frame candidates
+        #           (rows x, y, z, unused); dead slots gathered the FAR
+        #           sentinel row, so their entry-local coordinates land
+        #           ~FAR and every radius mask drops them.  The center
+        #           subtract lives HERE (scalar broadcast per entry)
+        #           rather than on the XLA side, where it cost a fused
+        #           (N, 3) select + subtract + repeat pass per band.
         # out_ref:  (1, batch, width, q_cap) f32 moment slabs,
         #           TRANSPOSED (width, q_cap) per entry: the dot is
         #           aug (16, cw) @ mask (cw, n_r*q_cap) -- M=16
@@ -73,21 +85,27 @@ def _packed_body(radii, c_cap, exclude_radius, batch, precision):
         q_cap = q_ref.shape[2]
 
         for e in range(batch):
+            cx = center_ref[0, e, 0]
+            cy = center_ref[0, e, 1]
+            cz = center_ref[0, e, 2]
             q = q_ref[0, e]                            # (q_cap, 3)
+            qx = q[:, 0:1] - cx                        # (q_cap, 1)
+            qy = q[:, 1:2] - cy
+            qz = q[:, 2:3] - cz
             acc = None
             for start in range(0, c_cap, cw):
                 w = min(cw, c_cap - start)
                 lane0 = e * c_cap + start
-                x = cand_ref[0, lane0:lane0 + w]       # (w,)
-                y = cand_ref[1, lane0:lane0 + w]
-                z = cand_ref[2, lane0:lane0 + w]
+                x = cand_ref[0, lane0:lane0 + w] - cx  # (w,)
+                y = cand_ref[1, lane0:lane0 + w] - cy
+                z = cand_ref[2, lane0:lane0 + w] - cz
 
                 # squared distances elementwise on the VPU: no
                 # cancellation (exact f32 boundary decisions) and no
                 # K=3 matmul waste
-                dx = q[:, 0:1] - x[None, :]            # (q_cap, cw)
-                dy = q[:, 1:2] - y[None, :]
-                dz = q[:, 2:3] - z[None, :]
+                dx = qx - x[None, :]                   # (q_cap, cw)
+                dy = qy - y[None, :]
+                dz = qz - z[None, :]
                 d2 = dx * dx + dy * dy + dz * dz
 
                 aug = jnp.stack(
@@ -141,19 +159,22 @@ def _packed_body(radii, c_cap, exclude_radius, batch, precision):
     jax.jit,
     static_argnames=("radii", "exclude_radius", "interpret",
                      "entries_per_step", "precision"))
-def packed_moments(q_local, cand_local_t, radii, exclude_radius=None,
+def packed_moments(q_pts, cand_t, centers, radii, exclude_radius=None,
                    interpret=False, entries_per_step=8,
                    precision="highest"):
     """
     Raw masked moment slabs over dense packed candidate blocks.
 
     Args:
-      q_local:      (E, q_cap, 3) f32 entry-local query blocks.
-      cand_local_t: (4, E * c_cap) f32 entry-LOCAL candidates,
+      q_pts:        (E, q_cap, 3) f32 GLOBAL-frame query blocks (the
+                    kernel forms the entry-local frame itself).
+      cand_t:       (4, E * c_cap) f32 GLOBAL-frame candidates,
                     TRANSPOSED (rows x, y, z, unused); entry e's block
                     occupies lanes [e*c_cap, (e+1)*c_cap), dead slots
                     parked at the FAR sentinel.  c_cap must be a
                     multiple of 128.
+      centers:      (E, 3) f32 entry centers (global frame); the kernel
+                    forms the entry-local frame itself.
       radii:        static tuple.
       entries_per_step: entries batched into one grid step.
 
@@ -161,10 +182,10 @@ def packed_moments(q_local, cand_local_t, radii, exclude_radius=None,
       (E, q_cap, len(radii) * MOMENT_PAD) f32 slabs
       (see multiscale_kernel.moments_from_slabs).
     """
-    n_entries, q_cap, _ = q_local.shape
-    c_cap = cand_local_t.shape[1] // n_entries
-    if c_cap * n_entries != cand_local_t.shape[1]:
-        raise ValueError("cand_local_t lane count must be E * c_cap")
+    n_entries, q_cap, _ = q_pts.shape
+    c_cap = cand_t.shape[1] // n_entries
+    if c_cap * n_entries != cand_t.shape[1]:
+        raise ValueError("cand_t lane count must be E * c_cap")
     if c_cap % LANES:
         raise ValueError(f"c_cap must be a multiple of {LANES}")
     width = len(radii) * MOMENT_PAD
@@ -172,12 +193,14 @@ def packed_moments(q_local, cand_local_t, radii, exclude_radius=None,
     batch = max(int(entries_per_step), 1)
     pad_e = (-n_entries) % batch
     if pad_e:
-        q_local = jnp.concatenate(
-            [q_local, jnp.zeros((pad_e, q_cap, 3), q_local.dtype)])
-        cand_local_t = jnp.concatenate(
-            [cand_local_t,
-             jnp.full((4, pad_e * c_cap), FAR, cand_local_t.dtype)],
+        q_pts = jnp.concatenate(
+            [q_pts, jnp.zeros((pad_e, q_cap, 3), q_pts.dtype)])
+        cand_t = jnp.concatenate(
+            [cand_t,
+             jnp.full((4, pad_e * c_cap), FAR, cand_t.dtype)],
             axis=1)
+        centers = jnp.concatenate(
+            [centers, jnp.zeros((pad_e, 3), centers.dtype)])
     n_steps = (n_entries + pad_e) // batch
 
     out = pl.pallas_call(
@@ -189,6 +212,8 @@ def packed_moments(q_local, cand_local_t, radii, exclude_radius=None,
                       "bf16x2": "bf16x2"}[precision]),
         grid=(n_steps,),
         in_specs=[
+            pl.BlockSpec((1, batch, 3), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, batch, q_cap, 3), lambda g: (g, 0, 0, 0)),
             pl.BlockSpec((4, batch * c_cap), lambda g: (0, g)),
         ],
@@ -197,7 +222,8 @@ def packed_moments(q_local, cand_local_t, radii, exclude_radius=None,
         out_shape=jax.ShapeDtypeStruct(
             (n_steps, batch, width, q_cap), jnp.float32),
         interpret=interpret,
-    )(q_local.reshape(n_steps, batch, q_cap, 3), cand_local_t)
+    )(centers.reshape(n_steps, batch, 3),
+      q_pts.reshape(n_steps, batch, q_cap, 3), cand_t)
     # slabs leave the kernel transposed (width, q_cap); restore the
     # (q_cap, width) contract with one fused XLA transpose
     return jnp.swapaxes(
