@@ -363,52 +363,20 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
     return feats_out, stats
 
 
-def _span_problem(query, q_valid, search, s_valid, spec):
-    """Shared plan for the span-structured Pallas paths: sort search by
-    fine tile id, pack queries into sorted-rank entries over coarse-row
-    segments, and derive each entry's candidate x-row spans.  Returns a
-    dict consumed by :func:`fused_extract_spans` (streaming span-DMA
-    kernel) and :func:`fused_extract_packed` (gathered dense candidate
-    blocks); jit dead-code-eliminates whichever pieces a caller ignores.
-    """
-    from nimrud_tpu.ops.pallas import gather_kernel
+def _pack_plan(query, q_valid, spec):
+    """Query-side entry packing on ``spec``'s coarse segment grid: ONE
+    tile-id sort of the queries, rank-block entries within coarse-row
+    segments, per-entry coarse-x ranges, and shared entry centers.
 
-    n_grid, n_qgrid = spec.n_grid, spec.n_qgrid
+    The multi-band packed path runs this ONCE and reuses it for every
+    band (the query sort, the (E, q_cap) gather, and the final unsort
+    were each ~25% of the serving step when repeated per band)."""
+    n_qgrid = spec.n_qgrid
     n_query = query.shape[0]
-    span_rows = spec.span_rows
     qd = spec.qdims
-    dims = spec.dims
     x_seg = max(min(spec.x_seg, qd[0]), 1)
     nseg_x, n_seg = spec.seg_shape
 
-    # --- sort search by fine tile id; per-tile starts/counts ------------
-    # PRIMITIVE COSTS (trace-measured, scripts/probe_datamove.py, 1M
-    # rows, v5e): sort 1.7 ms, sort w/ 3 f32 payloads 2.6 ms, (N,3) row
-    # gather 5.3 ms, three (N,) flat gathers 32 ms, row scatter 86 ms,
-    # scatter-add counts 6.7 ms, searchsorted ~70 ms (serial log(n)
-    # while loop).  Hence: coordinates ride the sorts as payloads,
-    # reorders end in one row gather, counts stay scatter-adds.
-    from nimrud_tpu.ops.pallas.gather_kernel import LANES, _round_up
-    n_search = search.shape[0]
-    s_ids = jnp.where(s_valid, _encode(search, spec, coarse=False),
-                      n_grid)
-    _, sx, sy, sz = jax.lax.sort(
-        (s_ids, search[:, 0], search[:, 1], search[:, 2]), num_keys=1)
-    s_counts = jnp.zeros(n_grid + 1, jnp.int32).at[s_ids].add(1)[:n_grid]
-    s_starts = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(s_counts)[:-1]])
-    # transposed (4, n_pad) layout: points along lanes so span DMAs can
-    # slice the lane dim at 128-aligned starts
-    window = gather_kernel.span_window(span_rows)
-    n_lanes = _round_up(n_search + window, LANES)
-    sorted_t = jnp.zeros((4, n_lanes), search.dtype)
-    sorted_t = sorted_t.at[0, :n_search].set(sx)
-    sorted_t = sorted_t.at[1, :n_search].set(sy)
-    sorted_t = sorted_t.at[2, :n_search].set(sz)
-    starts_ext = jnp.concatenate([s_starts, jnp.zeros(1, jnp.int32)])
-    counts_ext = jnp.concatenate([s_counts, jnp.zeros(1, jnp.int32)])
-
-    # --- query entries: rank blocks within coarse-row segments ----------
     # tile ids linearize x fastest, so one sort by tile id also groups
     # by segment id (monotone in tile id) AND leaves each segment's
     # queries x-sorted -- an entry's tiles are a contiguous x range.
@@ -452,26 +420,116 @@ def _span_problem(query, q_valid, search, s_valid, spec):
     ty = rid % qd[1]
     tz = rid // qd[1]
     lo = jnp.asarray(spec.lo, dtype=jnp.float32)
+    coarse = spec.m * spec.tile_edge
 
-    # candidate fine-x range (single-tile entries: [tx*m-1, tx*m+m])
-    x0 = jnp.maximum(tx_lo * spec.m - 1, 0)
-    x1 = jnp.minimum(tx_hi * spec.m + spec.m, dims[0] - 1)
-    # entry center: midpoint of the actual candidate range (fp32 health
-    # of the local frame); any consistent per-entry point is valid
+    # entry center: midpoint of the coarse-x range (fp32 health of the
+    # local frame); any consistent per-entry point is valid, and ONE
+    # center shared by every band keeps cross-band arithmetic aligned
     centers = jnp.stack([
-        lo[0] + (x0 + x1 + 1).astype(jnp.float32) * (0.5 * spec.tile_edge),
-        lo[1] + (ty.astype(jnp.float32) + 0.5) * (spec.m * spec.tile_edge),
-        lo[2] + (tz.astype(jnp.float32) + 0.5) * (spec.m * spec.tile_edge),
+        lo[0] + (tx_lo + tx_hi + 1).astype(jnp.float32) * (0.5 * coarse),
+        lo[1] + (ty.astype(jnp.float32) + 0.5) * coarse,
+        lo[2] + (tz.astype(jnp.float32) + 0.5) * coarse,
     ], axis=1)
-    q_local = q_pts - centers[:, None, :]
+
+    return {
+        "q_pts": q_pts, "centers": centers, "count": count,
+        "tx_lo": tx_lo, "tx_hi": tx_hi, "ty": ty, "tz": tz,
+        "coarse_edge": float(spec.m) * float(spec.tile_edge),
+        # unsort pieces
+        "sorted_qids": sorted_qids, "q_order": q_order,
+        "q_iota": q_iota, "seg_starts": seg_starts, "offsets": offsets,
+    }
+
+
+def _band_spans(plan, search, s_valid, spec):
+    """Candidate x-row spans of one band's fine grid against a (possibly
+    coarser-grained) shared entry packing.
+
+    ``plan`` comes from :func:`_pack_plan` on the PACK spec; ``spec`` is
+    the band's own grid.  When the two specs coincide the arithmetic
+    below reduces exactly to the classic single-band form (candidate
+    box = the entry's coarse tiles +- one fine tile), so the span and
+    packed kernels see identical spans either way.  For a band whose
+    fine edge differs from the pack grid's, the fine row/column ranges
+    are derived from the shared coarse-tile extents: row span
+    [floor((ty*Ce - fe)/fe), ceil(((ty+1)*Ce + fe)/fe) - 1] with
+    Ce = pack coarse edge, fe = band fine edge >= band max radius.
+    """
+    n_grid = spec.n_grid
+    dims = spec.dims
+    count = plan["count"]
+    tx_lo, tx_hi = plan["tx_lo"], plan["tx_hi"]
+    ty, tz = plan["ty"], plan["tz"]
+
+    # --- sort search by fine tile id; per-tile starts/counts ------------
+    # PRIMITIVE COSTS (trace-measured, scripts/probe_datamove.py, 1M
+    # rows, v5e): sort 1.7 ms, sort w/ 3 f32 payloads 2.6 ms, (N,3) row
+    # gather 5.3 ms, three (N,) flat gathers 32 ms, row scatter 86 ms,
+    # scatter-add counts 6.7 ms, searchsorted ~70 ms (serial log(n)
+    # while loop).  Hence: coordinates ride the sorts as payloads,
+    # reorders end in one row gather, counts stay scatter-adds.
+    from nimrud_tpu.ops.pallas import gather_kernel
+    from nimrud_tpu.ops.pallas.gather_kernel import LANES, _round_up
+    n_search = search.shape[0]
+    s_ids = jnp.where(s_valid, _encode(search, spec, coarse=False),
+                      n_grid)
+    _, sx, sy, sz = jax.lax.sort(
+        (s_ids, search[:, 0], search[:, 1], search[:, 2]), num_keys=1)
+    s_counts = jnp.zeros(n_grid + 1, jnp.int32).at[s_ids].add(1)[:n_grid]
+    s_starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(s_counts)[:-1]])
+    starts_ext = jnp.concatenate([s_starts, jnp.zeros(1, jnp.int32)])
+    counts_ext = jnp.concatenate([s_counts, jnp.zeros(1, jnp.int32)])
+
+    # ratio of pack-coarse to band-fine edges; integral when the band IS
+    # the pack grid (the classic case), where all index arithmetic below
+    # stays exact-integer
+    ratio = plan["coarse_edge"] / float(spec.tile_edge)
+    span_rows = _shared_span_rows(plan, spec)
+    if abs(ratio - round(ratio)) < 1e-9:
+        m = int(round(ratio))
+        x0 = tx_lo * m - 1
+        x1 = tx_hi * m + m
+        row_lo_y = ty * m - 1
+        row_hi_y = ty * m + m
+        row_lo_z = tz * m - 1
+        row_hi_z = tz * m + m
+        n_rows = m + 2
+    else:
+        # float path: a hair of slack guards f32 rounding at tile
+        # boundaries (the masks discard any extra candidates)
+        eps = 1e-4
+        r32 = jnp.float32(ratio)
+
+        def lo_of(t):
+            # first fine tile reachable below the coarse range start
+            return jnp.floor(t.astype(jnp.float32) * r32
+                             - (1 + eps)).astype(jnp.int32)
+
+        def hi_of(t):
+            # last fine tile reachable above the coarse range end
+            return (jnp.ceil((t + 1).astype(jnp.float32) * r32
+                             + (1 + eps)) - 1).astype(jnp.int32)
+
+        x0 = lo_of(tx_lo)
+        x1 = hi_of(tx_hi)
+        row_lo_y = lo_of(ty)
+        row_hi_y = hi_of(ty)
+        row_lo_z = lo_of(tz)
+        row_hi_z = hi_of(tz)
+        n_rows = int(np.ceil(ratio)) + 3
+
+    x0 = jnp.maximum(x0, 0)
+    x1 = jnp.minimum(x1, dims[0] - 1)
 
     # --- candidate x-row spans: one contiguous segment per (dy, dz) -----
     span_starts, span_lens = [], []
-    for dy in range(-1, spec.m + 1):
-        for dz in range(-1, spec.m + 1):
-            y = ty * spec.m + dy
-            z = tz * spec.m + dz
-            ok = (y >= 0) & (y < dims[1]) & (z >= 0) & (z < dims[2]) \
+    for dy in range(n_rows):
+        for dz in range(n_rows):
+            y = row_lo_y + dy
+            z = row_lo_z + dz
+            ok = (y >= 0) & (y < dims[1]) & (y <= row_hi_y) \
+                & (z >= 0) & (z < dims[2]) & (z <= row_hi_z) \
                 & (count > 0)
             row = y * dims[0] + z * dims[0] * dims[1]
             first = jnp.where(ok, x0 + row, n_grid)
@@ -483,43 +541,82 @@ def _span_problem(query, q_valid, search, s_valid, spec):
     span_starts = jnp.stack(span_starts, axis=1).astype(jnp.int32)
     span_lens = jnp.stack(span_lens, axis=1).astype(jnp.int32)
 
+    # transposed (4, n_pad) layout: points along lanes so span DMAs can
+    # slice the lane dim at 128-aligned starts (span-kernel path only;
+    # jit drops it when the caller uses sorted_pts instead)
+    window = gather_kernel.span_window(span_rows)
+    n_lanes = _round_up(n_search + window, LANES)
+    sorted_t = jnp.zeros((4, n_lanes), search.dtype)
+    sorted_t = sorted_t.at[0, :n_search].set(sx)
+    sorted_t = sorted_t.at[1, :n_search].set(sy)
+    sorted_t = sorted_t.at[2, :n_search].set(sz)
+
     return {
-        "q_local": q_local, "centers": centers, "q_pts": q_pts,
         "span_starts": span_starts, "span_lens": span_lens,
         "sorted_t": sorted_t,
         "sorted_pts": jnp.stack([sx, sy, sz], axis=-1),
-        "count": count,
-        # unsort pieces
-        "sorted_qids": sorted_qids, "q_order": q_order,
-        "q_iota": q_iota, "seg_starts": seg_starts, "offsets": offsets,
+        "span_rows": span_rows,
     }
 
 
-def _unsort_features(feats, prob, spec, n_query, n_out):
-    """Back to caller order WITHOUT a row scatter: each sorted rank's
-    (entry, slot) flat position is arithmetic over the sorted tile ids;
-    an int32 SCATTER inverts the sort permutation (cheaper than carrying
-    it through one more full sort: scatter-add measures 6.7 ms/M vs ~10
-    ms for the keyed sort), then one row gather pulls the features (a
-    row scatter would cost ~50 ms/band)."""
+def _shared_span_rows(plan, spec):
+    """Static per-span live-point cap for a band under a shared pack
+    plan: the entry's coarse-x extent in band fine tiles, plus the +-1
+    fine-tile slop, times the band's per-tile cap.  Equals
+    ``spec.span_rows`` when the band is its own pack grid."""
+    ratio = plan["coarse_edge"] / float(spec.tile_edge)
+    x_seg = plan["x_seg_pack"]
+    return int(np.ceil(x_seg * ratio) + 2) * spec.s_cap
+
+
+def _span_problem(query, q_valid, search, s_valid, spec):
+    """Shared plan for the span-structured Pallas paths: sort search by
+    fine tile id, pack queries into sorted-rank entries over coarse-row
+    segments, and derive each entry's candidate x-row spans.  Returns a
+    dict consumed by :func:`fused_extract_spans` (streaming span-DMA
+    kernel) and :func:`fused_extract_packed` (gathered dense candidate
+    blocks); jit dead-code-eliminates whichever pieces a caller ignores.
+    """
+    plan = _pack_plan(query, q_valid, spec)
+    plan["x_seg_pack"] = max(min(spec.x_seg, spec.qdims[0]), 1)
+    band = _band_spans(plan, search, s_valid, spec)
+    q_local = plan["q_pts"] - plan["centers"][:, None, :]
+    return {**plan, **band, "q_local": q_local}
+
+
+def _unsort_positions(prob, spec, n_query, sentinel):
+    """Caller-order -> (entry, slot) flat positions, WITHOUT a row
+    scatter: each sorted rank's flat position is arithmetic over the
+    sorted tile ids; an int32 SCATTER inverts the sort permutation
+    (cheaper than carrying it through one more full sort: scatter-add
+    measures 6.7 ms/M vs ~10 ms for the keyed sort).  Queries without a
+    live entry slot map to ``sentinel``."""
     n_qgrid = spec.n_qgrid
     qd = spec.qdims
     x_seg = max(min(spec.x_seg, qd[0]), 1)
     nseg_x, n_seg = spec.seg_shape
     sorted_qids = prob["sorted_qids"]
-    width = feats.shape[-1]
-    flat = jnp.concatenate(
-        [feats.reshape(-1, width),
-         jnp.zeros((1, width), jnp.float32)])         # sentinel zero row
     tid_r = jnp.clip(sorted_qids, 0, n_qgrid - 1)
     sid_r = (tid_r // qd[0]) * nseg_x + (tid_r % qd[0]) // x_seg
     local = prob["q_iota"] - prob["seg_starts"][sid_r]
     entry_r = prob["offsets"][sid_r] + local // spec.q_cap
     pos_r = entry_r * spec.q_cap + local % spec.q_cap
     ok_r = (sorted_qids < n_qgrid) & (entry_r < spec.e_cap)
-    pos_r = jnp.where(ok_r, pos_r, flat.shape[0] - 1)
-    pos_by_query = jnp.full((n_query,), flat.shape[0] - 1,
-                            jnp.int32).at[prob["q_order"]].set(pos_r)
+    pos_r = jnp.where(ok_r, pos_r, sentinel)
+    return jnp.full((n_query,), sentinel,
+                    jnp.int32).at[prob["q_order"]].set(pos_r)
+
+
+def _unsort_features(feats, prob, spec, n_query, n_out):
+    """Feature rows back to caller order: positions from
+    :func:`_unsort_positions`, then one row gather (a row scatter would
+    cost ~50 ms/band)."""
+    width = feats.shape[-1]
+    flat = jnp.concatenate(
+        [feats.reshape(-1, width),
+         jnp.zeros((1, width), jnp.float32)])         # sentinel zero row
+    pos_by_query = _unsort_positions(
+        prob, spec, n_query, flat.shape[0] - 1)
     return flat[pos_by_query][:n_out]
 
 
@@ -553,36 +650,7 @@ def fused_extract_packed(query, q_valid, search, s_valid, spec, radii,
     from nimrud_tpu.ops.pallas import packed_kernel, multiscale_kernel
 
     prob = _span_problem(query, q_valid, search, s_valid, spec)
-    starts = prob["span_starts"]                     # (E, n_span)
-    lens = prob["span_lens"]
-    n_span = lens.shape[1]
-    e_cap = starts.shape[0]
-
-    # pack spans contiguously: entry e's span i occupies packed slots
-    # [off[e,i], off[e,i]+lens[e,i]).  The slot->source map is a fused
-    # chain of n_span selects over (E, c_cap) -- no gather, no
-    # searchsorted (XLA's is a serial while loop).
-    off = jnp.cumsum(lens, axis=1) - lens
-    total = off[:, -1] + lens[:, -1]                 # (E,)
-    j = jnp.arange(c_cap, dtype=jnp.int32)[None, :]  # (1, c_cap)
-    src = jnp.zeros((e_cap, c_cap), jnp.int32)
-    for i in range(n_span):
-        o = off[:, i:i + 1]
-        hit = (j >= o) & (j < o + lens[:, i:i + 1])
-        src = jnp.where(hit, starts[:, i:i + 1] + (j - o), src)
-    valid = j < total[:, None]
-
-    # one row gather pulls every packed candidate.  Dead slots gather
-    # the appended FAR sentinel row -- no (N, 3) select pass -- and the
-    # entry-local frame is formed inside the kernel (scalar broadcast
-    # per entry), so the only remaining layout work is one (N, 4) ->
-    # (4, N) transpose into the kernel's lanes-major layout.
-    n_live_rows = prob["sorted_pts"].shape[0]
-    src4 = jnp.where(valid, src, n_live_rows).reshape(-1)
-    sorted4 = jnp.concatenate([
-        jnp.pad(prob["sorted_pts"], ((0, 0), (0, 1))),
-        jnp.full((1, 4), packed_kernel.FAR, jnp.float32)])
-    cand_t = sorted4[src4].T
+    cand_t, dropped = _pack_candidates(prob, c_cap)
 
     slabs = packed_kernel.packed_moments.__wrapped__(
         prob["q_pts"], cand_t, prob["centers"], radii,
@@ -603,10 +671,129 @@ def fused_extract_packed(query, q_valid, search, s_valid, spec, radii,
         "dropped_query": (
             jnp.sum(q_valid.astype(jnp.int32)) - jnp.sum(prob["count"])
         ).astype(jnp.int32),
-        "dropped_candidates": jnp.sum(
-            jnp.maximum(total - c_cap, 0)).astype(jnp.int32),
+        "dropped_candidates": dropped,
     }
     return feats_out, stats
+
+
+def _pack_candidates(band, c_cap):
+    """Dense per-entry candidate blocks from a band's spans: the
+    (4, E*c_cap) lanes-major array packed_kernel.packed_moments wants,
+    plus the truncation counter.
+
+    Packs spans contiguously -- entry e's span i occupies packed slots
+    [off[e,i], off[e,i]+lens[e,i]).  The slot->source map is a fused
+    chain of n_span selects over (E, c_cap) -- no gather, no
+    searchsorted (XLA's is a serial log(n) while loop).  One row gather
+    then pulls every packed candidate; dead slots gather the appended
+    FAR sentinel row, and the only remaining layout work is one
+    (N, 4) -> (4, N) transpose into the kernel's lanes-major layout."""
+    from nimrud_tpu.ops.pallas import packed_kernel
+
+    starts = band["span_starts"]                     # (E, n_span)
+    lens = band["span_lens"]
+    n_span = lens.shape[1]
+    e_cap = starts.shape[0]
+
+    off = jnp.cumsum(lens, axis=1) - lens
+    total = off[:, -1] + lens[:, -1]                 # (E,)
+    j = jnp.arange(c_cap, dtype=jnp.int32)[None, :]  # (1, c_cap)
+    src = jnp.zeros((e_cap, c_cap), jnp.int32)
+    for i in range(n_span):
+        o = off[:, i:i + 1]
+        hit = (j >= o) & (j < o + lens[:, i:i + 1])
+        src = jnp.where(hit, starts[:, i:i + 1] + (j - o), src)
+    valid = j < total[:, None]
+
+    n_live_rows = band["sorted_pts"].shape[0]
+    src3 = jnp.where(valid, src, n_live_rows).reshape(-1)
+    sorted3 = jnp.concatenate([
+        band["sorted_pts"],
+        jnp.full((1, 3), packed_kernel.FAR, jnp.float32)])
+    cand_t = sorted3[src3].T
+    dropped = jnp.sum(jnp.maximum(total - c_cap, 0)).astype(jnp.int32)
+    return cand_t, dropped
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pack_spec", "band_specs", "radii_bands", "kind",
+                     "exclude_radius", "n_out", "c_caps", "interpret",
+                     "entry_batch", "precision", "with_stats", "order"))
+def fused_extract_packed_multi(query, q_valid, searches, s_valids,
+                               pack_spec, band_specs, radii_bands, kind,
+                               exclude_radius, n_out, c_caps,
+                               interpret=False, entry_batch=8,
+                               precision="highest", with_stats=False,
+                               order="caller"):
+    """
+    ALL bands of a scaleset in one program over ONE shared query plan.
+
+    The per-band packed path repeats the query sort, the (E, q_cap)
+    query gather, and the caller-order unsort once per band -- together
+    ~60% of the measured serving step.  Here :func:`_pack_plan` runs
+    once on ``pack_spec`` (the band with the finest tile edge, so its
+    segment rows bound every band's candidate reach), every band
+    derives its spans against the SHARED entries via the generalized
+    grid-ratio arithmetic in :func:`_band_spans`, the packed kernel
+    runs per band on the shared q_pts/centers, and the concatenated
+    feature block unsorts once.
+
+    ``searches`` / ``s_valids`` / ``radii_bands`` / ``band_specs`` /
+    ``c_caps`` are parallel tuples, one element per band.
+
+    Returns (n_out, sum of band widths) features, plus the overflow
+    stats dict when ``with_stats``.
+
+    ``order="plan"`` skips the caller-order feature gather and returns
+    ``(feats_flat, pos_by_query)`` instead: features in (entry, slot)
+    order plus the caller-order position map (sentinel index =
+    feats_flat row count).  Serving classifies the flat block and
+    unsorts only the labels/probabilities -- int32/narrow gathers
+    instead of the full feature width.
+    """
+    from nimrud_tpu.features import layouts
+    from nimrud_tpu.ops.pallas import packed_kernel, multiscale_kernel
+
+    plan = _pack_plan(query, q_valid, pack_spec)
+    plan["x_seg_pack"] = max(min(pack_spec.x_seg, pack_spec.qdims[0]), 1)
+
+    blocks = []
+    dropped = jnp.zeros((), jnp.int32)
+    for search, s_valid, spec, radii, c_cap in zip(
+            searches, s_valids, band_specs, radii_bands, c_caps):
+        band = _band_spans(plan, search, s_valid, spec)
+        cand_t, band_drop = _pack_candidates(band, c_cap)
+        dropped = dropped + band_drop
+        slabs = packed_kernel.packed_moments.__wrapped__(
+            plan["q_pts"], cand_t, plan["centers"], radii,
+            exclude_radius, interpret, entry_batch, precision)
+        per_radius = multiscale_kernel.moments_from_slabs(
+            slabs, plan["centers"], radii)
+        for p, radius in zip(per_radius, radii):
+            blocks.append(layouts.build_block(
+                kind, p["count"],
+                p["mean_local"] + plan["centers"][:, None, :],
+                p["cov"], plan["q_pts"], radius))
+    feats = jnp.concatenate(blocks, axis=-1)
+    if order == "plan":
+        width = feats.shape[-1]
+        flat = feats.reshape(-1, width)
+        pos = _unsort_positions(
+            plan, pack_spec, query.shape[0], flat.shape[0])[:n_out]
+        out = (flat, pos)
+    else:
+        out = _unsort_features(
+            feats, plan, pack_spec, query.shape[0], n_out)
+    if not with_stats:
+        return out
+    stats = {
+        "dropped_query": (
+            jnp.sum(q_valid.astype(jnp.int32)) - jnp.sum(plan["count"])
+        ).astype(jnp.int32),
+        "dropped_candidates": dropped,
+    }
+    return out, stats
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))

@@ -71,8 +71,8 @@ def _packed_body(radii, c_cap, exclude_radius, batch, precision):
         #           subtractions the XLA paths do, so radius decisions
         #           stay bit-identical) instead of in a dedicated
         #           (E, q_cap, 3) XLA pass per band
-        # cand_ref: (4, batch * c_cap) f32 GLOBAL-frame candidates
-        #           (rows x, y, z, unused); dead slots gathered the FAR
+        # cand_ref: (3, batch * c_cap) f32 GLOBAL-frame candidates
+        #           (rows x, y, z); dead slots gathered the FAR
         #           sentinel row, so their entry-local coordinates land
         #           ~FAR and every radius mask drops them.  The center
         #           subtract lives HERE (scalar broadcast per entry)
@@ -168,8 +168,8 @@ def packed_moments(q_pts, cand_t, centers, radii, exclude_radius=None,
     Args:
       q_pts:        (E, q_cap, 3) f32 GLOBAL-frame query blocks (the
                     kernel forms the entry-local frame itself).
-      cand_t:       (4, E * c_cap) f32 GLOBAL-frame candidates,
-                    TRANSPOSED (rows x, y, z, unused); entry e's block
+      cand_t:       (3, E * c_cap) f32 GLOBAL-frame candidates,
+                    TRANSPOSED (rows x, y, z); entry e's block
                     occupies lanes [e*c_cap, (e+1)*c_cap), dead slots
                     parked at the FAR sentinel.  c_cap must be a
                     multiple of 128.
@@ -197,7 +197,7 @@ def packed_moments(q_pts, cand_t, centers, radii, exclude_radius=None,
             [q_pts, jnp.zeros((pad_e, q_cap, 3), q_pts.dtype)])
         cand_t = jnp.concatenate(
             [cand_t,
-             jnp.full((4, pad_e * c_cap), FAR, cand_t.dtype)],
+             jnp.full((3, pad_e * c_cap), FAR, cand_t.dtype)],
             axis=1)
         centers = jnp.concatenate(
             [centers, jnp.zeros((pad_e, 3), centers.dtype)])
@@ -215,7 +215,7 @@ def packed_moments(q_pts, cand_t, centers, radii, exclude_radius=None,
             pl.BlockSpec((1, batch, 3), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, batch, q_cap, 3), lambda g: (g, 0, 0, 0)),
-            pl.BlockSpec((4, batch * c_cap), lambda g: (0, g)),
+            pl.BlockSpec((3, batch * c_cap), lambda g: (0, g)),
         ],
         out_specs=pl.BlockSpec((1, batch, width, q_cap),
                                lambda g: (g, 0, 0, 0)),

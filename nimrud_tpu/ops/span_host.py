@@ -39,25 +39,15 @@ def encode_np(points, spec, coarse):
     return cell[:, 0] + cell[:, 1] * d[0] + cell[:, 2] * d[0] * d[1]
 
 
-def span_plan(query, q_valid, search, s_valid, spec):
-    """Per-entry candidate x-row span lengths (e_cap, n_span) plus the
-    live-entry mask, mirroring device_grid._span_problem."""
-    n_grid, n_qgrid = spec.n_grid, spec.n_qgrid
+def pack_plan_np(query, q_valid, spec):
+    """Numpy mirror of device_grid._pack_plan: shared query-side entry
+    packing on ``spec``'s coarse segment grid."""
+    n_qgrid = spec.n_qgrid
     n_query = query.shape[0]
     qd = spec.qdims
-    dims = spec.dims
+
     x_seg = max(min(spec.x_seg, qd[0]), 1)
     nseg_x, n_seg = spec.seg_shape
-
-    s_ids = np.where(np.asarray(s_valid),
-                     encode_np(search, spec, coarse=False), n_grid)
-    s_counts = np.zeros(n_grid + 1, np.int64)
-    np.add.at(s_counts, s_ids, 1)
-    s_counts = s_counts[:n_grid]
-    s_starts = np.concatenate([[0], np.cumsum(s_counts)[:-1]])
-    starts_ext = np.concatenate([s_starts, [0]])
-    counts_ext = np.concatenate([s_counts, [0]])
-
     q_ids = np.where(np.asarray(q_valid),
                      encode_np(query, spec, coarse=True), n_qgrid)
     sid = np.where(np.asarray(q_valid),
@@ -85,20 +75,69 @@ def span_plan(query, q_valid, search, s_valid, spec):
     last_tid = np.clip(
         sorted_qids[np.clip(start + count - 1, 0, n_query - 1)],
         0, n_qgrid - 1)
-    tx_lo = first_tid % qd[0]
-    tx_hi = last_tid % qd[0]
-    rid = seg // nseg_x
-    ty = rid % qd[1]
-    tz = rid // qd[1]
-    x0 = np.maximum(tx_lo * spec.m - 1, 0)
-    x1 = np.minimum(tx_hi * spec.m + spec.m, dims[0] - 1)
+    return {
+        "tx_lo": first_tid % qd[0], "tx_hi": last_tid % qd[0],
+        "ty": (seg // nseg_x) % qd[1], "tz": (seg // nseg_x) // qd[1],
+        "count": count, "live_e": live_e,
+        "coarse_edge": float(spec.m) * float(spec.tile_edge),
+        "x_seg_pack": x_seg,
+    }
+
+
+def band_span_lens(plan, search, s_valid, spec):
+    """Numpy mirror of device_grid._band_spans (lengths only): one
+    band's candidate x-row span lengths against a shared pack plan."""
+    n_grid = spec.n_grid
+    dims = spec.dims
+    count = plan["count"]
+    tx_lo, tx_hi = plan["tx_lo"], plan["tx_hi"]
+    ty, tz = plan["ty"], plan["tz"]
+
+    s_ids = np.where(np.asarray(s_valid),
+                     encode_np(search, spec, coarse=False), n_grid)
+    s_counts = np.zeros(n_grid + 1, np.int64)
+    np.add.at(s_counts, s_ids, 1)
+    s_counts = s_counts[:n_grid]
+    s_starts = np.concatenate([[0], np.cumsum(s_counts)[:-1]])
+    starts_ext = np.concatenate([s_starts, [0]])
+    counts_ext = np.concatenate([s_counts, [0]])
+
+    ratio = plan["coarse_edge"] / float(spec.tile_edge)
+    span_rows = int(np.ceil(plan["x_seg_pack"] * ratio) + 2) * spec.s_cap
+    if abs(ratio - round(ratio)) < 1e-9:
+        m = int(round(ratio))
+        x0 = tx_lo * m - 1
+        x1 = tx_hi * m + m
+        row_lo_y, row_hi_y = ty * m - 1, ty * m + m
+        row_lo_z, row_hi_z = tz * m - 1, tz * m + m
+        n_rows = m + 2
+    else:
+        eps = 1e-4
+        r32 = np.float32(ratio)
+
+        def lo_of(t):
+            return np.floor(t.astype(np.float32) * r32
+                            - (1 + eps)).astype(np.int64)
+
+        def hi_of(t):
+            return (np.ceil((t + 1).astype(np.float32) * r32
+                            + (1 + eps)) - 1).astype(np.int64)
+
+        x0, x1 = lo_of(tx_lo), hi_of(tx_hi)
+        row_lo_y, row_hi_y = lo_of(ty), hi_of(ty)
+        row_lo_z, row_hi_z = lo_of(tz), hi_of(tz)
+        n_rows = int(np.ceil(ratio)) + 3
+
+    x0 = np.maximum(x0, 0)
+    x1 = np.minimum(x1, dims[0] - 1)
 
     lens = []
-    for dy in range(-1, spec.m + 1):
-        for dz in range(-1, spec.m + 1):
-            y = ty * spec.m + dy
-            z = tz * spec.m + dz
-            ok = ((y >= 0) & (y < dims[1]) & (z >= 0) & (z < dims[2])
+    for dy in range(n_rows):
+        for dz in range(n_rows):
+            y = row_lo_y + dy
+            z = row_lo_z + dz
+            ok = ((y >= 0) & (y < dims[1]) & (y <= row_hi_y)
+                  & (z >= 0) & (z < dims[2]) & (z <= row_hi_z)
                   & (count > 0))
             row = y * dims[0] + z * dims[0] * dims[1]
             first = np.where(ok, x0 + row, n_grid)
@@ -106,21 +145,33 @@ def span_plan(query, q_valid, search, s_valid, spec):
             begin = starts_ext[first]
             end = starts_ext[last] + counts_ext[last]
             lens.append(np.where(ok, np.clip(end - begin, 0,
-                                             spec.span_rows), 0))
-    return np.stack(lens, axis=1), live_e, count
+                                             span_rows), 0))
+    return np.stack(lens, axis=1)
 
 
-def candidate_cap(query, search, spec, s_valid=None, margin=1.25):
+def span_plan(query, q_valid, search, s_valid, spec):
+    """Per-entry candidate x-row span lengths (e_cap, n_span) plus the
+    live-entry mask, mirroring device_grid._span_problem."""
+    plan = pack_plan_np(query, q_valid, spec)
+    lens = band_span_lens(plan, search, s_valid, spec)
+    return lens, plan["live_e"], plan["count"]
+
+
+def candidate_cap(query, search, spec, s_valid=None, margin=1.25,
+                  pack_spec=None):
     """Static per-entry candidate capacity for
-    device_grid.fused_extract_packed: the measured per-entry maximum
-    with headroom, rounded up to 128 lanes.  ``search`` is the (host)
-    voxel-downsampled search set the band will run against."""
+    device_grid.fused_extract_packed / _multi: the measured per-entry
+    maximum with headroom, rounded up to 128 lanes.  ``search`` is the
+    (host) voxel-downsampled search set the band will run against;
+    ``pack_spec`` (default: the band's own spec) is the shared query
+    packing grid of the multi-band path."""
     search = np.asarray(search, np.float32)
     if s_valid is None:
         s_valid = np.ones(search.shape[0], bool)
     q = np.asarray(query, np.float32)
-    lens, _, _ = span_plan(
-        q, np.ones(q.shape[0], bool), search, s_valid, spec)
+    plan = pack_plan_np(q, np.ones(q.shape[0], bool),
+                        pack_spec if pack_spec is not None else spec)
+    lens = band_span_lens(plan, search, s_valid, spec)
     peak = int(lens.sum(axis=1).max()) if lens.size else 0
     cap = max(int(peak * margin), 1)
     return max(-(-cap // 128) * 128, 128)

@@ -61,6 +61,59 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
     dropped_search = jnp.zeros((), jnp.int32)
     interp_dropped = jnp.zeros((), jnp.int32)
     cand_dropped = jnp.zeros((), jnp.int32)
+
+    # the packed backend runs ALL bands in one shared-query-plan program
+    # (fused_extract_packed_multi): one query sort, one (E, q_cap)
+    # gather, one caller-order unsort for the whole scaleset
+    use_multi = (backend == "packed" and kind != "vector"
+                 and not layouts.needs_sazo(kind)
+                 and all(len(b) > 5 and b[5] is not None
+                         for b in band_specs))
+    if use_multi:
+        span_prec = {"bf16x2": "bf16x2", "mixed": "bf16x2",
+                     "high": "bf16x2"}.get(precision, "highest")
+        searches, masks = [], []
+        for band in band_specs:
+            vox_spec = band[0]
+            v_cap = band[4] if len(band) > 4 else None
+            centers, _, mask = unique.unique_voxels(
+                search, vox_spec, valid=s_valid)
+            if v_cap is not None and v_cap < centers.shape[0]:
+                vox_dropped = vox_dropped + jnp.sum(
+                    mask[v_cap:].astype(jnp.int32))
+                centers = centers[:v_cap]
+                mask = mask[:v_cap]
+            searches.append(centers)
+            masks.append(mask)
+        pack_spec = min((b[1] for b in band_specs),
+                        key=lambda s: s.tile_edge)
+        (flat, pos), m_stats = device_grid.fused_extract_packed_multi \
+            .__wrapped__(
+                query, q_valid, tuple(searches), tuple(masks), pack_spec,
+                tuple(b[1] for b in band_specs),
+                tuple(b[2] for b in band_specs), kind, exclude_radius,
+                n_query, tuple(int(b[5]) for b in band_specs),
+                interpret, 8, span_prec, with_stats=True, order="plan")
+        dropped_query = dropped_query + m_stats["dropped_query"]
+        cand_dropped = cand_dropped + m_stats["dropped_candidates"]
+        # classify in (entry, slot) order and unsort only the RESULTS:
+        # narrow label/probability gathers instead of the full feature
+        # width (the caller-order feature gather was ~15% of the step).
+        # The appended zero row feeds queries without an entry slot the
+        # same zero-feature classification the caller-order path gives.
+        width = flat.shape[-1]
+        flat = jnp.concatenate([flat, jnp.zeros((1, width), jnp.float32)])
+        probs_flat = classify_features(
+            clf_kind, clf_params, clf_static, flat)
+        labels = jnp.argmax(probs_flat, axis=1).astype(jnp.int32)[pos]
+        probs = probs_flat[pos]
+        return (labels, probs,
+                {"vox_dropped": vox_dropped,
+                 "dropped_query": dropped_query,
+                 "dropped_search": dropped_search,
+                 "interp_dropped": interp_dropped,
+                 "dropped_candidates": cand_dropped})
+
     for band in band_specs:
         vox_spec, dev_spec, radii = band[:3]
         interp_spec = band[3] if len(band) > 3 else None
@@ -404,22 +457,26 @@ class GeometryClassifier:
         s_hi = np.asarray(s_hi64, np.float64)
         q_bucket = multiscale._pow2_bucket(cloud.shape[0])
         try:
+            # 256 only when the bands really run a Pallas kernel
+            # (vector/sazo kinds fall back to the XLA matmul path,
+            # which wants 128 -- dead query slots multiply its mask
+            # compute directly)
+            from nimrud_tpu.features import layouts as _layouts
+            use_pallas = (self.backend in ("pallas", "packed")
+                          and self.kind != "vector"
+                          and not _layouts.needs_sazo(self.kind))
+            dev_specs = [device_grid.make_spec(
+                lo, hi, max(radii), n_query=q_bucket,
+                voxel_edge=edge,
+                q_cap=256 if use_pallas else 128,
+                x_seg=32 if use_pallas else 1)
+                for edge, radii in self.scaleset]
+            # the multi-band packed program shares ONE query plan: the
+            # finest-tile band's grid bounds every band's reach
+            pack_spec = min(dev_specs, key=lambda s: s.tile_edge)
             specs = []
-            for edge, radii in self.scaleset:
+            for (edge, radii), dev_spec in zip(self.scaleset, dev_specs):
                 vox_spec = packing.GridSpec.fit_bounds(s_lo, s_hi, edge)
-                # 256 only when the band really runs a Pallas kernel
-                # (vector/sazo kinds fall back to the XLA matmul path,
-                # which wants 128 -- dead query slots multiply its mask
-                # compute directly)
-                from nimrud_tpu.features import layouts as _layouts
-                use_pallas = (self.backend in ("pallas", "packed")
-                              and self.kind != "vector"
-                              and not _layouts.needs_sazo(self.kind))
-                dev_spec = device_grid.make_spec(
-                    lo, hi, max(radii), n_query=q_bucket,
-                    voxel_edge=edge,
-                    q_cap=256 if use_pallas else 128,
-                    x_seg=32 if use_pallas else 1)
                 c_cap = None
                 if use_pallas and self.backend == "packed":
                     # static per-entry candidate capacity, sized on the
@@ -433,7 +490,7 @@ class GeometryClassifier:
                         np.asarray(search, np.float32)[:, :3], edge)
                     c_cap = span_host.candidate_cap(
                         np.asarray(cloud, np.float32)[:, :3],
-                        host_centers, dev_spec)
+                        host_centers, dev_spec, pack_spec=pack_spec)
                 if self.kind == "vector":
                     # static plan for the matmul attribute interpolation
                     # (ops.interp.interp_to_voxels_matmul): a voxel-edge

@@ -267,6 +267,31 @@ def test_pallas_backend_matches_xla_predict():
     assert (a == b).mean() > 0.999, (a == b).mean()
 
 
+def test_packed_backend_matches_xla_predict_multiband():
+    # the packed-candidate backend runs ALL bands of the scaleset in
+    # one shared-query-plan program (fused_extract_packed_multi); its
+    # labels must match the XLA candidate-table path, and the serving
+    # diag must carry the dropped_candidates counter
+    cloud, labels = _scene(per=800)
+    scaleset = [(0.2, (0.8, 0.4)), (0.4, (1.6,))]
+    kw = dict(kind="minimal", classifier="linear",
+              classifier_kwargs={"epochs": 10, "seed": 0},
+              bounds=(cloud.min(0), cloud.max(0)))
+    xla = GeometryClassifier(scaleset, **kw)
+    xla.fit(cloud, labels, sample=1200)
+    packed = GeometryClassifier(scaleset, backend="packed",
+                                trim_entries=True, **kw)
+    packed.fit(cloud, labels, sample=1200)
+    staged = packed.stage(cloud)
+    assert staged is not None
+    assert all(band[5] is not None for band in staged["specs"])
+    b, diag = packed.predict_staged(staged, with_diag=True)
+    a = xla.predict(cloud)
+    b = np.asarray(b)[:len(a)]
+    assert (a == b).mean() > 0.999, (a == b).mean()
+    assert int(diag["dropped_candidates"]) == 0
+
+
 @pytest.mark.slow
 def test_vector_wide_attrs_staged_matmul_interp():
     # wide attribute blocks (A > 8) route the staged V_MSO interpolation
@@ -285,7 +310,7 @@ def test_vector_wide_attrs_staged_matmul_interp():
 
     staged = model.stage(cloud, attributes=attrs)
     assert staged is not None
-    assert len(staged["specs"][0]) == 4      # interp spec present
+    assert staged["specs"][0][3] is not None  # interp spec present
     fused = np.asarray(model.predict_staged(staged))
 
     probs = model.predict_proba_device(cloud, attributes=attrs)
