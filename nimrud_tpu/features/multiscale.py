@@ -306,8 +306,9 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
         # packed kernels want 256, the XLA masked-matmul fallback
         # (vector / sazo kinds, or backend="xla") wants 128
         backend = tuning.get("backend")
-        use_packed = (backend == "packed"
-                      and kind not in ("vector", "sazo"))
+        # the packed kernel computes SAZO natively (masked max/min dz
+        # folded into the slabs); the span kernel does not
+        use_packed = backend == "packed" and kind != "vector"
         use_spans = (backend == "pallas"
                      and kind not in ("vector", "sazo"))
         spec = device_grid.make_spec(

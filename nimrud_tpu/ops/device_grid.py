@@ -652,17 +652,19 @@ def fused_extract_packed(query, q_valid, search, s_valid, spec, radii,
     prob = _span_problem(query, q_valid, search, s_valid, spec)
     cand_t, dropped = _pack_candidates(prob, c_cap)
 
+    sazo = layouts.needs_sazo(kind)
     slabs = packed_kernel.packed_moments.__wrapped__(
         prob["q_pts"], cand_t, prob["centers"], radii,
-        exclude_radius, interpret, entry_batch, precision)
+        exclude_radius, interpret, entry_batch, precision,
+        with_sazo=sazo)
     per_radius = multiscale_kernel.moments_from_slabs(
-        slabs, prob["centers"], radii)
+        slabs, prob["centers"], radii, with_sazo=sazo)
 
     blocks = []
     for p, radius in zip(per_radius, radii):
         blocks.append(layouts.build_block(
             kind, p["count"], p["mean_local"] + prob["centers"][:, None, :],
-            p["cov"], prob["q_pts"], radius))
+            p["cov"], prob["q_pts"], radius, sazo=p.get("sazo")))
     feats = jnp.concatenate(blocks, axis=-1)
     feats_out = _unsort_features(feats, prob, spec, query.shape[0], n_out)
     if not with_stats:
@@ -759,6 +761,7 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
     plan["x_seg_pack"] = max(min(pack_spec.x_seg, pack_spec.qdims[0]), 1)
 
     blocks = []
+    sazo = layouts.needs_sazo(kind)
     dropped = jnp.zeros((), jnp.int32)
     for search, s_valid, spec, radii, c_cap in zip(
             searches, s_valids, band_specs, radii_bands, c_caps):
@@ -767,14 +770,15 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
         dropped = dropped + band_drop
         slabs = packed_kernel.packed_moments.__wrapped__(
             plan["q_pts"], cand_t, plan["centers"], radii,
-            exclude_radius, interpret, entry_batch, precision)
+            exclude_radius, interpret, entry_batch, precision,
+            with_sazo=sazo)
         per_radius = multiscale_kernel.moments_from_slabs(
-            slabs, plan["centers"], radii)
+            slabs, plan["centers"], radii, with_sazo=sazo)
         for p, radius in zip(per_radius, radii):
             blocks.append(layouts.build_block(
                 kind, p["count"],
                 p["mean_local"] + plan["centers"][:, None, :],
-                p["cov"], plan["q_pts"], radius))
+                p["cov"], plan["q_pts"], radius, sazo=p.get("sazo")))
     feats = jnp.concatenate(blocks, axis=-1)
     if order == "plan":
         width = feats.shape[-1]

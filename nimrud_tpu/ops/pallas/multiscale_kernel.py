@@ -119,11 +119,15 @@ def entry_moments(q_local, s_local, s_valid, radii, interpret=False,
     )(q_local, s_packed)
 
 
-def moments_from_slabs(slabs, centers, radii):
+def moments_from_slabs(slabs, centers, radii, with_sazo=False):
     """
     Convert raw Pallas moment slabs to the (count, mean, cov) statistics
     the feature layouts consume (same contract as grid._entry_stats).
     ``centers``: (E, 3) entry centers for restoring the global frame.
+    ``with_sazo`` reads the masked max/min signed z offsets the packed
+    kernel folds into slab rows 10/11 and resolves them to the SAZO
+    statistic (the larger-magnitude extreme; 0 for empty neighborhoods
+    -- same contract as ops.moments masked_moments).
     """
     out = []
     for ri, _ in enumerate(radii):
@@ -136,10 +140,15 @@ def moments_from_slabs(slabs, centers, radii):
         outer = jnp.stack(
             [mx * mx, mx * my, mx * mz, my * my, my * mz, mz * mz],
             axis=-1)
-        out.append({
+        stats = {
             "count": count,
             "mean_local": mean_local,
             "mean": mean_local + centers[:, None, :],
             "cov": slab[..., 4:10] / denom - outer,
-        })
+        }
+        if with_sazo:
+            hi, lo = slab[..., 10], slab[..., 11]
+            stats["sazo"] = jnp.where(
+                count > 0, jnp.where(hi >= -lo, hi, lo), 0.0)
+        out.append(stats)
     return out

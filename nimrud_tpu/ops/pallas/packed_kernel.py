@@ -57,10 +57,16 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-def _packed_body(radii, c_cap, exclude_radius, batch, precision):
+BIG = 1.0e30           # sazo fold identity (f32 max is ~3.4e38)
+
+
+def _packed_body(radii, c_cap, exclude_radius, batch, precision,
+                 with_sazo=False):
     """One grid step = ``batch`` entries.  All addressing is static:
     entry e's candidates live at lanes [e*c_cap, (e+1)*c_cap) of the
-    step's candidate block."""
+    step's candidate block.  ``with_sazo`` additionally folds the
+    masked max/min signed z offset per (query, radius) into slab rows
+    10/11 (unused by the moment layout)."""
     width = len(radii) * MOMENT_PAD
     cw = min(PACK_CW, c_cap)
 
@@ -93,6 +99,11 @@ def _packed_body(radii, c_cap, exclude_radius, batch, precision):
             qy = q[:, 1:2] - cy
             qz = q[:, 2:3] - cz
             acc = None
+            if with_sazo:
+                sazo_max = [jnp.full((q_cap,), -BIG, jnp.float32)
+                            for _ in radii]
+                sazo_min = [jnp.full((q_cap,), BIG, jnp.float32)
+                            for _ in radii]
             for start in range(0, c_cap, cw):
                 w = min(cw, c_cap - start)
                 lane0 = e * c_cap + start
@@ -116,13 +127,23 @@ def _packed_body(radii, c_cap, exclude_radius, batch, precision):
 
                 if exclude_radius is not None:
                     base_mask = d2 >= exclude_radius * exclude_radius
-                    mask_all = jnp.concatenate(
-                        [base_mask & (d2 <= radius * radius)
-                         for radius in radii], axis=0)
+                    masks = [base_mask & (d2 <= radius * radius)
+                             for radius in radii]
                 else:
-                    mask_all = jnp.concatenate(
-                        [d2 <= radius * radius for radius in radii],
-                        axis=0)                        # (n_r*q_cap, cw)
+                    masks = [d2 <= radius * radius for radius in radii]
+                mask_all = jnp.concatenate(
+                    masks, axis=0)                     # (n_r*q_cap, cw)
+
+                if with_sazo:
+                    # signed z offset s - q, frame-free; fold masked
+                    # max/min per radius (reference SAZO statistic)
+                    for ri, mk in enumerate(masks):
+                        sazo_max[ri] = jnp.maximum(
+                            sazo_max[ri],
+                            jnp.max(jnp.where(mk, -dz, -BIG), axis=1))
+                        sazo_min[ri] = jnp.minimum(
+                            sazo_min[ri],
+                            jnp.min(jnp.where(mk, -dz, BIG), axis=1))
 
                 # ONE dot over all radii per precision pass (the
                 # per-radius masks concatenate along the output axis)
@@ -151,6 +172,10 @@ def _packed_body(radii, c_cap, exclude_radius, batch, precision):
             for ri in range(len(radii)):
                 out_ref[0, e, ri * MOMENT_PAD:(ri + 1) * MOMENT_PAD, :] \
                     = acc[:, ri * q_cap:(ri + 1) * q_cap]
+            if with_sazo:
+                for ri in range(len(radii)):
+                    out_ref[0, e, ri * MOMENT_PAD + 10, :] = sazo_max[ri]
+                    out_ref[0, e, ri * MOMENT_PAD + 11, :] = sazo_min[ri]
 
     return body
 
@@ -158,10 +183,10 @@ def _packed_body(radii, c_cap, exclude_radius, batch, precision):
 @functools.partial(
     jax.jit,
     static_argnames=("radii", "exclude_radius", "interpret",
-                     "entries_per_step", "precision"))
+                     "entries_per_step", "precision", "with_sazo"))
 def packed_moments(q_pts, cand_t, centers, radii, exclude_radius=None,
                    interpret=False, entries_per_step=8,
-                   precision="highest"):
+                   precision="highest", with_sazo=False):
     """
     Raw masked moment slabs over dense packed candidate blocks.
 
@@ -209,7 +234,7 @@ def packed_moments(q_pts, cand_t, centers, radii, exclude_radius=None,
                      else float(exclude_radius),
                      batch,
                      {"highest": jax.lax.Precision.HIGHEST,
-                      "bf16x2": "bf16x2"}[precision]),
+                      "bf16x2": "bf16x2"}[precision], with_sazo),
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((1, batch, 3), lambda g: (g, 0, 0),

@@ -29,12 +29,13 @@ from nimrud_tpu.ops import device_grid, packing, unique
     jax.jit,
     static_argnames=("band_specs", "kind", "exclude_radius",
                      "precision", "n_query", "clf_kind", "clf_static",
-                     "vector_s_cap", "backend", "interpret"))
+                     "vector_s_cap", "backend", "interpret",
+                     "with_proba"))
 def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                         band_specs, kind, exclude_radius, precision,
                         n_query, clf_kind="linear", clf_static=None,
                         dequant=None, attributes=None, vector_s_cap=32,
-                        backend="xla", interpret=False):
+                        backend="xla", interpret=False, with_proba=True):
     """
     ONE compiled program for the whole inference step: per band, device
     voxel downsample + tile-grid build + masked-moment features; then the
@@ -66,7 +67,6 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
     # (fused_extract_packed_multi): one query sort, one (E, q_cap)
     # gather, one caller-order unsort for the whole scaleset
     use_multi = (backend == "packed" and kind != "vector"
-                 and not layouts.needs_sazo(kind)
                  and all(len(b) > 5 and b[5] is not None
                          for b in band_specs))
     if use_multi:
@@ -106,7 +106,10 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
         probs_flat = classify_features(
             clf_kind, clf_params, clf_static, flat)
         labels = jnp.argmax(probs_flat, axis=1).astype(jnp.int32)[pos]
-        probs = probs_flat[pos]
+        # the (n, n_classes) probability unsort only rides along when a
+        # caller actually wants probabilities (static arg -> the label
+        # path compiles without the gather)
+        probs = probs_flat[pos] if with_proba else None
         return (labels, probs,
                 {"vox_dropped": vox_dropped,
                  "dropped_query": dropped_query,
@@ -462,9 +465,11 @@ class GeometryClassifier:
             # which wants 128 -- dead query slots multiply its mask
             # compute directly)
             from nimrud_tpu.features import layouts as _layouts
-            use_pallas = (self.backend in ("pallas", "packed")
-                          and self.kind != "vector"
-                          and not _layouts.needs_sazo(self.kind))
+            # packed computes SAZO natively; the span kernel does not
+            use_pallas = (self.kind != "vector"
+                          and (self.backend == "packed"
+                               or (self.backend == "pallas"
+                                   and not _layouts.needs_sazo(self.kind))))
             dev_specs = [device_grid.make_spec(
                 lo, hi, max(radii), n_query=q_bucket,
                 voxel_edge=edge,
@@ -602,7 +607,8 @@ class GeometryClassifier:
             staged["n_query"], clf_kind, clf_static, staged["dequant"],
             staged.get("attributes"), self.vector_s_cap,
             self.backend,
-            jax.default_backend() not in ("tpu", "axon"))
+            jax.default_backend() not in ("tpu", "axon"),
+            with_proba=with_proba)
         out = (labels,)
         if with_proba:
             out = out + (probs,)

@@ -33,7 +33,7 @@ def make_bench_cloud(n=BENCH_N_POINTS, seed=0):
     return cloud, labels
 
 
-def make_bench_model(cloud, backend="pallas", precision="highest",
+def make_bench_model(cloud, backend="packed", precision="highest",
                      epochs=10):
     """The production serving configuration measured by bench.py."""
     from nimrud_tpu.pipeline import GeometryClassifier

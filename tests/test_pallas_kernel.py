@@ -192,3 +192,26 @@ def test_packed_candidate_overflow_is_counted():
         128, interpret=interp, with_stats=True)
     assert int(st["dropped_candidates"]) > 0
     assert tight.shape == (4096, 4)
+
+
+def test_packed_sazo_matches_xla():
+    # the packed kernel computes SAZO natively (masked max/min dz in
+    # slab rows 10/11); the statistic itself is exact arithmetic, so it
+    # must agree with the XLA path bit for bit wherever populations do
+    from nimrud_tpu.features.multiscale import extract_scaleset
+    rng = np.random.default_rng(31)
+    search = (rng.random((12000, 3)) * [20, 20, 5]).astype(np.float32)
+    query = search[:2048]
+    scaleset = [(0.4, (1.2, 0.6))]
+    xla = np.asarray(extract_scaleset(
+        query, search, scaleset, kind="sazo", method="fused"))
+    packed = np.asarray(extract_scaleset(
+        query, search, scaleset, kind="sazo", method="fused",
+        tuning={"backend": "packed"}))
+    assert packed.shape == xla.shape
+    pop = (packed[:, 0] == xla[:, 0]) & (packed[:, 5] == xla[:, 5])
+    assert pop.mean() > 0.999
+    # sazo columns (block layout: [density, centroid, eig1, eig2, sazo])
+    assert np.array_equal(packed[pop][:, 4], xla[pop][:, 4])
+    assert np.array_equal(packed[pop][:, 9], xla[pop][:, 9])
+    assert np.allclose(packed[pop], xla[pop], atol=1e-3)
