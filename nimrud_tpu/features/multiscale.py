@@ -306,6 +306,14 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
         # packed kernels want 256, the XLA masked-matmul fallback
         # (vector / sazo kinds, or backend="xla") wants 128
         backend = tuning.get("backend")
+        if backend is None:
+            # default to the production packed backend on real TPU
+            # (trace-measured ~13x the XLA candidate-table path on the
+            # 1M bench); XLA elsewhere -- the Pallas kernels only run
+            # interpreted off-TPU, which is for tests
+            import jax
+            backend = "packed" \
+                if jax.default_backend() in ("tpu", "axon") else "xla"
         # the packed kernel computes SAZO natively (masked max/min dz
         # folded into the slabs); the span kernel does not
         use_packed = backend == "packed" and kind != "vector"
@@ -334,11 +342,16 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
                 tuning.get("precision", "highest"), "highest")
             interpret = jax.default_backend() not in ("tpu", "axon")
         if use_packed:
-            # candidate capacity: explicit tuning wins (serving paths
-            # size it host-side to stay transfer-free); otherwise one
-            # device measure + scalar readback
-            cap = tuning.get("candidate_cap") or device_grid.packed_cap(
-                query_dev, q_valid, centers, center_mask, spec)
+            # candidate capacity: explicit tuning wins; otherwise size
+            # it HOST-side (ops.span_host) -- a device readback here
+            # would permanently degrade relay-attached processes that
+            # go on to serve (CLAUDE.md transfer discipline)
+            if tuning.get("candidate_cap"):
+                cap = tuning["candidate_cap"]
+            else:
+                from nimrud_tpu.ops import span_host
+                cap = span_host.candidate_cap(
+                    query, _host_unique_voxels(search, edge), spec)
             bands.append(device_grid.fused_extract_packed(
                 query_dev, q_valid, centers, center_mask, spec, radii,
                 kind,

@@ -678,6 +678,15 @@ def fused_extract_packed(query, q_valid, search, s_valid, spec, radii,
     return feats_out, stats
 
 
+_GATHER_CHUNK = 4 * 1024 * 1024   # lanes per packing-gather piece: the
+                                  # largest size where XLA reliably
+                                  # fuses the gather+transpose (see the
+                                  # LAYOUT HAZARD note in
+                                  # _pack_candidates); the 1M bench
+                                  # (<= 3.3M lanes/band) stays single-
+                                  # shot, the 10M workload chunks
+
+
 def _pack_candidates(band, c_cap):
     """Dense per-entry candidate blocks from a band's spans: the
     (4, E*c_cap) lanes-major array packed_kernel.packed_moments wants,
@@ -707,12 +716,35 @@ def _pack_candidates(band, c_cap):
         src = jnp.where(hit, starts[:, i:i + 1] + (j - o), src)
     valid = j < total[:, None]
 
-    n_live_rows = band["sorted_pts"].shape[0]
-    src3 = jnp.where(valid, src, n_live_rows).reshape(-1)
+    # one row gather pulls every packed candidate into the kernel's
+    # (3, N) lanes-major layout.  LAYOUT HAZARD: XLA canonicalizes
+    # every gather to batch-major (N, 3) before transposing, and a
+    # MATERIALIZED f32[N, 3] is (8, 128)-tiled with the lane dim padded
+    # 3 -> 128 -- a 42x blowup (23 GB at the 10M-point workload; column
+    # and offset-dims-first gathers canonicalize the same way).  Up to
+    # a few million lanes XLA fuses the transpose into the gather and
+    # the intermediate never exists; past _GATHER_CHUNK lanes the
+    # fusion is not reliable, so the gather runs chunked under lax.map
+    # -- each chunk stays in the fusing regime, and the stacked
+    # (k, 3, chunk) result relayouts to (3, N) without any 3-minor
+    # materialization.
+    n_search = band["sorted_pts"].shape[0]
+    src3 = jnp.where(valid, src, n_search).reshape(-1)
     sorted3 = jnp.concatenate([
         band["sorted_pts"],
         jnp.full((1, 3), packed_kernel.FAR, jnp.float32)])
-    cand_t = sorted3[src3].T
+    n_lanes = src3.shape[0]
+    if n_lanes <= _GATHER_CHUNK:
+        cand_t = sorted3[src3].T
+    else:
+        k = -(-n_lanes // _GATHER_CHUNK)
+        chunk = -(-n_lanes // (k * 128)) * 128
+        pad = k * chunk - n_lanes
+        src_p = jnp.concatenate(
+            [src3, jnp.full((pad,), n_search, jnp.int32)])
+        stacked = jax.lax.map(
+            lambda s: sorted3[s].T, src_p.reshape(k, chunk))
+        cand_t = jnp.swapaxes(stacked, 0, 1).reshape(3, -1)[:, :n_lanes]
     dropped = jnp.sum(jnp.maximum(total - c_cap, 0)).astype(jnp.int32)
     return cand_t, dropped
 

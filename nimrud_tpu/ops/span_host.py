@@ -158,19 +158,36 @@ def span_plan(query, q_valid, search, s_valid, spec):
 
 
 def candidate_cap(query, search, spec, s_valid=None, margin=1.25,
-                  pack_spec=None):
+                  pack_spec=None, segment_wide=False):
     """Static per-entry candidate capacity for
     device_grid.fused_extract_packed / _multi: the measured per-entry
     maximum with headroom, rounded up to 128 lanes.  ``search`` is the
     (host) voxel-downsampled search set the band will run against;
     ``pack_spec`` (default: the band's own spec) is the shared query
-    packing grid of the multi-band path."""
+    packing grid of the multi-band path.
+
+    ``segment_wide`` widens every entry's coarse-x range to its WHOLE
+    segment before measuring.  An entry's candidate set is always a
+    subset of its segment's full x-range rows, so this bounds ANY
+    query packing -- the multichip path uses it because each shard
+    packs its own (sub)set of the queries into entries the host mirror
+    cannot reproduce exactly."""
     search = np.asarray(search, np.float32)
     if s_valid is None:
         s_valid = np.ones(search.shape[0], bool)
     q = np.asarray(query, np.float32)
-    plan = pack_plan_np(q, np.ones(q.shape[0], bool),
-                        pack_spec if pack_spec is not None else spec)
+    pk = pack_spec if pack_spec is not None else spec
+    plan = pack_plan_np(q, np.ones(q.shape[0], bool), pk)
+    if segment_wide:
+        qd = pk.qdims
+        x_seg = plan["x_seg_pack"]
+        nseg_x, _ = pk.seg_shape
+        # reconstruct each entry's segment x-extent from its own range
+        # (tx // x_seg identifies the segment column)
+        seg_x = plan["tx_lo"] // x_seg
+        plan = dict(plan)
+        plan["tx_lo"] = seg_x * x_seg
+        plan["tx_hi"] = np.minimum(seg_x * x_seg + x_seg - 1, qd[0] - 1)
     lens = band_span_lens(plan, search, s_valid, spec)
     peak = int(lens.sum(axis=1).max()) if lens.size else 0
     cap = max(int(peak * margin), 1)

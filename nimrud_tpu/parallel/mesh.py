@@ -498,7 +498,8 @@ def make_fused_extract_2d(mesh, halo_x, halo_y, scaleset, kind,
 def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
                           bounds_lo, bounds_hi, rows, clf_kind,
                           clf_params, clf_static=None, *,
-                          precision="highest", backend="xla"):
+                          precision="highest", backend="xla",
+                          c_caps=None):
     """
     Multi-chip SERVING: the whole production inference step -- two-phase
     halo exchange, device voxelize, tile build, masked moments, feature
@@ -508,18 +509,23 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
 
     ``clf_kind``/``clf_params``/``clf_static`` come from
     :meth:`nimrud_tpu.pipeline.GeometryClassifier._fused_classifier`.
-    ``backend="pallas"`` runs each shard's moments through the span-DMA
-    kernel (the single-chip production backend) instead of the XLA
-    candidate-table path; geometry kinds only, like the single-chip
-    route.
+    ``backend="packed"`` runs each shard's bands through the
+    shared-query-plan packed kernel (the single-chip production
+    backend; requires static per-band ``c_caps``, sized host-side with
+    ops.span_host.candidate_cap(segment_wide=True) so they bound any
+    shard's query packing); ``backend="pallas"`` uses the streaming
+    span-DMA kernel; anything else the XLA candidate-table path.
 
-    Returns f(blocks, valid) -> (n_devices, rows) int32 labels,
-    device-major (reassemble with :func:`nimrud_tpu.parallel.tiles.unshard`).
+    Returns f(blocks, valid) -> ((n_devices, rows) int32 labels,
+    (n_devices,) int32 per-shard overflow counts), device-major
+    (reassemble with :func:`nimrud_tpu.parallel.tiles.unshard`).
     """
     from nimrud_tpu.features import layouts
     from nimrud_tpu.ops import device_grid, packing, unique
     from nimrud_tpu.pipeline import classify_features
 
+    use_packed = (backend == "packed" and kind != "vector"
+                  and c_caps is not None)
     use_spans = (backend == "pallas" and kind != "vector"
                  and not layouts.needs_sazo(kind))
     specs = []
@@ -532,20 +538,23 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
         dev_spec = device_grid.make_spec(
             bounds_lo, bounds_hi, max(radii), n_query=rows,
             voxel_edge=edge,
-            q_cap=1024 if use_spans else 128,
-            x_seg=64 if use_spans else 1)
+            q_cap=256 if use_packed else (1024 if use_spans else 128),
+            x_seg=32 if use_packed else (64 if use_spans else 1))
         specs.append((vox_spec, dev_spec, radii))
     specs = tuple(specs)
     span_prec = {"bf16x2": "bf16x2", "mixed": "bf16x2",
                  "high": "bf16x2"}.get(precision, "highest")
     xla_prec = "highest" if precision == "bf16x2" else precision
     interpret = jax.default_backend() not in ("tpu", "axon")
+    if use_packed:
+        c_caps = tuple(int(c) for c in c_caps)
+        pack_spec = min((s[1] for s in specs), key=lambda s: s.tile_edge)
 
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P((AXIS_X, AXIS_Y)), P((AXIS_X, AXIS_Y))),
-        out_specs=P((AXIS_X, AXIS_Y)),
+        out_specs=(P((AXIS_X, AXIS_Y)), P((AXIS_X, AXIS_Y))),
         # the rpte walk scans a replicated carry over sharded features;
         # vma inference rejects that mix (as in make_train_step)
         check_vma=False)
@@ -554,23 +563,40 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
         halo_pts, halo_valid = _halo_bands_2d(block, v, halo_x, halo_y)
         search = jnp.concatenate([block, halo_pts], axis=0)
         s_valid = jnp.concatenate([v, halo_valid], axis=0)
-        bands = []
-        for vox_spec, dev_spec, radii in specs:
-            centers, _, mask = unique.unique_voxels(
-                search, vox_spec, valid=s_valid)
-            if use_spans:
-                bands.append(
-                    device_grid.fused_extract_spans.__wrapped__(
-                        block, v, centers, mask, dev_spec, radii, kind,
-                        None, rows, interpret, 8, span_prec))
-            else:
-                bands.append(device_grid.fused_extract.__wrapped__(
-                    block, v, centers, mask, dev_spec, radii, kind,
-                    None, xla_prec, rows))
-        feats = bands[0] if len(bands) == 1 \
-            else jnp.concatenate(bands, axis=1)
+        dropped = jnp.zeros((), jnp.int32)
+        if use_packed:
+            centers, masks = [], []
+            for vox_spec, _, _ in specs:
+                c, _, mk = unique.unique_voxels(
+                    search, vox_spec, valid=s_valid)
+                centers.append(c)
+                masks.append(mk)
+            feats, st = device_grid.fused_extract_packed_multi \
+                .__wrapped__(
+                    block, v, tuple(centers), tuple(masks), pack_spec,
+                    tuple(s[1] for s in specs),
+                    tuple(s[2] for s in specs), kind, None, rows,
+                    c_caps, interpret, 8, span_prec, with_stats=True)
+            dropped = st["dropped_candidates"]
+        else:
+            bands = []
+            for vox_spec, dev_spec, radii in specs:
+                cs, _, mask = unique.unique_voxels(
+                    search, vox_spec, valid=s_valid)
+                if use_spans:
+                    bands.append(
+                        device_grid.fused_extract_spans.__wrapped__(
+                            block, v, cs, mask, dev_spec, radii, kind,
+                            None, rows, interpret, 8, span_prec))
+                else:
+                    bands.append(device_grid.fused_extract.__wrapped__(
+                        block, v, cs, mask, dev_spec, radii, kind,
+                        None, xla_prec, rows))
+            feats = bands[0] if len(bands) == 1 \
+                else jnp.concatenate(bands, axis=1)
         probs = classify_features(clf_kind, clf_params, clf_static, feats)
-        return jnp.argmax(probs, axis=1).astype(jnp.int32)[None]
+        labels = jnp.argmax(probs, axis=1).astype(jnp.int32)
+        return labels[None], dropped[None]
 
     return run
 

@@ -733,6 +733,25 @@ class GeometryClassifier:
         buffer = max(max(r) for _, r in self.scaleset) \
             + max(e for e, _ in self.scaleset)
         shards = tiles.shard_cloud_2d(cloud, mesh_shape, buffer)
+
+        c_caps = None
+        if self.backend == "packed":
+            # per-band candidate capacities, sized host-side against the
+            # FULL cloud with segment-wide entry extents -- each shard
+            # packs its own query subset into entries the host mirror
+            # cannot reproduce, but every packing's candidate sets are
+            # subsets of the segment-wide rows (span_host.candidate_cap)
+            from nimrud_tpu.ops import span_host
+            rows = shards["blocks"].shape[1]
+            dev_specs = [device_grid.make_spec(
+                lo, hi, max(radii), n_query=rows, voxel_edge=edge,
+                q_cap=256, x_seg=32) for edge, radii in self.scaleset]
+            pack_spec = min(dev_specs, key=lambda s: s.tile_edge)
+            c_caps = tuple(span_host.candidate_cap(
+                cloud, multiscale._host_unique_voxels(cloud, edge),
+                dev_spec, pack_spec=pack_spec, segment_wide=True)
+                for (edge, _), dev_spec in zip(self.scaleset, dev_specs))
+
         # one compiled program per (mesh, static shard shape, backend):
         # streams of same-size clouds hit the cache (halo caps are
         # pow2-bucketed, so they repeat for same-scene clouds); fit()
@@ -740,7 +759,7 @@ class GeometryClassifier:
         key = (id(mesh), tuple(int(s) for s in mesh_shape),
                int(shards["blocks"].shape[1]),
                int(shards["halo_x"]), int(shards["halo_y"]),
-               self.backend)
+               self.backend, c_caps)
         if not hasattr(self, "_multichip_cache"):   # pre-cache pickles
             self._multichip_cache = {}
         run = self._multichip_cache.get(key)
@@ -749,10 +768,19 @@ class GeometryClassifier:
                 mesh, shards["halo_x"], shards["halo_y"], self.scaleset,
                 self.kind, lo, hi, shards["blocks"].shape[1],
                 clf_kind, clf_params, clf_static,
-                precision=self.precision, backend=self.backend)
+                precision=self.precision, backend=self.backend,
+                c_caps=c_caps)
             self._multichip_cache[key] = run
-        labels = run(jnp.asarray(shards["blocks"]),
-                     jnp.asarray(shards["valid"]))
+        labels, dropped = run(jnp.asarray(shards["blocks"]),
+                              jnp.asarray(shards["valid"]))
+        n_dropped = int(np.asarray(dropped).sum())
+        if n_dropped:
+            import warnings
+            warnings.warn(
+                f"multichip serving truncated {n_dropped} candidates "
+                "(per-shard entry packing denser than the host sizing "
+                "bound); refit or raise the capacity margin.",
+                RuntimeWarning, stacklevel=2)
         return tiles.unshard(
             np.asarray(labels), shards["valid"], shards["order"],
             len(cloud)).astype(np.int32)
