@@ -315,8 +315,10 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
             backend = "packed" \
                 if jax.default_backend() in ("tpu", "axon") else "xla"
         # the packed kernel computes SAZO natively (masked max/min dz
-        # folded into the slabs); the span kernel does not
-        use_packed = backend == "packed" and kind != "vector"
+        # folded into the slabs) and carries up to 6 attribute columns
+        # through the moment dot (V_MSO); the span kernel does neither
+        use_packed = backend == "packed" and (
+            kind != "vector" or attributes.shape[1] <= 6)
         use_spans = (backend == "pallas"
                      and kind not in ("vector", "sazo"))
         spec = device_grid.make_spec(
@@ -357,7 +359,8 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
                 kind,
                 None if exclude_radius is None else float(exclude_radius),
                 n_query, int(cap), interpret,
-                tuning.get("span_batch", 8), span_prec))
+                tuning.get("span_batch", 8), span_prec,
+                attributes=center_attrs))
         elif use_spans:
             bands.append(device_grid.fused_extract_spans(
                 query_dev, q_valid, centers, center_mask, spec, radii,

@@ -433,6 +433,7 @@ def _pack_plan(query, q_valid, spec):
 
     return {
         "q_pts": q_pts, "centers": centers, "count": count,
+        "start": start, "entry": entry,
         "tx_lo": tx_lo, "tx_hi": tx_hi, "ty": ty, "tz": tz,
         "coarse_edge": float(spec.m) * float(spec.tile_edge),
         # unsort pieces
@@ -441,9 +442,11 @@ def _pack_plan(query, q_valid, spec):
     }
 
 
-def _band_spans(plan, search, s_valid, spec):
+def _band_spans(plan, search, s_valid, spec, attrs=None):
     """Candidate x-row spans of one band's fine grid against a (possibly
-    coarser-grained) shared entry packing.
+    coarser-grained) shared entry packing.  ``attrs`` (n, A) rides the
+    tile-id sort as extra payloads and comes back as
+    ``sorted_pts`` columns 3..3+A (the packed vector path).
 
     ``plan`` comes from :func:`_pack_plan` on the PACK spec; ``spec`` is
     the band's own grid.  When the two specs coincide the arithmetic
@@ -473,8 +476,11 @@ def _band_spans(plan, search, s_valid, spec):
     n_search = search.shape[0]
     s_ids = jnp.where(s_valid, _encode(search, spec, coarse=False),
                       n_grid)
-    _, sx, sy, sz = jax.lax.sort(
-        (s_ids, search[:, 0], search[:, 1], search[:, 2]), num_keys=1)
+    a_cols = [] if attrs is None \
+        else [attrs[:, i] for i in range(attrs.shape[1])]
+    _, sx, sy, sz, *sa = jax.lax.sort(
+        (s_ids, search[:, 0], search[:, 1], search[:, 2], *a_cols),
+        num_keys=1)
     s_counts = jnp.zeros(n_grid + 1, jnp.int32).at[s_ids].add(1)[:n_grid]
     s_starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(s_counts)[:-1]])
@@ -554,7 +560,7 @@ def _band_spans(plan, search, s_valid, spec):
     return {
         "span_starts": span_starts, "span_lens": span_lens,
         "sorted_t": sorted_t,
-        "sorted_pts": jnp.stack([sx, sy, sz], axis=-1),
+        "sorted_pts": jnp.stack([sx, sy, sz, *sa], axis=-1),
         "span_rows": span_rows,
     }
 
@@ -569,7 +575,7 @@ def _shared_span_rows(plan, spec):
     return int(np.ceil(x_seg * ratio) + 2) * spec.s_cap
 
 
-def _span_problem(query, q_valid, search, s_valid, spec):
+def _span_problem(query, q_valid, search, s_valid, spec, attrs=None):
     """Shared plan for the span-structured Pallas paths: sort search by
     fine tile id, pack queries into sorted-rank entries over coarse-row
     segments, and derive each entry's candidate x-row spans.  Returns a
@@ -579,30 +585,35 @@ def _span_problem(query, q_valid, search, s_valid, spec):
     """
     plan = _pack_plan(query, q_valid, spec)
     plan["x_seg_pack"] = max(min(spec.x_seg, spec.qdims[0]), 1)
-    band = _band_spans(plan, search, s_valid, spec)
+    band = _band_spans(plan, search, s_valid, spec, attrs=attrs)
     q_local = plan["q_pts"] - plan["centers"][:, None, :]
     return {**plan, **band, "q_local": q_local}
 
 
 def _unsort_positions(prob, spec, n_query, sentinel):
     """Caller-order -> (entry, slot) flat positions, WITHOUT a row
-    scatter: each sorted rank's flat position is arithmetic over the
-    sorted tile ids; an int32 SCATTER inverts the sort permutation
-    (cheaper than carrying it through one more full sort: scatter-add
-    measures 6.7 ms/M vs ~10 ms for the keyed sort).  Queries without a
-    live entry slot map to ``sentinel``."""
-    n_qgrid = spec.n_qgrid
-    qd = spec.qdims
-    x_seg = max(min(spec.x_seg, qd[0]), 1)
-    nseg_x, n_seg = spec.seg_shape
-    sorted_qids = prob["sorted_qids"]
-    tid_r = jnp.clip(sorted_qids, 0, n_qgrid - 1)
-    sid_r = (tid_r // qd[0]) * nseg_x + (tid_r % qd[0]) // x_seg
-    local = prob["q_iota"] - prob["seg_starts"][sid_r]
-    entry_r = prob["offsets"][sid_r] + local // spec.q_cap
-    pos_r = entry_r * spec.q_cap + local % spec.q_cap
-    ok_r = (sorted_qids < n_qgrid) & (entry_r < spec.e_cap)
-    pos_r = jnp.where(ok_r, pos_r, sentinel)
+    scatter.  Entries are CONSECUTIVE rank blocks, so each sorted
+    rank's flat position is rank + (entry*q_cap - entry_start),
+    propagated down the rank axis with one scatter + cummax -- this
+    replaces two 1M-element small-table gathers (seg_starts/offsets
+    lookups, ~10 ms/step on v5e) with ~E scatter updates and a scan.
+    An int32 scatter then inverts the sort permutation (cheaper than
+    carrying positions through one more full sort: scatter-add
+    measures 6.7 ms/M vs ~10 ms for the keyed sort).  Queries without
+    a live entry slot map to ``sentinel``."""
+    count = prob["count"]
+    start = prob["start"]
+    # per-entry base, monotone along ranks (start deltas are <= q_cap);
+    # dead entries never scatter
+    base = prob["entry"] * spec.q_cap - start
+    lowest = jnp.int32(-(2 ** 31) + 1)
+    arr = jnp.full((n_query,), lowest, jnp.int32).at[
+        jnp.where(count > 0, jnp.clip(start, 0, n_query - 1),
+                  n_query - 1)].max(
+        jnp.where(count > 0, base, lowest), mode="drop")
+    pos_r = prob["q_iota"] + jax.lax.cummax(arr)
+    covered = jnp.sum(count)       # entries are rank-contiguous from 0
+    pos_r = jnp.where(prob["q_iota"] < covered, pos_r, sentinel)
     return jnp.full((n_query,), sentinel,
                     jnp.int32).at[prob["q_order"]].set(pos_r)
 
@@ -628,7 +639,8 @@ def _unsort_features(feats, prob, spec, n_query, n_out):
 def fused_extract_packed(query, q_valid, search, s_valid, spec, radii,
                          kind, exclude_radius, n_out, c_cap,
                          interpret=False, entry_batch=8,
-                         precision="highest", with_stats=False):
+                         precision="highest", with_stats=False,
+                         attributes=None):
     """
     Raw padded clouds -> feature block via the dense packed-candidate
     Pallas kernel (nimrud_tpu.ops.pallas.packed_kernel).
@@ -649,19 +661,24 @@ def fused_extract_packed(query, q_valid, search, s_valid, spec, radii,
     from nimrud_tpu.features import layouts
     from nimrud_tpu.ops.pallas import packed_kernel, multiscale_kernel
 
-    prob = _span_problem(query, q_valid, search, s_valid, spec)
-    cand_t, dropped = _pack_candidates(prob, c_cap)
+    n_attr = 0 if attributes is None else attributes.shape[1]
+    prob = _span_problem(query, q_valid, search, s_valid, spec,
+                         attrs=attributes)
+    src3, sorted3, dropped = _pack_candidates(prob, c_cap)
 
     sazo = layouts.needs_sazo(kind)
-    slabs = packed_kernel.packed_moments.__wrapped__(
-        prob["q_pts"], cand_t, prob["centers"], radii,
-        exclude_radius, interpret, entry_batch, precision,
-        with_sazo=sazo)
+    slabs = _packed_slabs(
+        prob["q_pts"], prob["centers"], src3, sorted3, radii,
+        exclude_radius, interpret, entry_batch, precision, sazo,
+        n_attr=n_attr)
     per_radius = multiscale_kernel.moments_from_slabs(
-        slabs, prob["centers"], radii, with_sazo=sazo)
+        slabs, prob["centers"], radii, with_sazo=sazo, n_attr=n_attr)
 
     blocks = []
     for p, radius in zip(per_radius, radii):
+        if kind == "vector":
+            blocks.append(p["attr_mean"])
+            continue
         blocks.append(layouts.build_block(
             kind, p["count"], p["mean_local"] + prob["centers"][:, None, :],
             p["cov"], prob["q_pts"], radius, sazo=p.get("sazo")))
@@ -688,17 +705,17 @@ _GATHER_CHUNK = 4 * 1024 * 1024   # lanes per packing-gather piece: the
 
 
 def _pack_candidates(band, c_cap):
-    """Dense per-entry candidate blocks from a band's spans: the
-    (4, E*c_cap) lanes-major array packed_kernel.packed_moments wants,
-    plus the truncation counter.
+    """Per-entry packed-candidate SOURCE MAP from a band's spans:
+    (E, c_cap) int32 gather indices into the FAR-extended sorted cloud
+    (``sorted3``), plus the truncation counter.  The gather itself runs
+    in :func:`_packed_slabs` (chunked for large problems).
 
     Packs spans contiguously -- entry e's span i occupies packed slots
     [off[e,i], off[e,i]+lens[e,i]).  The slot->source map is a fused
     chain of n_span selects over (E, c_cap) -- no gather, no
-    searchsorted (XLA's is a serial log(n) while loop).  One row gather
-    then pulls every packed candidate; dead slots gather the appended
-    FAR sentinel row, and the only remaining layout work is one
-    (N, 4) -> (4, N) transpose into the kernel's lanes-major layout."""
+    searchsorted (XLA's is a serial log(n) while loop); dead slots
+    index the appended FAR sentinel row, which the kernel's distance
+    masks kill for free."""
     from nimrud_tpu.ops.pallas import packed_kernel
 
     starts = band["span_starts"]                     # (E, n_span)
@@ -716,37 +733,51 @@ def _pack_candidates(band, c_cap):
         src = jnp.where(hit, starts[:, i:i + 1] + (j - o), src)
     valid = j < total[:, None]
 
-    # one row gather pulls every packed candidate into the kernel's
-    # (3, N) lanes-major layout.  LAYOUT HAZARD: XLA canonicalizes
-    # every gather to batch-major (N, 3) before transposing, and a
-    # MATERIALIZED f32[N, 3] is (8, 128)-tiled with the lane dim padded
-    # 3 -> 128 -- a 42x blowup (23 GB at the 10M-point workload; column
-    # and offset-dims-first gathers canonicalize the same way).  Up to
-    # a few million lanes XLA fuses the transpose into the gather and
-    # the intermediate never exists; past _GATHER_CHUNK lanes the
-    # fusion is not reliable, so the gather runs chunked under lax.map
-    # -- each chunk stays in the fusing regime, and the stacked
-    # (k, 3, chunk) result relayouts to (3, N) without any 3-minor
-    # materialization.
     n_search = band["sorted_pts"].shape[0]
-    src3 = jnp.where(valid, src, n_search).reshape(-1)
+    width = band["sorted_pts"].shape[1]              # 3 + n_attr
+    src3 = jnp.where(valid, src, n_search)           # (E, c_cap)
     sorted3 = jnp.concatenate([
         band["sorted_pts"],
-        jnp.full((1, 3), packed_kernel.FAR, jnp.float32)])
-    n_lanes = src3.shape[0]
-    if n_lanes <= _GATHER_CHUNK:
-        cand_t = sorted3[src3].T
-    else:
-        k = -(-n_lanes // _GATHER_CHUNK)
-        chunk = -(-n_lanes // (k * 128)) * 128
-        pad = k * chunk - n_lanes
-        src_p = jnp.concatenate(
-            [src3, jnp.full((pad,), n_search, jnp.int32)])
-        stacked = jax.lax.map(
-            lambda s: sorted3[s].T, src_p.reshape(k, chunk))
-        cand_t = jnp.swapaxes(stacked, 0, 1).reshape(3, -1)[:, :n_lanes]
+        jnp.full((1, width), packed_kernel.FAR, jnp.float32)])
     dropped = jnp.sum(jnp.maximum(total - c_cap, 0)).astype(jnp.int32)
-    return cand_t, dropped
+    return src3, sorted3, dropped
+
+
+def _packed_slabs(q_pts, centers, src3, sorted3, radii, exclude_radius,
+                  interpret, entry_batch, precision, with_sazo,
+                  n_attr=0):
+    """Gather packed candidates and run the packed moment kernel,
+    CHUNKED over entries for large problems.
+
+    LAYOUT HAZARD: XLA canonicalizes every gather to batch-major
+    (N, 3) before any transpose, and a MATERIALIZED f32[N, 3] is
+    (8, 128)-tiled with the lane dim padded 3 -> 128 -- a 42x blowup
+    (23 GB for one band of the 10M-point workload; column and
+    offset-dims-first gathers canonicalize identically, and a lax.map
+    over gather pieces just moves the bad layout to the stacked scan
+    output).  Up to a few million lanes XLA fuses the transpose into
+    the gather and the intermediate never exists.  So: one shot below
+    _GATHER_CHUNK lanes, otherwise a PYTHON loop over entry slices
+    where each piece's gather feeds its own kernel call immediately --
+    intermediates stay bounded and are dead between pieces."""
+    from nimrud_tpu.ops.pallas import packed_kernel
+
+    e_cap, c_cap = src3.shape
+
+    def piece(sl):
+        cand_t = sorted3[src3[sl].reshape(-1)].T
+        return packed_kernel.packed_moments.__wrapped__(
+            q_pts[sl], cand_t, centers[sl], radii, exclude_radius,
+            interpret, entry_batch, precision, with_sazo=with_sazo,
+            n_attr=n_attr)
+
+    if e_cap * c_cap <= _GATHER_CHUNK:
+        return piece(slice(None))
+    e_chunk = max((_GATHER_CHUNK // c_cap) // entry_batch * entry_batch,
+                  entry_batch)
+    slabs = [piece(slice(i, min(i + e_chunk, e_cap)))
+             for i in range(0, e_cap, e_chunk)]
+    return jnp.concatenate(slabs, axis=0)
 
 
 @functools.partial(
@@ -759,7 +790,7 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
                                exclude_radius, n_out, c_caps,
                                interpret=False, entry_batch=8,
                                precision="highest", with_stats=False,
-                               order="caller"):
+                               order="caller", attributes=None):
     """
     ALL bands of a scaleset in one program over ONE shared query plan.
 
@@ -795,18 +826,25 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
     blocks = []
     sazo = layouts.needs_sazo(kind)
     dropped = jnp.zeros((), jnp.int32)
-    for search, s_valid, spec, radii, c_cap in zip(
-            searches, s_valids, band_specs, radii_bands, c_caps):
-        band = _band_spans(plan, search, s_valid, spec)
-        cand_t, band_drop = _pack_candidates(band, c_cap)
+    attributes = attributes or (None,) * len(band_specs)
+    for search, s_valid, spec, radii, c_cap, attrs in zip(
+            searches, s_valids, band_specs, radii_bands, c_caps,
+            attributes):
+        n_attr = 0 if attrs is None else attrs.shape[1]
+        band = _band_spans(plan, search, s_valid, spec, attrs=attrs)
+        src3, sorted3, band_drop = _pack_candidates(band, c_cap)
         dropped = dropped + band_drop
-        slabs = packed_kernel.packed_moments.__wrapped__(
-            plan["q_pts"], cand_t, plan["centers"], radii,
-            exclude_radius, interpret, entry_batch, precision,
-            with_sazo=sazo)
+        slabs = _packed_slabs(
+            plan["q_pts"], plan["centers"], src3, sorted3, radii,
+            exclude_radius, interpret, entry_batch, precision, sazo,
+            n_attr=n_attr)
         per_radius = multiscale_kernel.moments_from_slabs(
-            slabs, plan["centers"], radii, with_sazo=sazo)
+            slabs, plan["centers"], radii, with_sazo=sazo,
+            n_attr=n_attr)
         for p, radius in zip(per_radius, radii):
+            if kind == "vector":
+                blocks.append(p["attr_mean"])
+                continue
             blocks.append(layouts.build_block(
                 kind, p["count"],
                 p["mean_local"] + plan["centers"][:, None, :],

@@ -119,7 +119,8 @@ def entry_moments(q_local, s_local, s_valid, radii, interpret=False,
     )(q_local, s_packed)
 
 
-def moments_from_slabs(slabs, centers, radii, with_sazo=False):
+def moments_from_slabs(slabs, centers, radii, with_sazo=False,
+                       n_attr=0):
     """
     Convert raw Pallas moment slabs to the (count, mean, cov) statistics
     the feature layouts consume (same contract as grid._entry_stats).
@@ -150,5 +151,9 @@ def moments_from_slabs(slabs, centers, radii, with_sazo=False):
             hi, lo = slab[..., 10], slab[..., 11]
             stats["sazo"] = jnp.where(
                 count > 0, jnp.where(hi >= -lo, hi, lo), 0.0)
+        if n_attr:
+            # attribute SUMS ride slab rows 10..10+A (packed kernel);
+            # masked mean = sum / count (V_MSO contract)
+            stats["attr_mean"] = slab[..., 10:10 + n_attr] / denom
         out.append(stats)
     return out

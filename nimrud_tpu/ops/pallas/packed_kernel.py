@@ -61,12 +61,21 @@ BIG = 1.0e30           # sazo fold identity (f32 max is ~3.4e38)
 
 
 def _packed_body(radii, c_cap, exclude_radius, batch, precision,
-                 with_sazo=False):
+                 with_sazo=False, n_attr=0):
     """One grid step = ``batch`` entries.  All addressing is static:
     entry e's candidates live at lanes [e*c_cap, (e+1)*c_cap) of the
     step's candidate block.  ``with_sazo`` additionally folds the
     masked max/min signed z offset per (query, radius) into slab rows
-    10/11 (unused by the moment layout)."""
+    10/11 (unused by the moment layout); ``n_attr`` candidate
+    attributes (cand rows 3..3+n_attr) ride the moment dot as aug rows
+    10..10+n_attr (attribute SUMS -- the V_MSO masked mean's
+    numerator).  sazo and attributes are mutually exclusive (both
+    claim the padding rows; no layout uses both)."""
+    if with_sazo and n_attr:
+        raise ValueError("sazo and attributes both claim slab rows 10+")
+    if n_attr > MOMENT_PAD - 10:
+        raise ValueError(
+            f"packed kernel fits at most {MOMENT_PAD - 10} attributes")
     width = len(radii) * MOMENT_PAD
     cw = min(PACK_CW, c_cap)
 
@@ -119,10 +128,13 @@ def _packed_body(radii, c_cap, exclude_radius, batch, precision,
                 dz = qz - z[None, :]
                 d2 = dx * dx + dy * dy + dz * dz
 
+                attrs = [cand_ref[3 + i, lane0:lane0 + w]
+                         for i in range(n_attr)]       # global values
                 aug = jnp.stack(
                     [jnp.ones_like(x), x, y, z,
                      x * x, x * y, x * z, y * y, y * z, z * z]
-                    + [jnp.zeros_like(x)] * (MOMENT_PAD - 10),
+                    + attrs
+                    + [jnp.zeros_like(x)] * (MOMENT_PAD - 10 - n_attr),
                     axis=0)                            # (16, cw)
 
                 if exclude_radius is not None:
@@ -183,10 +195,11 @@ def _packed_body(radii, c_cap, exclude_radius, batch, precision,
 @functools.partial(
     jax.jit,
     static_argnames=("radii", "exclude_radius", "interpret",
-                     "entries_per_step", "precision", "with_sazo"))
+                     "entries_per_step", "precision", "with_sazo",
+                     "n_attr"))
 def packed_moments(q_pts, cand_t, centers, radii, exclude_radius=None,
                    interpret=False, entries_per_step=8,
-                   precision="highest", with_sazo=False):
+                   precision="highest", with_sazo=False, n_attr=0):
     """
     Raw masked moment slabs over dense packed candidate blocks.
 
@@ -208,6 +221,8 @@ def packed_moments(q_pts, cand_t, centers, radii, exclude_radius=None,
       (see multiscale_kernel.moments_from_slabs).
     """
     n_entries, q_cap, _ = q_pts.shape
+    if cand_t.shape[0] != 3 + n_attr:
+        raise ValueError("cand_t must carry 3 + n_attr rows")
     c_cap = cand_t.shape[1] // n_entries
     if c_cap * n_entries != cand_t.shape[1]:
         raise ValueError("cand_t lane count must be E * c_cap")
@@ -222,7 +237,7 @@ def packed_moments(q_pts, cand_t, centers, radii, exclude_radius=None,
             [q_pts, jnp.zeros((pad_e, q_cap, 3), q_pts.dtype)])
         cand_t = jnp.concatenate(
             [cand_t,
-             jnp.full((3, pad_e * c_cap), FAR, cand_t.dtype)],
+             jnp.full((3 + n_attr, pad_e * c_cap), FAR, cand_t.dtype)],
             axis=1)
         centers = jnp.concatenate(
             [centers, jnp.zeros((pad_e, 3), centers.dtype)])
@@ -234,13 +249,15 @@ def packed_moments(q_pts, cand_t, centers, radii, exclude_radius=None,
                      else float(exclude_radius),
                      batch,
                      {"highest": jax.lax.Precision.HIGHEST,
-                      "bf16x2": "bf16x2"}[precision], with_sazo),
+                      "bf16x2": "bf16x2"}[precision], with_sazo,
+                     n_attr),
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((1, batch, 3), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, batch, q_cap, 3), lambda g: (g, 0, 0, 0)),
-            pl.BlockSpec((3, batch * c_cap), lambda g: (0, g)),
+            pl.BlockSpec((3 + n_attr, batch * c_cap),
+                         lambda g: (0, g)),
         ],
         out_specs=pl.BlockSpec((1, batch, width, q_cap),
                                lambda g: (g, 0, 0, 0)),

@@ -66,23 +66,35 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
     # the packed backend runs ALL bands in one shared-query-plan program
     # (fused_extract_packed_multi): one query sort, one (E, q_cap)
     # gather, one caller-order unsort for the whole scaleset
-    use_multi = (backend == "packed" and kind != "vector"
+    use_multi = (backend == "packed"
                  and all(len(b) > 5 and b[5] is not None
                          for b in band_specs))
     if use_multi:
         span_prec = {"bf16x2": "bf16x2", "mixed": "bf16x2",
                      "high": "bf16x2"}.get(precision, "highest")
-        searches, masks = [], []
+        searches, masks, cattrs = [], [], []
         for band in band_specs:
             vox_spec = band[0]
+            interp_spec = band[3] if len(band) > 3 else None
             v_cap = band[4] if len(band) > 4 else None
-            centers, _, mask = unique.unique_voxels(
-                search, vox_spec, valid=s_valid)
-            if v_cap is not None and v_cap < centers.shape[0]:
-                vox_dropped = vox_dropped + jnp.sum(
-                    mask[v_cap:].astype(jnp.int32))
-                centers = centers[:v_cap]
-                mask = mask[:v_cap]
+            if kind == "vector":
+                from nimrud_tpu.ops import interp
+                centers, mask, ca, i_stats = \
+                    interp.interp_to_voxels.__wrapped__(
+                        search, s_valid, attributes, vox_spec,
+                        vector_s_cap, with_stats=True)
+                interp_dropped = interp_dropped \
+                    + i_stats["dropped_search"]
+                cattrs.append(ca)
+            else:
+                centers, _, mask = unique.unique_voxels(
+                    search, vox_spec, valid=s_valid)
+                cattrs.append(None)
+                if v_cap is not None and v_cap < centers.shape[0]:
+                    vox_dropped = vox_dropped + jnp.sum(
+                        mask[v_cap:].astype(jnp.int32))
+                    centers = centers[:v_cap]
+                    mask = mask[:v_cap]
             searches.append(centers)
             masks.append(mask)
         pack_spec = min((b[1] for b in band_specs),
@@ -93,7 +105,8 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                 tuple(b[1] for b in band_specs),
                 tuple(b[2] for b in band_specs), kind, exclude_radius,
                 n_query, tuple(int(b[5]) for b in band_specs),
-                interpret, 8, span_prec, with_stats=True, order="plan")
+                interpret, 8, span_prec, with_stats=True, order="plan",
+                attributes=tuple(cattrs))
         dropped_query = dropped_query + m_stats["dropped_query"]
         cand_dropped = cand_dropped + m_stats["dropped_candidates"]
         # classify in (entry, slot) order and unsort only the RESULTS:
@@ -369,7 +382,10 @@ class GeometryClassifier:
             # serving clouds overflow into the counted vox_dropped
             # diagnostic rather than failing.
             arr = np.asarray(cloud, dtype=np.float32)[:, :3]
-            specs = self._fused_band_specs(arr, arr)
+            specs = self._fused_band_specs(
+                arr, arr,
+                attr_width=None if attributes is None
+                else np.asarray(attributes).shape[1])
             if specs is not None:
                 trimmed = []
                 for band, (edge, _) in zip(specs, self.scaleset):
@@ -422,11 +438,15 @@ class GeometryClassifier:
                 (clf.max_depth_, clf.d_func)
         return None
 
-    def _fused_band_specs(self, cloud, search, bounds=None):
+    def _fused_band_specs(self, cloud, search, bounds=None,
+                          attr_width=None):
         """Static per-band specs for the one-jit predict, or None.
 
         ``bounds`` optionally carries precomputed (cloud_lo, cloud_hi,
         search_lo, search_hi) so the hot path scans each cloud once.
+        ``attr_width`` (kind="vector") decides whether the packed
+        kernel can carry the attributes (<= 6 columns) or the band
+        falls back to the XLA path.
         """
         if self.exclude_radius is not None:
             return None
@@ -465,15 +485,23 @@ class GeometryClassifier:
             # which wants 128 -- dead query slots multiply its mask
             # compute directly)
             from nimrud_tpu.features import layouts as _layouts
-            # packed computes SAZO natively; the span kernel does not
-            use_pallas = (self.kind != "vector"
-                          and (self.backend == "packed"
-                               or (self.backend == "pallas"
-                                   and not _layouts.needs_sazo(self.kind))))
+            # packed computes SAZO natively and carries up to 6
+            # attribute columns (V_MSO); the span kernel does neither
+            use_pallas = (
+                (self.backend == "packed"
+                 and (self.kind != "vector"
+                      or (attr_width is not None and attr_width <= 6)))
+                or (self.backend == "pallas" and self.kind != "vector"
+                    and not _layouts.needs_sazo(self.kind)))
+            # q_cap: packed wants 512 (wider entries amortize the
+            # packing gather -- candidate lanes drop ~40% vs 256
+            # because the +-1-tile fringe is shared by more queries);
+            # the span kernel wants 256; the XLA matmul path 128
+            q_cap = (512 if self.backend == "packed" else 256) \
+                if use_pallas else 128
             dev_specs = [device_grid.make_spec(
                 lo, hi, max(radii), n_query=q_bucket,
-                voxel_edge=edge,
-                q_cap=256 if use_pallas else 128,
+                voxel_edge=edge, q_cap=q_cap,
                 x_seg=32 if use_pallas else 1)
                 for edge, radii in self.scaleset]
             # the multi-band packed program shares ONE query plan: the
@@ -538,7 +566,9 @@ class GeometryClassifier:
             s_lo, s_hi = (c_lo, c_hi) if same \
                 else _cloud_bounds(search_arr)
         specs = self._fused_band_specs(
-            cloud, search_arr, bounds=(c_lo, c_hi, s_lo, s_hi))
+            cloud, search_arr, bounds=(c_lo, c_hi, s_lo, s_hi),
+            attr_width=None if attributes is None
+            else np.asarray(attributes).shape[1])
         if specs is None:
             return None
         n_query = cloud.shape[0]
