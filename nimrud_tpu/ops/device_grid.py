@@ -363,6 +363,31 @@ def fused_extract_spans(query, q_valid, search, s_valid, spec, radii,
     return feats_out, stats
 
 
+_QT_FUSED_MAX = 2 * 1024 * 1024   # rows of the (n, 3) q-gather operand
+
+
+def _gather_q_t(cols, q_gather):
+    """Sorted query coordinates -> (E, 3, q_cap) kernel query blocks
+    with the COORDINATE axis on sublanes.
+
+    A materialized f32[n, 3] is (8, 128)-tiled with the lane dim padded
+    3 -> 128 (42x); as a kernel input at the 10M-point workload the
+    (E, q_cap, 3) layout costs ~8.6 GB of HBM for the queries alone
+    (it OOMed bench10m), so the packed kernel takes (3, q_cap) blocks
+    per entry instead (8/3 sublane pad only).  Below ``_QT_FUSED_MAX``
+    source rows the (n, 3) operand is small enough to pay for one fused
+    row-gather + transpose; above, three flat column gathers avoid
+    materializing the padded operand entirely."""
+    qsx, qsy, qsz = cols
+    e_cap, q_cap = q_gather.shape
+    if qsx.shape[0] <= _QT_FUSED_MAX:
+        q_sorted = jnp.stack([qsx, qsy, qsz], axis=-1)
+        flat = q_sorted[q_gather.reshape(-1)].T        # fused transpose
+        return jnp.swapaxes(flat.reshape(3, e_cap, q_cap), 0, 1)
+    return jnp.stack(
+        [qsx[q_gather], qsy[q_gather], qsz[q_gather]], axis=1)
+
+
 def _pack_plan(query, q_valid, spec):
     """Query-side entry packing on ``spec``'s coarse segment grid: ONE
     tile-id sort of the queries, rank-block entries within coarse-row
@@ -388,7 +413,6 @@ def _pack_plan(query, q_valid, spec):
     sorted_qids, q_order, qsx, qsy, qsz = jax.lax.sort(
         (q_ids, q_iota, query[:, 0], query[:, 1], query[:, 2]),
         num_keys=1)
-    q_sorted = jnp.stack([qsx, qsy, qsz], axis=-1)    # (n, 3)
     seg_counts = jnp.zeros(n_seg + 1, jnp.int32).at[sid].add(1)[:n_seg]
     seg_starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(seg_counts)[:-1]])
@@ -405,7 +429,7 @@ def _pack_plan(query, q_valid, spec):
 
     qcol = jnp.arange(spec.q_cap, dtype=jnp.int32)
     q_gather = jnp.clip(start[:, None] + qcol[None, :], 0, n_query - 1)
-    q_pts = q_sorted[q_gather]                        # (E, q_cap, 3)
+    q_t = _gather_q_t((qsx, qsy, qsz), q_gather)      # (E, 3, q_cap)
 
     # the entry's actual coarse-x range [tx_lo, tx_hi]: tile ids of its
     # first and last sorted queries (x-sorted within the segment)
@@ -432,7 +456,7 @@ def _pack_plan(query, q_valid, spec):
     ], axis=1)
 
     return {
-        "q_pts": q_pts, "centers": centers, "count": count,
+        "q_t": q_t, "centers": centers, "count": count,
         "start": start, "entry": entry,
         "tx_lo": tx_lo, "tx_hi": tx_hi, "ty": ty, "tz": tz,
         "coarse_edge": float(spec.m) * float(spec.tile_edge),
@@ -586,8 +610,9 @@ def _span_problem(query, q_valid, search, s_valid, spec, attrs=None):
     plan = _pack_plan(query, q_valid, spec)
     plan["x_seg_pack"] = max(min(spec.x_seg, spec.qdims[0]), 1)
     band = _band_spans(plan, search, s_valid, spec, attrs=attrs)
-    q_local = plan["q_pts"] - plan["centers"][:, None, :]
-    return {**plan, **band, "q_local": q_local}
+    q_pts = jnp.swapaxes(plan["q_t"], 1, 2)           # (E, q_cap, 3)
+    q_local = q_pts - plan["centers"][:, None, :]
+    return {**plan, **band, "q_pts": q_pts, "q_local": q_local}
 
 
 def _unsort_positions(prob, spec, n_query, sentinel):
@@ -668,7 +693,7 @@ def fused_extract_packed(query, q_valid, search, s_valid, spec, radii,
 
     sazo = layouts.needs_sazo(kind)
     slabs = _packed_slabs(
-        prob["q_pts"], prob["centers"], src3, sorted3, radii,
+        prob["q_t"], prob["centers"], src3, sorted3, radii,
         exclude_radius, interpret, entry_batch, precision, sazo,
         n_attr=n_attr)
     per_radius = multiscale_kernel.moments_from_slabs(
@@ -704,46 +729,49 @@ _GATHER_CHUNK = 4 * 1024 * 1024   # lanes per packing-gather piece: the
                                   # shot, the 10M workload chunks
 
 
-def _pack_candidates(band, c_cap):
-    """Per-entry packed-candidate SOURCE MAP from a band's spans:
-    (E, c_cap) int32 gather indices into the FAR-extended sorted cloud
-    (``sorted3``), plus the truncation counter.  The gather itself runs
-    in :func:`_packed_slabs` (chunked for large problems).
+def _pack_src(starts, lens, c_cap, n_search):
+    """Packed-candidate SOURCE MAP for a slice of entries: (E', c_cap)
+    int32 gather indices into the FAR-extended sorted cloud, plus the
+    truncation counter.
 
     Packs spans contiguously -- entry e's span i occupies packed slots
     [off[e,i], off[e,i]+lens[e,i]).  The slot->source map is a fused
-    chain of n_span selects over (E, c_cap) -- no gather, no
+    chain of n_span selects over (E', c_cap) -- no gather, no
     searchsorted (XLA's is a serial log(n) while loop); dead slots
-    index the appended FAR sentinel row, which the kernel's distance
-    masks kill for free."""
-    from nimrud_tpu.ops.pallas import packed_kernel
-
-    starts = band["span_starts"]                     # (E, n_span)
-    lens = band["span_lens"]
+    index the appended FAR sentinel row (index ``n_search``), which the
+    kernel's distance masks kill for free."""
     n_span = lens.shape[1]
-    e_cap = starts.shape[0]
-
     off = jnp.cumsum(lens, axis=1) - lens
-    total = off[:, -1] + lens[:, -1]                 # (E,)
+    total = off[:, -1] + lens[:, -1]                 # (E',)
     j = jnp.arange(c_cap, dtype=jnp.int32)[None, :]  # (1, c_cap)
-    src = jnp.zeros((e_cap, c_cap), jnp.int32)
+    src = jnp.zeros((starts.shape[0], c_cap), jnp.int32)
     for i in range(n_span):
         o = off[:, i:i + 1]
         hit = (j >= o) & (j < o + lens[:, i:i + 1])
         src = jnp.where(hit, starts[:, i:i + 1] + (j - o), src)
-    valid = j < total[:, None]
-
-    n_search = band["sorted_pts"].shape[0]
-    width = band["sorted_pts"].shape[1]              # 3 + n_attr
-    src3 = jnp.where(valid, src, n_search)           # (E, c_cap)
-    sorted3 = jnp.concatenate([
-        band["sorted_pts"],
-        jnp.full((1, width), packed_kernel.FAR, jnp.float32)])
+    src3 = jnp.where(j < total[:, None], src, n_search)
     dropped = jnp.sum(jnp.maximum(total - c_cap, 0)).astype(jnp.int32)
+    return src3, dropped
+
+
+def _far_extended(sorted_pts):
+    """Sorted cloud plus the FAR sentinel row dead slots gather."""
+    from nimrud_tpu.ops.pallas import packed_kernel
+    width = sorted_pts.shape[1]                      # 3 + n_attr
+    return jnp.concatenate([
+        sorted_pts,
+        jnp.full((1, width), packed_kernel.FAR, jnp.float32)])
+
+
+def _pack_candidates(band, c_cap):
+    """Single-band form of :func:`_pack_src` (+ the extended cloud)."""
+    sorted3 = _far_extended(band["sorted_pts"])
+    src3, dropped = _pack_src(band["span_starts"], band["span_lens"],
+                              c_cap, sorted3.shape[0] - 1)
     return src3, sorted3, dropped
 
 
-def _packed_slabs(q_pts, centers, src3, sorted3, radii, exclude_radius,
+def _packed_slabs(q_t, centers, src3, sorted3, radii, exclude_radius,
                   interpret, entry_batch, precision, with_sazo,
                   n_attr=0):
     """Gather packed candidates and run the packed moment kernel,
@@ -767,7 +795,7 @@ def _packed_slabs(q_pts, centers, src3, sorted3, radii, exclude_radius,
     def piece(sl):
         cand_t = sorted3[src3[sl].reshape(-1)].T
         return packed_kernel.packed_moments.__wrapped__(
-            q_pts[sl], cand_t, centers[sl], radii, exclude_radius,
+            q_t[sl], cand_t, centers[sl], radii, exclude_radius,
             interpret, entry_batch, precision, with_sazo=with_sazo,
             n_attr=n_attr)
 
@@ -784,13 +812,16 @@ def _packed_slabs(q_pts, centers, src3, sorted3, radii, exclude_radius,
     jax.jit,
     static_argnames=("pack_spec", "band_specs", "radii_bands", "kind",
                      "exclude_radius", "n_out", "c_caps", "interpret",
-                     "entry_batch", "precision", "with_stats", "order"))
+                     "entry_batch", "precision", "with_stats", "order",
+                     "entry_chunk", "reduce_fn"))
 def fused_extract_packed_multi(query, q_valid, searches, s_valids,
                                pack_spec, band_specs, radii_bands, kind,
                                exclude_radius, n_out, c_caps,
                                interpret=False, entry_batch=8,
                                precision="highest", with_stats=False,
-                               order="caller", attributes=None):
+                               order="caller", attributes=None,
+                               entry_chunk=None, reduce_fn=None,
+                               reduce_args=None):
     """
     ALL bands of a scaleset in one program over ONE shared query plan.
 
@@ -816,49 +847,143 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
     feats_flat row count).  Serving classifies the flat block and
     unsorts only the labels/probabilities -- int32/narrow gathers
     instead of the full feature width.
+
+    ``reduce_fn`` (static, hashable; order="plan" only) maps each flat
+    feature block through ``reduce_fn(reduce_args, feats) -> tuple of
+    (rows, ...) arrays`` INSIDE this program (serving passes the
+    classifier), and the returned ``out`` is the reduced tuple with one
+    extra sentinel row (the reduce of a zero-feature row -- what
+    queries without an entry slot get).  With ``entry_chunk`` set, the
+    whole per-entry pipeline (candidate pack + gather + kernel + layout
+    + reduce) runs under ``lax.map`` in chunks of that many entries:
+    at the 10M-point workload the un-chunked flat classifier input
+    alone is ~8.6 GB of HBM ((8,128) tiling pads its feature lanes),
+    while chunking bounds every fat per-slot buffer to the chunk.
     """
     from nimrud_tpu.features import layouts
-    from nimrud_tpu.ops.pallas import packed_kernel, multiscale_kernel
+    from nimrud_tpu.ops.pallas import multiscale_kernel
 
     plan = _pack_plan(query, q_valid, pack_spec)
     plan["x_seg_pack"] = max(min(pack_spec.x_seg, pack_spec.qdims[0]), 1)
-
-    blocks = []
+    q_cap = pack_spec.q_cap
     sazo = layouts.needs_sazo(kind)
-    dropped = jnp.zeros((), jnp.int32)
     attributes = attributes or (None,) * len(band_specs)
+
+    # per-band span tables against the shared plan (global sorts; the
+    # heavy per-slot work below consumes these chunk by chunk)
+    band_data = []
     for search, s_valid, spec, radii, c_cap, attrs in zip(
             searches, s_valids, band_specs, radii_bands, c_caps,
             attributes):
         n_attr = 0 if attrs is None else attrs.shape[1]
         band = _band_spans(plan, search, s_valid, spec, attrs=attrs)
-        src3, sorted3, band_drop = _pack_candidates(band, c_cap)
-        dropped = dropped + band_drop
+        band_data.append((band["span_starts"], band["span_lens"],
+                          _far_extended(band["sorted_pts"]), c_cap,
+                          radii, n_attr))
+
+    def band_blocks(q_t_c, centers_c, starts_c, lens_c, sorted3, c_cap,
+                    radii, n_attr):
+        """Feature blocks of one band for a slice of entries."""
+        src3, drop = _pack_src(starts_c, lens_c, c_cap,
+                               sorted3.shape[0] - 1)
         slabs = _packed_slabs(
-            plan["q_pts"], plan["centers"], src3, sorted3, radii,
-            exclude_radius, interpret, entry_batch, precision, sazo,
-            n_attr=n_attr)
+            q_t_c, centers_c, src3, sorted3, radii, exclude_radius,
+            interpret, entry_batch, precision, sazo, n_attr=n_attr)
         per_radius = multiscale_kernel.moments_from_slabs(
-            slabs, plan["centers"], radii, with_sazo=sazo,
-            n_attr=n_attr)
+            slabs, centers_c, radii, with_sazo=sazo, n_attr=n_attr)
+        q_pts_c = jnp.swapaxes(q_t_c, 1, 2)
+        blocks = []
         for p, radius in zip(per_radius, radii):
             if kind == "vector":
                 blocks.append(p["attr_mean"])
                 continue
             blocks.append(layouts.build_block(
                 kind, p["count"],
-                p["mean_local"] + plan["centers"][:, None, :],
-                p["cov"], plan["q_pts"], radius, sazo=p.get("sazo")))
-    feats = jnp.concatenate(blocks, axis=-1)
-    if order == "plan":
-        width = feats.shape[-1]
-        flat = feats.reshape(-1, width)
-        pos = _unsort_positions(
-            plan, pack_spec, query.shape[0], flat.shape[0])[:n_out]
-        out = (flat, pos)
+                p["mean_local"] + centers_c[:, None, :],
+                p["cov"], q_pts_c, radius, sazo=p.get("sazo")))
+        return blocks, drop
+
+    if kind == "vector":
+        width_total = sum(b[5] * len(b[4]) for b in band_data)
     else:
-        out = _unsort_features(
-            feats, plan, pack_spec, query.shape[0], n_out)
+        width_total = layouts.LAYOUT_WIDTHS[kind] \
+            * sum(len(b[4]) for b in band_data)
+
+    if order == "plan" and reduce_fn is not None \
+            and entry_chunk is not None \
+            and pack_spec.e_cap > entry_chunk:
+        pad_e = -pack_spec.e_cap % entry_chunk
+        n_chunks = (pack_spec.e_cap + pad_e) // entry_chunk
+
+        def pad_entries(a):
+            if not pad_e:
+                return a
+            return jnp.concatenate(
+                [a, jnp.zeros((pad_e,) + a.shape[1:], a.dtype)])
+
+        xs = {
+            "q_t": pad_entries(plan["q_t"]).reshape(
+                n_chunks, entry_chunk, 3, q_cap),
+            "centers": pad_entries(plan["centers"]).reshape(
+                n_chunks, entry_chunk, 3),
+            "starts": tuple(pad_entries(b[0]).reshape(
+                n_chunks, entry_chunk, -1) for b in band_data),
+            "lens": tuple(pad_entries(b[1]).reshape(
+                n_chunks, entry_chunk, -1) for b in band_data),
+        }
+
+        def chunk_body(x):
+            blocks = []
+            drop = jnp.zeros((), jnp.int32)
+            for bi, (_, _, sorted3, c_cap, radii, n_attr) in enumerate(
+                    band_data):
+                bl, dr = band_blocks(
+                    x["q_t"], x["centers"], x["starts"][bi],
+                    x["lens"][bi], sorted3, c_cap, radii, n_attr)
+                blocks.extend(bl)
+                drop = drop + dr
+            feats_c = jnp.concatenate(blocks, axis=-1)
+            flat_c = feats_c.reshape(-1, feats_c.shape[-1])
+            return reduce_fn(reduce_args, flat_c), drop
+
+        outs, drops = jax.lax.map(chunk_body, xs)
+        n_rows = n_chunks * entry_chunk * q_cap
+        zero_row = reduce_fn(
+            reduce_args, jnp.zeros((1, width_total), jnp.float32))
+        out_flat = jax.tree_util.tree_map(
+            lambda a, z: jnp.concatenate(
+                [a.reshape((n_rows,) + a.shape[2:]), z]),
+            outs, zero_row)
+        pos = _unsort_positions(
+            plan, pack_spec, query.shape[0], n_rows)[:n_out]
+        out = (out_flat, pos)
+        dropped = jnp.sum(drops).astype(jnp.int32)
+    else:
+        blocks = []
+        dropped = jnp.zeros((), jnp.int32)
+        for starts, lens, sorted3, c_cap, radii, n_attr in band_data:
+            bl, dr = band_blocks(plan["q_t"], plan["centers"], starts,
+                                 lens, sorted3, c_cap, radii, n_attr)
+            blocks.extend(bl)
+            dropped = dropped + dr
+        feats = jnp.concatenate(blocks, axis=-1)
+        if order == "plan":
+            width = feats.shape[-1]
+            flat = feats.reshape(-1, width)
+            pos = _unsort_positions(
+                plan, pack_spec, query.shape[0], flat.shape[0])[:n_out]
+            if reduce_fn is not None:
+                out_flat = jax.tree_util.tree_map(
+                    lambda a, z: jnp.concatenate([a, z]),
+                    reduce_fn(reduce_args, flat),
+                    reduce_fn(reduce_args,
+                              jnp.zeros((1, width), jnp.float32)))
+                out = (out_flat, pos)
+            else:
+                out = (flat, pos)
+        else:
+            out = _unsort_features(
+                feats, plan, pack_spec, query.shape[0], n_out)
     if not with_stats:
         return out
     stats = {

@@ -81,11 +81,16 @@ def _packed_body(radii, c_cap, exclude_radius, batch, precision,
 
     def body(center_ref, q_ref, cand_ref, out_ref):
         # center_ref: (1, batch, 3) f32 entry centers, SMEM
-        # q_ref:    (1, batch, q_cap, 3) f32 GLOBAL-frame queries; the
-        #           entry-local frame is formed here (the same f32
-        #           subtractions the XLA paths do, so radius decisions
-        #           stay bit-identical) instead of in a dedicated
-        #           (E, q_cap, 3) XLA pass per band
+        # q_ref:    (1, batch, 3, q_cap) f32 GLOBAL-frame queries with
+        #           the COORDINATE axis on sublanes: a materialized
+        #           f32[..., q_cap, 3] HBM array pays the (8, 128) lane
+        #           pad 3 -> 128 (42x -- ~8.6 GB of dead bytes at the
+        #           10M-point workload), while (..., 3, q_cap) pays 8/3.
+        #           One (3, q_cap) -> (q_cap, 3) transpose per entry
+        #           restores the sublane-vector orientation the masked
+        #           moment math wants; the entry-local frame is formed
+        #           here (the same f32 subtractions the XLA paths do,
+        #           so radius decisions stay bit-identical)
         # cand_ref: (3, batch * c_cap) f32 GLOBAL-frame candidates
         #           (rows x, y, z); dead slots gathered the FAR
         #           sentinel row, so their entry-local coordinates land
@@ -97,13 +102,13 @@ def _packed_body(radii, c_cap, exclude_radius, batch, precision,
         #           TRANSPOSED (width, q_cap) per entry: the dot is
         #           aug (16, cw) @ mask (cw, n_r*q_cap) -- M=16
         #           streams through the MXU while K and N tile fully.
-        q_cap = q_ref.shape[2]
+        q_cap = q_ref.shape[3]
 
         for e in range(batch):
             cx = center_ref[0, e, 0]
             cy = center_ref[0, e, 1]
             cz = center_ref[0, e, 2]
-            q = q_ref[0, e]                            # (q_cap, 3)
+            q = q_ref[0, e].T                          # (q_cap, 3)
             qx = q[:, 0:1] - cx                        # (q_cap, 1)
             qy = q[:, 1:2] - cy
             qz = q[:, 2:3] - cz
@@ -197,15 +202,18 @@ def _packed_body(radii, c_cap, exclude_radius, batch, precision,
     static_argnames=("radii", "exclude_radius", "interpret",
                      "entries_per_step", "precision", "with_sazo",
                      "n_attr"))
-def packed_moments(q_pts, cand_t, centers, radii, exclude_radius=None,
+def packed_moments(q_t, cand_t, centers, radii, exclude_radius=None,
                    interpret=False, entries_per_step=8,
                    precision="highest", with_sazo=False, n_attr=0):
     """
     Raw masked moment slabs over dense packed candidate blocks.
 
     Args:
-      q_pts:        (E, q_cap, 3) f32 GLOBAL-frame query blocks (the
-                    kernel forms the entry-local frame itself).
+      q_t:          (E, 3, q_cap) f32 GLOBAL-frame query blocks with
+                    the coordinate axis on sublanes (the (E, q_cap, 3)
+                    layout pays a 42x HBM lane pad -- see the body
+                    comment; the kernel forms the entry-local frame
+                    itself).
       cand_t:       (3, E * c_cap) f32 GLOBAL-frame candidates,
                     TRANSPOSED (rows x, y, z); entry e's block
                     occupies lanes [e*c_cap, (e+1)*c_cap), dead slots
@@ -220,7 +228,7 @@ def packed_moments(q_pts, cand_t, centers, radii, exclude_radius=None,
       (E, q_cap, len(radii) * MOMENT_PAD) f32 slabs
       (see multiscale_kernel.moments_from_slabs).
     """
-    n_entries, q_cap, _ = q_pts.shape
+    n_entries, _, q_cap = q_t.shape
     if cand_t.shape[0] != 3 + n_attr:
         raise ValueError("cand_t must carry 3 + n_attr rows")
     c_cap = cand_t.shape[1] // n_entries
@@ -233,8 +241,8 @@ def packed_moments(q_pts, cand_t, centers, radii, exclude_radius=None,
     batch = max(int(entries_per_step), 1)
     pad_e = (-n_entries) % batch
     if pad_e:
-        q_pts = jnp.concatenate(
-            [q_pts, jnp.zeros((pad_e, q_cap, 3), q_pts.dtype)])
+        q_t = jnp.concatenate(
+            [q_t, jnp.zeros((pad_e, 3, q_cap), q_t.dtype)])
         cand_t = jnp.concatenate(
             [cand_t,
              jnp.full((3 + n_attr, pad_e * c_cap), FAR, cand_t.dtype)],
@@ -255,7 +263,7 @@ def packed_moments(q_pts, cand_t, centers, radii, exclude_radius=None,
         in_specs=[
             pl.BlockSpec((1, batch, 3), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, batch, q_cap, 3), lambda g: (g, 0, 0, 0)),
+            pl.BlockSpec((1, batch, 3, q_cap), lambda g: (g, 0, 0, 0)),
             pl.BlockSpec((3 + n_attr, batch * c_cap),
                          lambda g: (0, g)),
         ],
@@ -265,7 +273,7 @@ def packed_moments(q_pts, cand_t, centers, radii, exclude_radius=None,
             (n_steps, batch, width, q_cap), jnp.float32),
         interpret=interpret,
     )(centers.reshape(n_steps, batch, 3),
-      q_pts.reshape(n_steps, batch, q_cap, 3), cand_t)
+      q_t.reshape(n_steps, batch, 3, q_cap), cand_t)
     # slabs leave the kernel transposed (width, q_cap); restore the
     # (q_cap, width) contract with one fused XLA transpose
     return jnp.swapaxes(

@@ -30,12 +30,13 @@ from nimrud_tpu.ops import device_grid, packing, unique
     static_argnames=("band_specs", "kind", "exclude_radius",
                      "precision", "n_query", "clf_kind", "clf_static",
                      "vector_s_cap", "backend", "interpret",
-                     "with_proba"))
+                     "with_proba", "chunk_slots"))
 def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                         band_specs, kind, exclude_radius, precision,
                         n_query, clf_kind="linear", clf_static=None,
                         dequant=None, attributes=None, vector_s_cap=32,
-                        backend="xla", interpret=False, with_proba=True):
+                        backend="xla", interpret=False, with_proba=True,
+                        chunk_slots=None):
     """
     ONE compiled program for the whole inference step: per band, device
     voxel downsample + tile-grid build + masked-moment features; then the
@@ -72,6 +73,19 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
     if use_multi:
         span_prec = {"bf16x2": "bf16x2", "mixed": "bf16x2",
                      "high": "bf16x2"}.get(precision, "highest")
+        pack_spec = min((b[1] for b in band_specs),
+                        key=lambda s: s.tile_edge)
+        # chunk the entry axis when the per-slot buffers (flat
+        # classifier input, kernel slabs) would otherwise materialize
+        # multiple GB: (8,128) tiling pads the feature lanes of an
+        # (N, width) array to 128, so the 10M workload's flat block
+        # alone is ~8.6 GB un-chunked
+        max_slots = _CHUNK_SLOTS if chunk_slots is None else chunk_slots
+        slots = pack_spec.e_cap * pack_spec.q_cap
+        entry_chunk = None
+        if slots > max_slots:
+            entry_chunk = max(-(-max_slots // pack_spec.q_cap
+                                // 256), 1) * 256
         searches, masks, cattrs = [], [], []
         for band in band_specs:
             vox_spec = band[0]
@@ -97,32 +111,30 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                     mask = mask[:v_cap]
             searches.append(centers)
             masks.append(mask)
-        pack_spec = min((b[1] for b in band_specs),
-                        key=lambda s: s.tile_edge)
-        (flat, pos), m_stats = device_grid.fused_extract_packed_multi \
+        # classify in (entry, slot) order INSIDE the extract program
+        # (per entry chunk when chunked) and unsort only the RESULTS:
+        # narrow label/probability gathers instead of the full feature
+        # width (the caller-order feature gather was ~15% of the step).
+        # The reduce's appended sentinel row feeds queries without an
+        # entry slot the same zero-feature classification the
+        # caller-order path gives.
+        reducer = _FusedReducer(clf_kind, clf_static, with_proba)
+        (out_flat, pos), m_stats = device_grid.fused_extract_packed_multi \
             .__wrapped__(
                 query, q_valid, tuple(searches), tuple(masks), pack_spec,
                 tuple(b[1] for b in band_specs),
                 tuple(b[2] for b in band_specs), kind, exclude_radius,
                 n_query, tuple(int(b[5]) for b in band_specs),
                 interpret, 8, span_prec, with_stats=True, order="plan",
-                attributes=tuple(cattrs))
+                attributes=tuple(cattrs), entry_chunk=entry_chunk,
+                reduce_fn=reducer, reduce_args=clf_params)
         dropped_query = dropped_query + m_stats["dropped_query"]
         cand_dropped = cand_dropped + m_stats["dropped_candidates"]
-        # classify in (entry, slot) order and unsort only the RESULTS:
-        # narrow label/probability gathers instead of the full feature
-        # width (the caller-order feature gather was ~15% of the step).
-        # The appended zero row feeds queries without an entry slot the
-        # same zero-feature classification the caller-order path gives.
-        width = flat.shape[-1]
-        flat = jnp.concatenate([flat, jnp.zeros((1, width), jnp.float32)])
-        probs_flat = classify_features(
-            clf_kind, clf_params, clf_static, flat)
-        labels = jnp.argmax(probs_flat, axis=1).astype(jnp.int32)[pos]
+        labels = out_flat[0][pos]
         # the (n, n_classes) probability unsort only rides along when a
         # caller actually wants probabilities (static arg -> the label
         # path compiles without the gather)
-        probs = probs_flat[pos] if with_proba else None
+        probs = out_flat[1][pos] if with_proba else None
         return (labels, probs,
                 {"vox_dropped": vox_dropped,
                  "dropped_query": dropped_query,
@@ -210,6 +222,33 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
              "dropped_candidates": cand_dropped})
 
 
+_CHUNK_SLOTS = 2 * 1024 * 1024    # entry slots above which serving
+                                  # chunks the per-slot pipeline (the
+                                  # 1M bench stays un-chunked)
+
+
+class _FusedReducer:
+    """Hashable (jit-static) per-chunk classifier reduce for
+    device_grid.fused_extract_packed_multi: feature rows -> labels
+    (+ probabilities when the caller asked for them)."""
+
+    def __init__(self, clf_kind, clf_static, with_proba):
+        self._key = (clf_kind, clf_static, bool(with_proba))
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _FusedReducer) and self._key == other._key
+
+    def __call__(self, clf_params, features):
+        clf_kind, clf_static, with_proba = self._key
+        probs = classify_features(clf_kind, clf_params, clf_static,
+                                  features)
+        labels = jnp.argmax(probs, axis=1).astype(jnp.int32)
+        return (labels, probs) if with_proba else (labels,)
+
+
 def classify_features(clf_kind, clf_params, clf_static, features):
     """Jit-composable classifier application (shared by the single-chip
     fused predict and the multi-chip shard_map serving path)."""
@@ -256,7 +295,7 @@ class GeometryClassifier:
                  method="auto", chunk_size=1024,
                  transfer_dtype="float32", vector_s_cap=32,
                  bounds=None, trim_entries=False, backend="auto",
-                 precision="highest"):
+                 precision="highest", serving_chunk_slots=None):
         self.scaleset = [(float(e), tuple(float(r) for r in rs))
                          for e, rs in scaleset]
         self.kind = kind
@@ -308,7 +347,13 @@ class GeometryClassifier:
             raise ValueError(
                 "precision='bf16x2' needs backend='pallas' or 'packed'")
         self.precision = precision
+        # entry-slot budget above which the packed serving program runs
+        # its per-slot pipeline (candidate pack + kernel + layout +
+        # classifier) chunked under lax.map -- bounds peak HBM at the
+        # 10M+ workloads; None = the module default (_CHUNK_SLOTS)
+        self.serving_chunk_slots = serving_chunk_slots
         self._spec_cache = None
+        self._stage_spec_cache = {}
         self._multichip_cache = {}
         if transfer_dtype not in ("float32", "uint16"):
             raise ValueError("transfer_dtype must be float32 or uint16")
@@ -349,6 +394,7 @@ class GeometryClassifier:
         labels = np.asarray(labels)
         n_classes = int(labels.max() + 1)
         self._spec_cache = None        # a refit resizes everything
+        self._stage_spec_cache = {}
         self._multichip_cache = {}     # ...including the mesh programs
         rows = None
         if sample is not None and sample < len(labels):
@@ -454,12 +500,18 @@ class GeometryClassifier:
             return None
         if any(edge <= 0 for edge, _ in self.scaleset):
             return None
+        key = (multiscale._pow2_bucket(cloud.shape[0]),
+               multiscale._pow2_bucket(search.shape[0]))
         if self._spec_cache is not None:
             cached_key, cached = self._spec_cache
-            key = (multiscale._pow2_bucket(cloud.shape[0]),
-                   multiscale._pow2_bucket(search.shape[0]))
             if key == cached_key:
                 return cached
+        if self.bounds is not None and key in self._stage_spec_cache:
+            # with fixed site bounds the specs depend only on the size
+            # bucket, so clouds streamed at a non-fit bucket (e.g. the
+            # 10M workload served by a 1M-fit model) reuse one program
+            # instead of re-sizing (and recompiling) per cloud
+            return self._stage_spec_cache[key]
         if bounds is None and self.bounds is not None:
             # fixed site bounds govern every grid, even when the caller
             # (e.g. fit's spec-cache build) passes only a cloud -- a
@@ -504,6 +556,15 @@ class GeometryClassifier:
                 voxel_edge=edge, q_cap=q_cap,
                 x_seg=32 if use_pallas else 1)
                 for edge, radii in self.scaleset]
+            if use_pallas and self.backend == "packed":
+                # entry capacity from the cloud's real segment occupancy
+                # (dead entries cost kernel batches AND, at the 10M
+                # workload, gigabytes of dead q/slab rows); overflow on
+                # a denser serving cloud lands in the counted
+                # dropped_query diagnostic
+                dev_specs = [device_grid.with_entry_estimate(
+                    s, np.asarray(cloud, np.float32)[:, :3])
+                    for s in dev_specs]
             # the multi-band packed program shares ONE query plan: the
             # finest-tile band's grid bounds every band's reach
             pack_spec = min(dev_specs, key=lambda s: s.tile_edge)
@@ -511,6 +572,7 @@ class GeometryClassifier:
             for (edge, radii), dev_spec in zip(self.scaleset, dev_specs):
                 vox_spec = packing.GridSpec.fit_bounds(s_lo, s_hi, edge)
                 c_cap = None
+                v_cap = None
                 if use_pallas and self.backend == "packed":
                     # static per-entry candidate capacity, sized on the
                     # HOST against this cloud's voxel-downsampled search
@@ -524,6 +586,20 @@ class GeometryClassifier:
                     c_cap = span_host.candidate_cap(
                         np.asarray(cloud, np.float32)[:, :3],
                         host_centers, dev_spec, pack_spec=pack_spec)
+                    if self.kind != "vector":
+                        # per-band search capacity from the real voxel
+                        # count: unique_voxels compacts live voxels to
+                        # the front, so a static prefix slice shrinks
+                        # every downstream sort/table (at 10M points an
+                        # untrimmed band carries the full padded bucket
+                        # -- gigabytes of dead sorted-search rows)
+                        n_vox = len(host_centers)
+                        v_cap = n_vox + n_vox // 4 + 4096
+                        v_cap = -(-v_cap // 16384) * 16384
+                        s_bucket = multiscale._pow2_bucket(
+                            search.shape[0])
+                        if v_cap >= s_bucket:
+                            v_cap = None
                 if self.kind == "vector":
                     # static plan for the matmul attribute interpolation
                     # (ops.interp.interp_to_voxels_matmul): a voxel-edge
@@ -536,10 +612,15 @@ class GeometryClassifier:
                                   None, c_cap))
                 else:
                     specs.append((vox_spec, dev_spec, radii, None,
-                                  None, c_cap))
+                                  v_cap, c_cap))
         except ValueError:
             return None
-        return tuple(specs)
+        specs = tuple(specs)
+        if self.bounds is not None:
+            if len(self._stage_spec_cache) > 8:
+                self._stage_spec_cache.clear()
+            self._stage_spec_cache[key] = specs
+        return specs
 
     def stage(self, cloud, search=None, attributes=None):
         """
@@ -638,7 +719,8 @@ class GeometryClassifier:
             staged.get("attributes"), self.vector_s_cap,
             self.backend,
             jax.default_backend() not in ("tpu", "axon"),
-            with_proba=with_proba)
+            with_proba=with_proba,
+            chunk_slots=self.serving_chunk_slots)
         out = (labels,)
         if with_proba:
             out = out + (probs,)

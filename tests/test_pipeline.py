@@ -292,6 +292,35 @@ def test_packed_backend_matches_xla_predict_multiband():
     assert int(diag["dropped_candidates"]) == 0
 
 
+def test_packed_chunked_serving_matches_unchunked():
+    # the 10M+ workloads serve with the per-slot pipeline chunked over
+    # entries under lax.map (bounded peak HBM); labels AND
+    # probabilities must match the un-chunked program exactly
+    cloud, labels = _scene(per=800)
+    scaleset = [(0.2, (0.8, 0.4)), (0.4, (1.6,))]
+    kw = dict(kind="minimal", classifier="linear",
+              classifier_kwargs={"epochs": 10, "seed": 0},
+              bounds=(cloud.min(0), cloud.max(0)), backend="packed",
+              trim_entries=True)
+    base = GeometryClassifier(scaleset, **kw)
+    base.fit(cloud, labels, sample=1200)
+    chunked = GeometryClassifier(scaleset, serving_chunk_slots=1024,
+                                 **kw)
+    chunked.fit(cloud, labels, sample=1200)
+
+    sa = base.stage(cloud)
+    sb = chunked.stage(cloud)
+    la, pa, da = base.predict_staged(sa, with_proba=True, with_diag=True)
+    lb, pb, db = chunked.predict_staged(sb, with_proba=True,
+                                        with_diag=True)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    assert int(da["dropped_candidates"]) == int(db["dropped_candidates"])
+    # labels-only variant exercises the probability-free reduce
+    lb2 = chunked.predict_staged(sb)
+    np.testing.assert_array_equal(np.asarray(lb), np.asarray(lb2))
+
+
 @pytest.mark.slow
 def test_vector_wide_attrs_staged_matmul_interp():
     # wide attribute blocks (A > 8) route the staged V_MSO interpolation
