@@ -883,12 +883,40 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
 
     def band_blocks(q_t_c, centers_c, starts_c, lens_c, sorted3, c_cap,
                     radii, n_attr):
-        """Feature blocks of one band for a slice of entries."""
-        src3, drop = _pack_src(starts_c, lens_c, c_cap,
-                               sorted3.shape[0] - 1)
-        slabs = _packed_slabs(
-            q_t_c, centers_c, src3, sorted3, radii, exclude_radius,
-            interpret, entry_batch, precision, sazo, n_attr=n_attr)
+        """Feature blocks of one band for a slice of entries.
+
+        ``c_cap`` is either one int capacity, or a two-bucket split
+        ``(c_lo, c_hi, e_hi)`` from span_host.candidate_caps_split:
+        per-entry candidate totals are heavy-tailed (1M bench: p87.5 is
+        ~5x below the max), so the entries are argsorted by measured
+        total and the top ``e_hi`` run at ``c_hi`` while the rest run
+        at ``c_lo`` -- ~3x fewer packing-gather and kernel lanes for
+        the same exact results.  The slabs are un-permuted before the
+        layouts, so positions and downstream order never see the sort.
+        """
+        if isinstance(c_cap, tuple):
+            c_lo, c_hi, e_hi = c_cap
+            totals = jnp.sum(lens_c, axis=1)
+            order = jnp.argsort(-totals)
+            inv = jnp.zeros_like(order).at[order].set(
+                jnp.arange(order.shape[0], dtype=order.dtype))
+            parts = []
+            drop = jnp.zeros((), jnp.int32)
+            for idx, cap in ((order[:e_hi], c_hi), (order[e_hi:], c_lo)):
+                src3, dr = _pack_src(starts_c[idx], lens_c[idx], cap,
+                                     sorted3.shape[0] - 1)
+                parts.append(_packed_slabs(
+                    q_t_c[idx], centers_c[idx], src3, sorted3, radii,
+                    exclude_radius, interpret, entry_batch, precision,
+                    sazo, n_attr=n_attr))
+                drop = drop + dr
+            slabs = jnp.concatenate(parts)[inv]
+        else:
+            src3, drop = _pack_src(starts_c, lens_c, c_cap,
+                                   sorted3.shape[0] - 1)
+            slabs = _packed_slabs(
+                q_t_c, centers_c, src3, sorted3, radii, exclude_radius,
+                interpret, entry_batch, precision, sazo, n_attr=n_attr)
         per_radius = multiscale_kernel.moments_from_slabs(
             slabs, centers_c, radii, with_sazo=sazo, n_attr=n_attr)
         q_pts_c = jnp.swapaxes(q_t_c, 1, 2)
@@ -946,7 +974,20 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
             flat_c = feats_c.reshape(-1, feats_c.shape[-1])
             return reduce_fn(reduce_args, flat_c), drop
 
-        outs, drops = jax.lax.map(chunk_body, xs)
+        if interpret:
+            # CPU tests: scan-of-interpreted-pallas programs have
+            # crashed XLA:CPU's compiler deep into long pytest
+            # sessions; an unrolled loop compiles the same math without
+            # the scan (the TPU path below keeps lax.map -- one traced
+            # body regardless of chunk count)
+            stacked = [chunk_body(jax.tree_util.tree_map(
+                lambda a: a[i], xs)) for i in range(n_chunks)]
+            outs = jax.tree_util.tree_map(
+                lambda *leaves: jnp.stack(leaves),
+                *[s[0] for s in stacked])
+            drops = jnp.stack([s[1] for s in stacked])
+        else:
+            outs, drops = jax.lax.map(chunk_body, xs)
         n_rows = n_chunks * entry_chunk * q_cap
         zero_row = reduce_fn(
             reduce_args, jnp.zeros((1, width_total), jnp.float32))

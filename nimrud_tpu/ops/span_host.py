@@ -192,3 +192,52 @@ def candidate_cap(query, search, spec, s_valid=None, margin=1.25,
     peak = int(lens.sum(axis=1).max()) if lens.size else 0
     cap = max(int(peak * margin), 1)
     return max(-(-cap // 128) * 128, 128)
+
+
+def _round_cap(cap):
+    return max(-(-int(cap) // 128) * 128, 128)
+
+
+def candidate_caps_split(query, search, spec, s_valid=None, margin=1.25,
+                         pack_spec=None, hi_frac=1 / 16,
+                         entry_chunk=None):
+    """Two-bucket static candidate capacities for
+    device_grid.fused_extract_packed_multi: ``(c_lo, c_hi, e_hi)``, or
+    a single int cap when splitting is not worth it.
+
+    The per-entry candidate totals of real clouds are heavy-tailed (1M
+    bench, finest band: p87.5 = 527 vs max = 2589), so one shared cap
+    sized for the max leaves the packing gather and the kernel at <10%
+    live lanes.  Serving instead argsorts entries by measured total per
+    band and runs the top ``e_hi`` entries at ``c_hi`` (the max) and
+    the rest at ``c_lo``.  This sizes both caps on the host mirror of
+    the device plan: ``c_lo`` covers the largest total OUTSIDE the top
+    ``e_hi`` (per entry chunk when ``entry_chunk`` is set, since the
+    chunked path splits within each chunk); denser serving clouds
+    overflow into the counted dropped_candidates diagnostic, same
+    contract as the single cap."""
+    search = np.asarray(search, np.float32)
+    if s_valid is None:
+        s_valid = np.ones(search.shape[0], bool)
+    q = np.asarray(query, np.float32)
+    pk = pack_spec if pack_spec is not None else spec
+    plan = pack_plan_np(q, np.ones(q.shape[0], bool), pk)
+    lens = band_span_lens(plan, search, s_valid, spec)
+    totals = lens.sum(axis=1)
+    e_cap = totals.shape[0]
+    chunk = e_cap if entry_chunk is None else int(entry_chunk)
+    e_hi = max(int(round(chunk * hi_frac)), 8)
+    if e_hi >= chunk:
+        return candidate_cap(query, search, spec, s_valid=s_valid,
+                             margin=margin, pack_spec=pack_spec)
+    c_hi = _round_cap(max(int(totals.max()) * margin, 1))
+    lo_need = 0
+    for start in range(0, e_cap, chunk):
+        part = np.sort(totals[start:start + chunk])[::-1]
+        if len(part) > e_hi:
+            lo_need = max(lo_need, int(part[e_hi]))
+    c_lo = _round_cap(max(lo_need * margin, 1))
+    if c_lo * 2 > c_hi:
+        # thin tail: two kernel launches would not pay for themselves
+        return c_hi
+    return (int(c_lo), int(c_hi), int(e_hi))

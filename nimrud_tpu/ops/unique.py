@@ -35,11 +35,12 @@ def unique_keys(keys, valid=None):
     head = jnp.concatenate(
         [jnp.ones((1,), dtype=bool), keys[1:] != keys[:-1]])
     is_unique = head & (keys != PAD_KEY)
-    position = jnp.cumsum(is_unique) - 1
-    # scatter unique keys to the front; non-unique rows aim out of bounds
-    # and are dropped
-    target = jnp.where(is_unique, position, keys.shape[0])
-    out = jnp.full_like(keys, PAD_KEY).at[target].set(keys, mode="drop")
+    # compact unique keys to the front by masking duplicates to PAD_KEY
+    # and re-sorting: a second sort of near-sorted data costs ~1.7 ms/M
+    # on v5e where the scatter it replaces costs ~7 ms/M
+    # (scripts/probe_datamove.py), and the output is bit-identical
+    # (PAD_KEY = INT32_MAX sorts last; survivors keep their order)
+    out = jnp.sort(jnp.where(is_unique, keys, PAD_KEY))
     return out, is_unique.sum()
 
 

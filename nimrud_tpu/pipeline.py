@@ -80,12 +80,8 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
         # multiple GB: (8,128) tiling pads the feature lanes of an
         # (N, width) array to 128, so the 10M workload's flat block
         # alone is ~8.6 GB un-chunked
-        max_slots = _CHUNK_SLOTS if chunk_slots is None else chunk_slots
-        slots = pack_spec.e_cap * pack_spec.q_cap
-        entry_chunk = None
-        if slots > max_slots:
-            entry_chunk = max(-(-max_slots // pack_spec.q_cap
-                                // 256), 1) * 256
+        entry_chunk = _serving_entry_chunk(
+            pack_spec.e_cap, pack_spec.q_cap, chunk_slots)
         searches, masks, cattrs = [], [], []
         for band in band_specs:
             vox_spec = band[0]
@@ -124,7 +120,9 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                 query, q_valid, tuple(searches), tuple(masks), pack_spec,
                 tuple(b[1] for b in band_specs),
                 tuple(b[2] for b in band_specs), kind, exclude_radius,
-                n_query, tuple(int(b[5]) for b in band_specs),
+                n_query,
+                tuple(b[5] if isinstance(b[5], tuple) else int(b[5])
+                      for b in band_specs),
                 interpret, 8, span_prec, with_stats=True, order="plan",
                 attributes=tuple(cattrs), entry_chunk=entry_chunk,
                 reduce_fn=reducer, reduce_args=clf_params)
@@ -185,8 +183,11 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                          "high": "bf16x2"}.get(precision, "highest")
             feats, b_stats = device_grid.fused_extract_packed.__wrapped__(
                 query, q_valid, centers, mask, dev_spec, radii, kind,
-                exclude_radius, n_query, int(c_cap), interpret, 8,
-                span_prec, with_stats=True)
+                exclude_radius, n_query,
+                # the single-band path takes one capacity; a split spec
+                # collapses to its max bucket (correct, un-optimized)
+                int(c_cap[1]) if isinstance(c_cap, tuple) else int(c_cap),
+                interpret, 8, span_prec, with_stats=True)
             dropped_query = dropped_query + b_stats["dropped_query"]
             cand_dropped = cand_dropped + b_stats["dropped_candidates"]
             bands.append(feats)
@@ -225,6 +226,16 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
 _CHUNK_SLOTS = 2 * 1024 * 1024    # entry slots above which serving
                                   # chunks the per-slot pipeline (the
                                   # 1M bench stays un-chunked)
+
+
+def _serving_entry_chunk(e_cap, q_cap, chunk_slots):
+    """Entries per serving chunk, or None un-chunked.  Shared by spec
+    sizing (host) and the traced predict step so the split-capacity
+    host mirror sizes for exactly the chunking the program runs."""
+    max_slots = _CHUNK_SLOTS if chunk_slots is None else chunk_slots
+    if e_cap * q_cap <= max_slots:
+        return None
+    return max(-(-max_slots // q_cap // 256), 1) * 256
 
 
 class _FusedReducer:
@@ -583,9 +594,12 @@ class GeometryClassifier:
                     from nimrud_tpu.ops import span_host
                     host_centers = multiscale._host_unique_voxels(
                         np.asarray(search, np.float32)[:, :3], edge)
-                    c_cap = span_host.candidate_cap(
+                    c_cap = span_host.candidate_caps_split(
                         np.asarray(cloud, np.float32)[:, :3],
-                        host_centers, dev_spec, pack_spec=pack_spec)
+                        host_centers, dev_spec, pack_spec=pack_spec,
+                        entry_chunk=_serving_entry_chunk(
+                            pack_spec.e_cap, pack_spec.q_cap,
+                            self.serving_chunk_slots))
                     if self.kind != "vector":
                         # per-band search capacity from the real voxel
                         # count: unique_voxels compacts live voxels to

@@ -292,6 +292,36 @@ def test_packed_backend_matches_xla_predict_multiband():
     assert int(diag["dropped_candidates"]) == 0
 
 
+def test_packed_split_caps_match_xla():
+    # heavy-tailed candidate totals (a dense cluster inside a sparse
+    # site) make span_host.candidate_caps_split return a two-bucket
+    # (c_lo, c_hi, e_hi) capacity; the bucketed kernel launches must
+    # reproduce the XLA path's labels exactly.  A local generator: the
+    # split/no-split decision depends on the exact draws, so it must
+    # not drift with test execution order.
+    rng = np.random.default_rng(0)
+    sparse = (rng.random((2000, 3)) * [20, 20, 4]).astype(np.float32)
+    dense = rng.normal([10, 10, 2], 0.15, (2000, 3)).astype(np.float32)
+    cloud = np.vstack([sparse, dense]).astype(np.float32)
+    labels = np.repeat([0, 1], 2000)
+    kw = dict(kind="minimal", classifier="linear",
+              classifier_kwargs={"epochs": 10, "seed": 0},
+              bounds=(cloud.min(0), cloud.max(0)))
+    scaleset = [(0.2, (0.8, 0.4))]
+    xla = GeometryClassifier(scaleset, **kw)
+    xla.fit(cloud, labels, sample=1500)
+    packed = GeometryClassifier(scaleset, backend="packed",
+                                trim_entries=True, **kw)
+    packed.fit(cloud, labels, sample=1500)
+    staged = packed.stage(cloud)
+    split_caps = [band[5] for band in staged["specs"]]
+    assert any(isinstance(c, tuple) for c in split_caps), split_caps
+    b, diag = packed.predict_staged(staged, with_diag=True)
+    assert int(diag["dropped_candidates"]) == 0
+    a = xla.predict(cloud)
+    assert np.array_equal(a, np.asarray(b)[:len(a)])
+
+
 def test_packed_chunked_serving_matches_unchunked():
     # the 10M+ workloads serve with the per-slot pipeline chunked over
     # entries under lax.map (bounded peak HBM); labels AND
