@@ -158,7 +158,7 @@ def span_plan(query, q_valid, search, s_valid, spec):
 
 
 def candidate_cap(query, search, spec, s_valid=None, margin=1.25,
-                  pack_spec=None, segment_wide=False):
+                  pack_spec=None, segment_wide=False, plan=None):
     """Static per-entry candidate capacity for
     device_grid.fused_extract_packed / _multi: the measured per-entry
     maximum with headroom, rounded up to 128 lanes.  ``search`` is the
@@ -171,13 +171,19 @@ def candidate_cap(query, search, spec, s_valid=None, margin=1.25,
     subset of its segment's full x-range rows, so this bounds ANY
     query packing -- the multichip path uses it because each shard
     packs its own (sub)set of the queries into entries the host mirror
-    cannot reproduce exactly."""
+    cannot reproduce exactly.
+
+    ``plan`` short-circuits the query-side mirror: the multi-band path
+    shares ONE pack grid, and re-deriving its plan per band costs a
+    full argsort of the cloud each time (minutes of host time at 10M
+    points on a 1-core box)."""
     search = np.asarray(search, np.float32)
     if s_valid is None:
         s_valid = np.ones(search.shape[0], bool)
-    q = np.asarray(query, np.float32)
-    pk = pack_spec if pack_spec is not None else spec
-    plan = pack_plan_np(q, np.ones(q.shape[0], bool), pk)
+    if plan is None:
+        q = np.asarray(query, np.float32)
+        pk = pack_spec if pack_spec is not None else spec
+        plan = pack_plan_np(q, np.ones(q.shape[0], bool), pk)
     if segment_wide:
         qd = pk.qdims
         x_seg = plan["x_seg_pack"]
@@ -200,7 +206,7 @@ def _round_cap(cap):
 
 def candidate_caps_split(query, search, spec, s_valid=None, margin=1.25,
                          pack_spec=None, hi_frac=1 / 16,
-                         entry_chunk=None):
+                         entry_chunk=None, plan=None):
     """Two-bucket static candidate capacities for
     device_grid.fused_extract_packed_multi: ``(c_lo, c_hi, e_hi)``, or
     a single int cap when splitting is not worth it.
@@ -219,9 +225,10 @@ def candidate_caps_split(query, search, spec, s_valid=None, margin=1.25,
     search = np.asarray(search, np.float32)
     if s_valid is None:
         s_valid = np.ones(search.shape[0], bool)
-    q = np.asarray(query, np.float32)
-    pk = pack_spec if pack_spec is not None else spec
-    plan = pack_plan_np(q, np.ones(q.shape[0], bool), pk)
+    if plan is None:
+        q = np.asarray(query, np.float32)
+        pk = pack_spec if pack_spec is not None else spec
+        plan = pack_plan_np(q, np.ones(q.shape[0], bool), pk)
     lens = band_span_lens(plan, search, s_valid, spec)
     totals = lens.sum(axis=1)
     e_cap = totals.shape[0]
@@ -229,7 +236,8 @@ def candidate_caps_split(query, search, spec, s_valid=None, margin=1.25,
     e_hi = max(int(round(chunk * hi_frac)), 8)
     if e_hi >= chunk:
         return candidate_cap(query, search, spec, s_valid=s_valid,
-                             margin=margin, pack_spec=pack_spec)
+                             margin=margin, pack_spec=pack_spec,
+                             plan=plan)
     c_hi = _round_cap(max(int(totals.max()) * margin, 1))
     lo_need = 0
     for start in range(0, e_cap, chunk):

@@ -579,6 +579,15 @@ class GeometryClassifier:
             # the multi-band packed program shares ONE query plan: the
             # finest-tile band's grid bounds every band's reach
             pack_spec = min(dev_specs, key=lambda s: s.tile_edge)
+            host_plan = None
+            if use_pallas and self.backend == "packed":
+                # one host mirror of that shared plan for every band's
+                # capacity sizing (re-deriving it per band argsorts the
+                # whole cloud each time -- minutes at 10M points)
+                from nimrud_tpu.ops import span_host
+                q3 = np.asarray(cloud, np.float32)[:, :3]
+                host_plan = span_host.pack_plan_np(
+                    q3, np.ones(q3.shape[0], bool), pack_spec)
             specs = []
             for (edge, radii), dev_spec in zip(self.scaleset, dev_specs):
                 vox_spec = packing.GridSpec.fit_bounds(s_lo, s_hi, edge)
@@ -595,8 +604,7 @@ class GeometryClassifier:
                     host_centers = multiscale._host_unique_voxels(
                         np.asarray(search, np.float32)[:, :3], edge)
                     c_cap = span_host.candidate_caps_split(
-                        np.asarray(cloud, np.float32)[:, :3],
-                        host_centers, dev_spec, pack_spec=pack_spec,
+                        None, host_centers, dev_spec, plan=host_plan,
                         entry_chunk=_serving_entry_chunk(
                             pack_spec.e_cap, pack_spec.q_cap,
                             self.serving_chunk_slots))
