@@ -205,23 +205,26 @@ def _round_cap(cap):
 
 
 def candidate_caps_split(query, search, spec, s_valid=None, margin=1.25,
-                         pack_spec=None, hi_frac=1 / 16,
-                         entry_chunk=None, plan=None):
+                         pack_spec=None, entry_chunk=None, plan=None):
     """Two-bucket static candidate capacities for
     device_grid.fused_extract_packed_multi: ``(c_lo, c_hi, e_hi)``, or
     a single int cap when splitting is not worth it.
 
-    The per-entry candidate totals of real clouds are heavy-tailed (1M
-    bench, finest band: p87.5 = 527 vs max = 2589), so one shared cap
-    sized for the max leaves the packing gather and the kernel at <10%
-    live lanes.  Serving instead argsorts entries by measured total per
-    band and runs the top ``e_hi`` entries at ``c_hi`` (the max) and
-    the rest at ``c_lo``.  This sizes both caps on the host mirror of
-    the device plan: ``c_lo`` covers the largest total OUTSIDE the top
-    ``e_hi`` (per entry chunk when ``entry_chunk`` is set, since the
-    chunked path splits within each chunk); denser serving clouds
-    overflow into the counted dropped_candidates diagnostic, same
-    contract as the single cap."""
+    Per-entry candidate totals of real clouds are far from uniform --
+    sometimes a thin heavy tail (a dense cluster in a sparse site),
+    sometimes a fat two-regime body (the 1M bench's canopy entries sit
+    at ~450-550 candidates against a 726 max).  One shared cap sized
+    for the max leaves the packing gather and the kernel mostly dead,
+    so serving argsorts entries by measured total per band and runs the
+    top ``e_hi`` entries at ``c_hi`` (the max) and the rest at a
+    smaller ``c_lo``.  The cut is CHOSEN PER BAND by sweeping candidate
+    cuts and minimizing total gather lanes on the host mirror of the
+    device plan (per entry chunk when ``entry_chunk`` is set -- the
+    chunked path re-splits within each chunk, so ``c_lo`` must cover
+    the worst chunk's cut); a split must save >=25% of the single-cap
+    lanes to pay for its second gather+kernel launch.  Denser serving
+    clouds overflow into the counted dropped_candidates diagnostic,
+    same contract as the single cap."""
     search = np.asarray(search, np.float32)
     if s_valid is None:
         s_valid = np.ones(search.shape[0], bool)
@@ -233,19 +236,22 @@ def candidate_caps_split(query, search, spec, s_valid=None, margin=1.25,
     totals = lens.sum(axis=1)
     e_cap = totals.shape[0]
     chunk = e_cap if entry_chunk is None else int(entry_chunk)
-    e_hi = max(int(round(chunk * hi_frac)), 8)
-    if e_hi >= chunk:
-        return candidate_cap(query, search, spec, s_valid=s_valid,
-                             margin=margin, pack_spec=pack_spec,
-                             plan=plan)
     c_hi = _round_cap(max(int(totals.max()) * margin, 1))
-    lo_need = 0
-    for start in range(0, e_cap, chunk):
-        part = np.sort(totals[start:start + chunk])[::-1]
-        if len(part) > e_hi:
-            lo_need = max(lo_need, int(part[e_hi]))
-    c_lo = _round_cap(max(lo_need * margin, 1))
-    if c_lo * 2 > c_hi:
-        # thin tail: two kernel launches would not pay for themselves
+
+    # descending totals per chunk; ragged last chunk kept as-is
+    parts = [np.sort(totals[s:s + chunk])[::-1]
+             for s in range(0, e_cap, chunk)]
+    single_lanes = e_cap * c_hi
+    best = (single_lanes, None)
+    k = 8
+    while k < chunk:
+        lo_need = max((int(p[k]) for p in parts if len(p) > k), default=0)
+        c_lo = _round_cap(max(lo_need * margin, 1))
+        hi_total = sum(min(k, len(p)) for p in parts)
+        lanes = (e_cap - hi_total) * c_lo + hi_total * c_hi
+        if lanes < best[0]:
+            best = (lanes, (int(c_lo), int(c_hi), int(k)))
+        k *= 2
+    if best[1] is None or best[0] > 0.75 * single_lanes:
         return c_hi
-    return (int(c_lo), int(c_hi), int(e_hi))
+    return best[1]
