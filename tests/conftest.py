@@ -35,3 +35,19 @@ jax.config.update("jax_enable_x64", True)
 @pytest.fixture
 def rng():
     return np.random.default_rng(10)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop jit/compilation caches after each test module.
+
+    A full-suite run accumulates hundreds of live compiled XLA:CPU
+    executables in one process; deep into the suite (deterministically
+    at the 178th test, an unrelated large program's compile)
+    XLA:CPU's backend_compile segfaults.  The same test passes alone
+    or after any ~50-test subset.  Dropping cache references between
+    modules keeps the live-executable population bounded; within-module
+    reuse (where almost all intentional cache hits are) is unaffected.
+    """
+    yield
+    jax.clear_caches()
