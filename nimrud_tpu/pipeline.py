@@ -333,13 +333,14 @@ class GeometryClassifier:
         self.trim_entries = bool(trim_entries)
         # moment-kernel backend for the fused predict: "xla" (masked
         # matmuls over a candidate table), "pallas" (streaming span-DMA
-        # kernel), or "packed" (dense gathered candidate blocks +
-        # grid-pipelined kernel; geometry kinds only -- vector/sazo
-        # bands fall back to xla).  "auto" (default) picks packed on
-        # real TPU -- trace-measured fastest on the production workload
-        # (225 ms vs 302 ms spans vs ~1.9 s xla per 1M x 3-scale
-        # extract, v5e device trace) -- and xla elsewhere (the Pallas
-        # kernels only run interpreted off-TPU, which is for tests).
+        # kernel; geometry kinds only -- vector/sazo bands fall back to
+        # xla), or "packed" (dense gathered candidate blocks +
+        # grid-pipelined kernel; computes sazo and vector attribute
+        # means natively).  "auto" (default) picks packed on real TPU
+        # -- trace-measured fastest on the production workload (146 ms
+        # vs 338 ms spans vs ~1.9 s xla per 1M x 3-scale serving step,
+        # v5e device trace) -- and xla elsewhere (the Pallas kernels
+        # only run interpreted off-TPU, which is for tests).
         # NOTE: "packed" sizes per-entry candidate capacity on the HOST
         # (ops.span_host) at spec-build time; with fixed ``bounds`` the
         # result is cached, without them it recomputes per staged cloud.

@@ -27,7 +27,11 @@ def _random_config(rng):
     return n_search, n_query, aspect, edge, radii, kind, m, q_cap
 
 
-@pytest.mark.parametrize("case", range(6))
+# two draws stay in the default selection (one small, one that hits
+# the q_cap=64 config); the rest are release-grade `-m slow` coverage
+@pytest.mark.parametrize(
+    "case", [0, 4] + [pytest.param(c, marks=pytest.mark.slow)
+                      for c in (1, 2, 3, 5)])
 def test_dense_tiled_fused_agree_on_random_configs(case):
     rng = np.random.default_rng(1000 + case)
     n_search, n_query, aspect, edge, radii, kind, m, q_cap = \

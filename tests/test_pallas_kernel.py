@@ -194,6 +194,94 @@ def test_packed_candidate_overflow_is_counted():
     assert tight.shape == (4096, 4)
 
 
+def test_packed_split_caps_match_single_cap():
+    # two-bucket (c_lo, c_hi, e_hi) capacities from
+    # span_host.candidate_caps_split gather exactly the same candidate
+    # rows per entry as one max-sized cap (the bucket argsort is
+    # un-permuted before the layouts), so the multi-band features must
+    # be BIT-identical when nothing is dropped
+    import jax
+    from nimrud_tpu.features.multiscale import _host_unique_voxels
+    from nimrud_tpu.ops import device_grid, packing, span_host, unique
+    rng = np.random.default_rng(33)
+    sparse = (rng.random((3000, 3)) * [12, 12, 3]).astype(np.float32)
+    dense = rng.normal([6, 6, 1.5], 0.12, (3000, 3)).astype(np.float32)
+    pts = np.vstack([sparse, dense]).astype(np.float32)
+    lo, hi = pts.min(0), pts.max(0)
+    edge, radius = 0.2, 0.8
+    spec = device_grid.make_spec(lo, hi, radius, n_query=8192,
+                                 voxel_edge=edge, q_cap=64, x_seg=4)
+    vox = packing.GridSpec.fit_bounds(lo, hi, edge)
+    q = jnp.asarray(np.vstack([pts, np.zeros((8192 - 6000, 3),
+                                             np.float32)]))
+    qv = jnp.arange(8192) < 6000
+    centers, _, mask = unique.unique_voxels(q, vox, valid=qv)
+
+    host_centers = _host_unique_voxels(pts, edge)
+    split = span_host.candidate_caps_split(pts, host_centers, spec)
+    assert isinstance(split, tuple), split         # the cluster splits
+    single = span_host.candidate_cap(pts, host_centers, spec)
+
+    interp = jax.default_backend() not in ("tpu", "axon")
+    kw = dict(interpret=interp, with_stats=True)
+    f_split, st_split = device_grid.fused_extract_packed_multi(
+        q, qv, (centers,), (mask,), spec, (spec,), ((radius, 0.4),),
+        "minimal", None, 6000, (split,), **kw)
+    f_one, st_one = device_grid.fused_extract_packed_multi(
+        q, qv, (centers,), (mask,), spec, (spec,), ((radius, 0.4),),
+        "minimal", None, 6000, (single,), **kw)
+    assert int(st_split["dropped_candidates"]) == 0
+    assert int(st_one["dropped_candidates"]) == 0
+    np.testing.assert_array_equal(np.asarray(f_split), np.asarray(f_one))
+
+
+def _dot_reduce(w, feats):
+    # stand-in for the serving classifier reduce: one matmul, tuple out
+    return (feats @ w,)
+
+
+def test_packed_entry_chunked_matches_unchunked():
+    # entry_chunk runs the per-entry pipeline (pack + gather + kernel +
+    # layout + reduce) under lax.map in bounded chunks; the reduced
+    # rows each query's plan position points at must be bit-identical
+    # to the un-chunked program
+    import jax
+    from nimrud_tpu.features.multiscale import _host_unique_voxels
+    from nimrud_tpu.features.layouts import LAYOUT_WIDTHS
+    from nimrud_tpu.ops import device_grid, packing, span_host, unique
+    rng = np.random.default_rng(34)
+    pts = (rng.random((6000, 3)) * [12, 12, 3]).astype(np.float32)
+    lo, hi = pts.min(0), pts.max(0)
+    edge, radii = 0.25, (0.8, 0.4)
+    spec = device_grid.make_spec(lo, hi, max(radii), n_query=8192,
+                                 voxel_edge=edge, q_cap=64, x_seg=4)
+    vox = packing.GridSpec.fit_bounds(lo, hi, edge)
+    q = jnp.asarray(np.vstack([pts, np.zeros((8192 - 6000, 3),
+                                             np.float32)]))
+    qv = jnp.arange(8192) < 6000
+    centers, _, mask = unique.unique_voxels(q, vox, valid=qv)
+    host_centers = _host_unique_voxels(pts, edge)
+    cap = span_host.candidate_cap(pts, host_centers, spec)
+
+    width = LAYOUT_WIDTHS["minimal"] * len(radii)
+    w = jnp.asarray(rng.standard_normal((width, 3)).astype(np.float32))
+    interp = jax.default_backend() not in ("tpu", "axon")
+    kw = dict(interpret=interp, with_stats=True, order="plan",
+              reduce_fn=_dot_reduce, reduce_args=w)
+    args = (q, qv, (centers,), (mask,), spec, (spec,), (radii,),
+            "minimal", None, 6000, (cap,))
+    (flat_a, pos_a), st_a = device_grid.fused_extract_packed_multi(
+        *args, **kw)
+    # 3 chunks with a ragged tail (e_cap 256 -> 96+96+64-pad)
+    (flat_b, pos_b), st_b = device_grid.fused_extract_packed_multi(
+        *args, entry_chunk=96, **kw)
+    assert int(st_a["dropped_candidates"]) == 0
+    assert int(st_b["dropped_candidates"]) == 0
+    a = np.asarray(flat_a[0])[np.asarray(pos_a)]
+    b = np.asarray(flat_b[0])[np.asarray(pos_b)]
+    np.testing.assert_array_equal(a, b)
+
+
 def test_packed_sazo_matches_xla():
     # the packed kernel computes SAZO natively (masked max/min dz in
     # slab rows 10/11); the statistic itself is exact arithmetic, so it

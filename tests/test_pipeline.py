@@ -70,6 +70,7 @@ def test_sklearn_classifier_falls_back():
     assert (predicted == labels).mean() > 0.8
 
 
+@pytest.mark.slow
 def test_uint16_transfer_matches_float32():
     # quantized (uint16) cloud uploads: mm-scale resolution, identical
     # predictions at half the transfer volume
@@ -172,6 +173,7 @@ def test_fixed_bounds_share_one_program():
     assert (p[inside] == labels[inside]).mean() > 0.9
 
 
+@pytest.mark.slow
 def test_trim_entries_serving_cache():
     # with fixed bounds + trim_entries, fit caches occupancy-sized specs
     # and serving reuses them; predictions must match the untrimmed model
@@ -238,6 +240,7 @@ def test_predict_multichip_rejects_unsupported():
         dense_band.predict_multichip(cloud, mesh_shape=(2, 2))
 
 
+@pytest.mark.slow
 def test_predict_multichip_rpte():
     # the rpte device walk (scan over a replicated carry) under the
     # serving shard_map
@@ -251,6 +254,7 @@ def test_predict_multichip_rpte():
     assert (multi == single).mean() > 0.99
 
 
+@pytest.mark.slow
 def test_pallas_backend_matches_xla_predict():
     # the span-DMA moment kernel behind the fused single-dispatch
     # predict: same labels as the XLA candidate-table path
@@ -292,6 +296,7 @@ def test_packed_backend_matches_xla_predict_multiband():
     assert int(diag["dropped_candidates"]) == 0
 
 
+@pytest.mark.slow
 def test_packed_split_caps_match_xla():
     # heavy-tailed candidate totals (a dense cluster inside a sparse
     # site) make span_host.candidate_caps_split return a two-bucket
@@ -322,6 +327,7 @@ def test_packed_split_caps_match_xla():
     assert np.array_equal(a, np.asarray(b)[:len(a)])
 
 
+@pytest.mark.slow
 def test_packed_chunked_serving_matches_unchunked():
     # the 10M+ workloads serve with the per-slot pipeline chunked over
     # entries under lax.map (bounded peak HBM); labels AND
