@@ -412,15 +412,23 @@ def plan_report(query, search, scaleset, *, method="tiled", tuning=None):
         for edge, radii in scaleset:
             if edge <= 0:
                 raise ValueError("fused plan needs voxel edges > 0")
-            use_spans = tuning.get("backend") == "pallas"
+            # resolve the backend exactly like extract_scaleset does
+            # (default: packed on real TPU, xla elsewhere) so the
+            # report describes the plan the extraction actually runs
+            backend = tuning.get("backend")
+            if backend is None:
+                import jax
+                backend = "packed" \
+                    if jax.default_backend() in ("tpu", "axon") else "xla"
+            use_kernel = backend in ("pallas", "packed")
             spec = device_grid.make_spec(
                 lo, hi, max(radii), n_query=q_bucket,
                 m=tuning.get("query_tile_factor", 3),
                 q_cap=tuning.get("query_capacity")
-                or (256 if use_spans else 128),
+                or (256 if use_kernel else 128),
                 voxel_edge=edge,
                 entry_batch=tuning.get("entry_batch", 256),
-                x_seg=tuning.get("x_seg", 32) if use_spans else 1)
+                x_seg=tuning.get("x_seg", 32) if use_kernel else 1)
             worst = spec.e_cap
             if tuning.get("estimate_entries", True):
                 spec = device_grid.with_entry_estimate(spec, query)

@@ -593,10 +593,17 @@ def _shared_span_rows(plan, spec):
     """Static per-span live-point cap for a band under a shared pack
     plan: the entry's coarse-x extent in band fine tiles, plus the +-1
     fine-tile slop, times the band's per-tile cap.  Equals
-    ``spec.span_rows`` when the band is its own pack grid."""
+    ``spec.span_rows`` when the band is its own pack grid.
+
+    Non-integral pack/band ratios take the eps-widened float branch of
+    :func:`_band_spans`, whose x-range can reach ceil(x_seg*ratio)+5
+    fine tiles (floor(lo-1-eps)..ceil(hi+1+eps)-1); the +2 budget of
+    the exact integer case would silently clip a maximally-populated
+    span's TAIL there (uncounted -- the host mirror clips alike)."""
     ratio = plan["coarse_edge"] / float(spec.tile_edge)
     x_seg = plan["x_seg_pack"]
-    return int(np.ceil(x_seg * ratio) + 2) * spec.s_cap
+    slop = 2 if abs(ratio - round(ratio)) < 1e-9 else 5
+    return int(np.ceil(x_seg * ratio) + slop) * spec.s_cap
 
 
 def _span_problem(query, q_valid, search, s_valid, spec, attrs=None):

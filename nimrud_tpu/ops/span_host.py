@@ -103,7 +103,11 @@ def band_span_lens(plan, search, s_valid, spec):
     counts_ext = np.concatenate([s_counts, [0]])
 
     ratio = plan["coarse_edge"] / float(spec.tile_edge)
-    span_rows = int(np.ceil(plan["x_seg_pack"] * ratio) + 2) * spec.s_cap
+    # MUST mirror device_grid._shared_span_rows (the eps-widened float
+    # branch below reaches ceil(x_seg*ratio)+5 fine tiles)
+    slop = 2 if abs(ratio - round(ratio)) < 1e-9 else 5
+    span_rows = int(np.ceil(plan["x_seg_pack"] * ratio) + slop) \
+        * spec.s_cap
     if abs(ratio - round(ratio)) < 1e-9:
         m = int(round(ratio))
         x0 = tx_lo * m - 1
@@ -180,9 +184,9 @@ def candidate_cap(query, search, spec, s_valid=None, margin=1.25,
     search = np.asarray(search, np.float32)
     if s_valid is None:
         s_valid = np.ones(search.shape[0], bool)
+    pk = pack_spec if pack_spec is not None else spec
     if plan is None:
         q = np.asarray(query, np.float32)
-        pk = pack_spec if pack_spec is not None else spec
         plan = pack_plan_np(q, np.ones(q.shape[0], bool), pk)
     if segment_wide:
         qd = pk.qdims

@@ -451,8 +451,13 @@ class GeometryClassifier:
                     interp = band[3] if len(band) > 3 else None
                     c_cap = band[5] if len(band) > 5 else None
                     dev = device_grid.with_entry_estimate(dev, arr)
-                    v_cap = None
-                    if self.kind != "vector" and edge > 0:
+                    # the packed backend already sized v_cap (same
+                    # formula) in _fused_band_specs -- re-deriving it
+                    # would re-voxelize the cloud per band (minutes of
+                    # serial host prep at 10M points on this box)
+                    v_cap = band[4] if len(band) > 4 else None
+                    if v_cap is None and self.kind != "vector" \
+                            and edge > 0:
                         n_vox = len(
                             multiscale._host_unique_voxels(arr, edge))
                         v_cap = n_vox + n_vox // 4 + 4096
@@ -513,7 +518,12 @@ class GeometryClassifier:
         if any(edge <= 0 for edge, _ in self.scaleset):
             return None
         key = (multiscale._pow2_bucket(cloud.shape[0]),
-               multiscale._pow2_bucket(search.shape[0]))
+               multiscale._pow2_bucket(search.shape[0]),
+               # vector specs differ by whether the packed kernel can
+               # carry the attribute block (<= 6 columns): a cached
+               # packed spec must not serve a wider attribute set
+               (attr_width is not None and attr_width <= 6)
+               if self.kind == "vector" else None)
         if self._spec_cache is not None:
             cached_key, cached = self._spec_cache
             if key == cached_key:
@@ -861,7 +871,16 @@ class GeometryClassifier:
             hi = np.asarray(c_hi, np.float64)
 
         if mesh is None:
-            mesh = pmesh.make_mesh_2d(mesh_shape)
+            # reuse one Mesh per shape: the compile cache below keys on
+            # the mesh identity, and a fresh Mesh every call would make
+            # every lookup miss (re-jitting the whole fused program)
+            if not hasattr(self, "_mesh_cache"):
+                self._mesh_cache = {}
+            shape_key = tuple(int(s) for s in mesh_shape)
+            mesh = self._mesh_cache.get(shape_key)
+            if mesh is None:
+                mesh = pmesh.make_mesh_2d(mesh_shape)
+                self._mesh_cache[shape_key] = mesh
         # halo must cover the largest radius PLUS a voxel edge: a voxel
         # center within the radius can be induced by points up to a cell
         # away across the shard boundary
@@ -881,10 +900,27 @@ class GeometryClassifier:
             dev_specs = [device_grid.make_spec(
                 lo, hi, max(radii), n_query=rows, voxel_edge=edge,
                 q_cap=256, x_seg=32) for edge, radii in self.scaleset]
-            pack_spec = min(dev_specs, key=lambda s: s.tile_edge)
+            pack_idx = min(range(len(dev_specs)),
+                           key=lambda i: dev_specs[i].tile_edge)
+            pack_spec = dev_specs[pack_idx]
+            # the sizing plan must enumerate EVERY populated segment of
+            # the full cloud: the per-shard dev_specs budget e_cap for
+            # `rows` queries only, and pack_plan_np drops entries past
+            # that budget -- measuring the whole cloud against them
+            # would leave later (high y/z) segments unmeasured and the
+            # caps undersized on dense sites.  The grid geometry
+            # (qdims, x_seg, segments) depends only on bounds+edge, so
+            # a full-cloud-capacity twin of pack_spec aligns exactly.
+            pack_edge, pack_radii = self.scaleset[pack_idx]
+            size_pack = device_grid.make_spec(
+                lo, hi, max(pack_radii), n_query=len(cloud),
+                voxel_edge=pack_edge, q_cap=256, x_seg=32)
+            size_plan = span_host.pack_plan_np(
+                cloud, np.ones(len(cloud), bool), size_pack)
             c_caps = tuple(span_host.candidate_cap(
                 cloud, multiscale._host_unique_voxels(cloud, edge),
-                dev_spec, pack_spec=pack_spec, segment_wide=True)
+                dev_spec, pack_spec=size_pack, segment_wide=True,
+                plan=size_plan)
                 for (edge, _), dev_spec in zip(self.scaleset, dev_specs))
 
         # one compiled program per (mesh, static shard shape, backend):
@@ -905,6 +941,8 @@ class GeometryClassifier:
                 clf_kind, clf_params, clf_static,
                 precision=self.precision, backend=self.backend,
                 c_caps=c_caps)
+            if len(self._multichip_cache) > 8:  # bound compiled programs
+                self._multichip_cache.clear()
             self._multichip_cache[key] = run
         labels, dropped = run(jnp.asarray(shards["blocks"]),
                               jnp.asarray(shards["valid"]))

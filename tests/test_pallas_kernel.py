@@ -4,6 +4,7 @@ entry-stats path (interpreter mode on CPU).
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from nimrud_tpu.ops.pallas import multiscale_kernel as pk
@@ -82,6 +83,7 @@ def test_moments_from_slabs_matches_xla_stats():
                            np.asarray(ref["cov"])[have], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_span_entry_batching_matches_unbatched():
     # entries_per_step changes DMA scheduling only, never results; a
     # batch that does not divide the padded entry count exercises the
@@ -125,6 +127,7 @@ def test_span_backend_matches_xla_fused():
         np.abs(spans[pop_same] - xla[pop_same]).max()
 
 
+@pytest.mark.slow
 def test_span_bf16x2_precision_counts_exact():
     # the 2-pass bf16 hi+lo moment dot: populations must be EXACT (the
     # 0/1 mask and the ones row are bf16-representable); other features
