@@ -440,10 +440,10 @@ class GeometryClassifier:
             # serving clouds overflow into the counted vox_dropped
             # diagnostic rather than failing.
             arr = np.asarray(cloud, dtype=np.float32)[:, :3]
-            specs = self._fused_band_specs(
-                arr, arr,
-                attr_width=None if attributes is None
-                else np.asarray(attributes).shape[1])
+            attr_width = None if attributes is None \
+                else np.asarray(attributes).shape[1]
+            specs = self._fused_band_specs(arr, arr,
+                                           attr_width=attr_width)
             if specs is not None:
                 trimmed = []
                 for band, (edge, _) in zip(specs, self.scaleset):
@@ -464,8 +464,8 @@ class GeometryClassifier:
                         v_cap = -(-v_cap // 16384) * 16384
                     trimmed.append((vox, dev, rr, interp, v_cap, c_cap))
                 self._spec_cache = (
-                    (multiscale._pow2_bucket(arr.shape[0]),
-                     multiscale._pow2_bucket(arr.shape[0])),
+                    self._spec_key(arr.shape[0], arr.shape[0],
+                                   attr_width),
                     tuple(trimmed))
         return self
 
@@ -501,6 +501,16 @@ class GeometryClassifier:
                 (clf.max_depth_, clf.d_func)
         return None
 
+    def _spec_key(self, n_query, n_search, attr_width):
+        """Cache key shared by _fused_band_specs and fit's trim path:
+        size buckets plus (for kind="vector") whether the packed kernel
+        can carry the attribute block (<= 6 columns) -- a cached packed
+        spec must never serve a wider attribute set."""
+        return (multiscale._pow2_bucket(n_query),
+                multiscale._pow2_bucket(n_search),
+                (attr_width is not None and attr_width <= 6)
+                if self.kind == "vector" else None)
+
     def _fused_band_specs(self, cloud, search, bounds=None,
                           attr_width=None):
         """Static per-band specs for the one-jit predict, or None.
@@ -517,13 +527,10 @@ class GeometryClassifier:
             return None
         if any(edge <= 0 for edge, _ in self.scaleset):
             return None
-        key = (multiscale._pow2_bucket(cloud.shape[0]),
-               multiscale._pow2_bucket(search.shape[0]),
-               # vector specs differ by whether the packed kernel can
-               # carry the attribute block (<= 6 columns): a cached
-               # packed spec must not serve a wider attribute set
-               (attr_width is not None and attr_width <= 6)
-               if self.kind == "vector" else None)
+        # (helper shared with fit's trim path -- both sides of the spec
+        # caches must agree on the key or serving misses fit-time specs)
+        key = self._spec_key(cloud.shape[0], search.shape[0],
+                             attr_width)
         if self._spec_cache is not None:
             cached_key, cached = self._spec_cache
             if key == cached_key:
