@@ -367,6 +367,7 @@ class GeometryClassifier:
         self._spec_cache = None
         self._stage_spec_cache = {}
         self._multichip_cache = {}
+        self._multichip_caps_cache = {}
         if transfer_dtype not in ("float32", "uint16"):
             raise ValueError("transfer_dtype must be float32 or uint16")
         self.transfer_dtype = transfer_dtype
@@ -408,6 +409,7 @@ class GeometryClassifier:
         self._spec_cache = None        # a refit resizes everything
         self._stage_spec_cache = {}
         self._multichip_cache = {}     # ...including the mesh programs
+        self._multichip_caps_cache = {}
         rows = None
         if sample is not None and sample < len(labels):
             rows = np.random.RandomState(seed).permutation(
@@ -843,6 +845,36 @@ class GeometryClassifier:
 
     # -- multi-chip serving -----------------------------------------------------
 
+    def _size_multichip_caps(self, cloud, lo, hi, rows):
+        """Segment-wide per-band candidate capacities for the packed
+        multichip program (host-side; see predict_multichip).
+
+        The sizing plan must enumerate EVERY populated segment of the
+        full cloud: the per-shard dev specs budget e_cap for ``rows``
+        queries only, and pack_plan_np drops entries past that budget
+        -- measuring the whole cloud against them would leave later
+        (high y/z) segments unmeasured and the caps undersized on dense
+        sites.  The grid geometry (qdims, x_seg, segments) depends only
+        on bounds+edge, so a full-cloud-capacity twin of the pack spec
+        aligns exactly."""
+        from nimrud_tpu.ops import span_host
+        dev_specs = [device_grid.make_spec(
+            lo, hi, max(radii), n_query=rows, voxel_edge=edge,
+            q_cap=256, x_seg=32) for edge, radii in self.scaleset]
+        pack_idx = min(range(len(dev_specs)),
+                       key=lambda i: dev_specs[i].tile_edge)
+        pack_edge, pack_radii = self.scaleset[pack_idx]
+        size_pack = device_grid.make_spec(
+            lo, hi, max(pack_radii), n_query=len(cloud),
+            voxel_edge=pack_edge, q_cap=256, x_seg=32)
+        size_plan = span_host.pack_plan_np(
+            cloud, np.ones(len(cloud), bool), size_pack)
+        return tuple(span_host.candidate_cap(
+            cloud, multiscale._host_unique_voxels(cloud, edge),
+            dev_spec, pack_spec=size_pack, segment_wide=True,
+            plan=size_plan)
+            for (edge, _), dev_spec in zip(self.scaleset, dev_specs))
+
     def predict_multichip(self, cloud, mesh_shape, mesh=None):
         """
         Per-point class labels computed across a 2-D device mesh: the
@@ -904,32 +936,25 @@ class GeometryClassifier:
             # subsets of the segment-wide rows (span_host.candidate_cap)
             from nimrud_tpu.ops import span_host
             rows = shards["blocks"].shape[1]
-            dev_specs = [device_grid.make_spec(
-                lo, hi, max(radii), n_query=rows, voxel_edge=edge,
-                q_cap=256, x_seg=32) for edge, radii in self.scaleset]
-            pack_idx = min(range(len(dev_specs)),
-                           key=lambda i: dev_specs[i].tile_edge)
-            pack_spec = dev_specs[pack_idx]
-            # the sizing plan must enumerate EVERY populated segment of
-            # the full cloud: the per-shard dev_specs budget e_cap for
-            # `rows` queries only, and pack_plan_np drops entries past
-            # that budget -- measuring the whole cloud against them
-            # would leave later (high y/z) segments unmeasured and the
-            # caps undersized on dense sites.  The grid geometry
-            # (qdims, x_seg, segments) depends only on bounds+edge, so
-            # a full-cloud-capacity twin of pack_spec aligns exactly.
-            pack_edge, pack_radii = self.scaleset[pack_idx]
-            size_pack = device_grid.make_spec(
-                lo, hi, max(pack_radii), n_query=len(cloud),
-                voxel_edge=pack_edge, q_cap=256, x_seg=32)
-            size_plan = span_host.pack_plan_np(
-                cloud, np.ones(len(cloud), bool), size_pack)
-            c_caps = tuple(span_host.candidate_cap(
-                cloud, multiscale._host_unique_voxels(cloud, edge),
-                dev_spec, pack_spec=size_pack, segment_wide=True,
-                plan=size_plan)
-                for (edge, _), dev_spec in zip(self.scaleset, dev_specs))
-
+            # with fixed site bounds, size the caps ONCE per (mesh
+            # shape, shard rows) and reuse them for the whole stream --
+            # the sizing pass argsorts the full cloud (seconds of host
+            # time at 10M points), and per-cloud caps would land in the
+            # compile key below, recompiling the fused program whenever
+            # a jittering cloud's measured maximum crossed a 128-lane
+            # boundary.  Denser-than-first clouds overflow into the
+            # counted per-shard diagnostic + warning, matching the
+            # single-chip fixed-bounds contract.
+            caps_key = None
+            if self.bounds is not None:
+                if not hasattr(self, "_multichip_caps_cache"):
+                    self._multichip_caps_cache = {}
+                caps_key = (tuple(int(s) for s in mesh_shape), rows)
+                c_caps = self._multichip_caps_cache.get(caps_key)
+            if c_caps is None:
+                c_caps = self._size_multichip_caps(cloud, lo, hi, rows)
+                if caps_key is not None:
+                    self._multichip_caps_cache[caps_key] = c_caps
         # one compiled program per (mesh, static shard shape, backend):
         # streams of same-size clouds hit the cache (halo caps are
         # pow2-bucketed, so they repeat for same-scene clouds); fit()
