@@ -526,9 +526,15 @@ def _band_spans(plan, search, s_valid, spec, attrs=None):
         row_hi_z = tz * m + m
         n_rows = m + 2
     else:
-        # float path: a hair of slack guards f32 rounding at tile
-        # boundaries (the masks discard any extra candidates)
-        eps = 1e-4
+        # float path: slack guards f32 rounding at tile boundaries (the
+        # masks discard any extra candidates).  The f32 product t*r32
+        # carries absolute error up to t*ratio*2^-23; the 30-bit key
+        # budget bounds fine-tile indices below ~2^17, so the error is
+        # < 131072 * 1.2e-7 = 0.016 -- eps=0.05 provably covers it on
+        # every admissible grid (1e-4 could be EXCEEDED past fine index
+        # ~1700, silently dropping a boundary slop tile on both device
+        # and host mirror at once)
+        eps = 0.05
         r32 = jnp.float32(ratio)
 
         def lo_of(t):

@@ -116,7 +116,10 @@ def band_span_lens(plan, search, s_valid, spec):
         row_lo_z, row_hi_z = tz * m - 1, tz * m + m
         n_rows = m + 2
     else:
-        eps = 1e-4
+        # MUST mirror device_grid._band_spans: eps=0.05 covers the f32
+        # product's rounding error on every grid the 30-bit key budget
+        # admits (see the derivation there)
+        eps = 0.05
         r32 = np.float32(ratio)
 
         def lo_of(t):

@@ -85,9 +85,13 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
         searches, masks, cattrs = [], [], []
         for band in band_specs:
             vox_spec = band[0]
-            interp_spec = band[3] if len(band) > 3 else None
             v_cap = band[4] if len(band) > 4 else None
             if kind == "vector":
+                # the multi branch is only reachable for attr_width <= 6
+                # (the packed kernel's attribute budget), where the
+                # gather interp is the auto choice -- band[3]'s
+                # matmul-interp spec applies to the >8-column fallback
+                # path below only
                 from nimrud_tpu.ops import interp
                 centers, mask, ca, i_stats = \
                     interp.interp_to_voxels.__wrapped__(
@@ -235,7 +239,11 @@ def _serving_entry_chunk(e_cap, q_cap, chunk_slots):
     max_slots = _CHUNK_SLOTS if chunk_slots is None else chunk_slots
     if e_cap * q_cap <= max_slots:
         return None
-    return max(-(-max_slots // q_cap // 256), 1) * 256
+    # floor to the 256-entry lax.map granularity so the chunk respects
+    # the caller's slot budget (a ceiling overshot small budgets by up
+    # to 256*q_cap-1 slots -- the knob exists to BOUND peak HBM); the
+    # 256-entry floor is the hard minimum the pipeline can chunk at
+    return max(max_slots // q_cap // 256, 1) * 256
 
 
 class _FusedReducer:
@@ -347,17 +355,22 @@ class GeometryClassifier:
         if backend not in ("xla", "pallas", "packed", "auto"):
             raise ValueError(
                 "backend must be xla, pallas, packed or auto")
-        if backend == "auto":
-            backend = "packed" \
-                if jax.default_backend() in ("tpu", "axon") else "xla"
-        self.backend = backend
+        # "auto" resolves LAZILY (first .backend read): probing
+        # jax.default_backend() here would initialize the jax client as
+        # a construction side effect -- on this repo's own environment
+        # that locks the platform before callers can force CPU
+        # in-process (CLAUDE.md: the sitecustomize overrides
+        # JAX_PLATFORMS), and construction could block on remote client
+        # init
+        self._backend = backend
         # "highest" everywhere by default.  For the Pallas backends,
         # "bf16x2" runs the moment dot as three bf16 passes (counts stay
         # exact, features within ~1e-3 abs; validated
         # scripts/validate_precision.py + tests).
         if precision == "bf16x2" and backend not in ("pallas", "packed"):
             raise ValueError(
-                "precision='bf16x2' needs backend='pallas' or 'packed'")
+                "precision='bf16x2' needs backend='pallas' or 'packed' "
+                "(named explicitly, not 'auto')")
         self.precision = precision
         # entry-slot budget above which the packed serving program runs
         # its per-slot pipeline (candidate pack + kernel + layout +
@@ -395,6 +408,16 @@ class GeometryClassifier:
         return np.asarray(self.extract_device(cloud, search, attributes))
 
     # -- training -------------------------------------------------------------
+
+    @property
+    def backend(self):
+        """The serving backend, resolving "auto" on first read (packed
+        on real TPU, xla elsewhere) -- deferred so constructing a model
+        never initializes the jax client."""
+        if self._backend == "auto":
+            self._backend = "packed" \
+                if jax.default_backend() in ("tpu", "axon") else "xla"
+        return self._backend
 
     def fit(self, cloud, labels, search=None, sample=None, seed=0,
             attributes=None):
@@ -798,12 +821,6 @@ class GeometryClassifier:
             if pending is not None:
                 yield finish(pending)
 
-    def _predict_fused(self, cloud, search, attributes=None):
-        staged = self.stage(cloud, search, attributes)
-        if staged is None:
-            return None
-        return self.predict_staged(staged, with_proba=True)
-
     def predict_device(self, cloud, search=None, attributes=None):
         """
         Per-point class labels as a DEVICE array -- no device-to-host
@@ -811,9 +828,14 @@ class GeometryClassifier:
         stream clouds through this and batch the label downloads
         (host reads can be expensive on remote-attached devices).
         """
-        fused = self._predict_fused(cloud, search, attributes)
-        if fused is not None:
-            return fused[0]
+        staged = self.stage(cloud, search, attributes)
+        if staged is not None:
+            # label-only program: with_proba is STATIC on the packed
+            # backend (the probability reduce + its (n, n_classes)
+            # unsort gather compile out), and it matches the program
+            # predict/predict_stream/bench all run -- one compiled
+            # serving program, not a proba fork per entry point
+            return self.predict_staged(staged)
         probs = self.predict_proba_device(cloud, search, attributes)
         return jnp.argmax(probs, axis=1).astype(jnp.int32)
 

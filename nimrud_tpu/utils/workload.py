@@ -47,9 +47,14 @@ def make_bench_model(cloud, backend="packed", precision="highest",
         bounds=(cloud.min(0), cloud.max(0)), trim_entries=True)
 
 
-def lower_predict(model, staged):
+def lower_predict(model, staged, with_proba=False):
     """AOT-lower the exact program `predict_staged` dispatches for this
-    staged cloud (for compiled-HLO fetch / op-name attribution)."""
+    staged cloud (for compiled-HLO fetch / op-name attribution).
+
+    Must mirror pipeline.predict_staged's call EXACTLY -- with_proba
+    and chunk_slots are STATIC args that change the compiled program on
+    the packed backend, and the trace tooling attributes device ops by
+    matching fusion names against this lowering."""
     import jax
     import jax.numpy as jnp
     from nimrud_tpu import pipeline
@@ -63,4 +68,5 @@ def lower_predict(model, staged):
         clf_params, staged["specs"], model.kind, None, model.precision,
         staged["n_query"], clf_kind, clf_static, staged["dequant"],
         staged.get("attributes"), model.vector_s_cap, model.backend,
-        jax.default_backend() not in ("tpu", "axon"))
+        jax.default_backend() not in ("tpu", "axon"),
+        with_proba=with_proba, chunk_slots=model.serving_chunk_slots)
