@@ -733,6 +733,88 @@ def fused_extract_packed(query, q_valid, search, s_valid, spec, radii,
     return feats_out, stats
 
 
+@dataclass(frozen=True)
+class RaggedCaps:
+    """Static chunk budget for the RAGGED packed layout
+    (ops.pallas.ragged_kernel): entry e occupies exactly
+    ceil(candidate_total_e / CHUNK_W) 128-lane chunks of one shared
+    candidate array -- no per-entry cap at all.  ``n_chunks`` bounds the
+    TOTAL chunks per entry slice (host-sized with margin,
+    span_host.ragged_chunk_budget); entries past the budget truncate
+    into the counted dropped_candidates diagnostic."""
+    n_chunks: int
+
+
+def _ragged_tables(starts, lens, n_chunks, n_search, cw):
+    """Chunk->entry map + per-lane candidate source map for the ragged
+    kernel, from one band's span tables (device arithmetic only --
+    scatter + cummax + small-table gathers; no searchsorted).
+
+    Returns (src, chunk_entry, defined, dropped):
+      src:         (n_chunks, cw) int32 gather rows into the
+                   FAR-extended sorted cloud (``n_search`` = sentinel);
+      chunk_entry: (n_chunks,) int32 non-decreasing owner entries;
+      defined:     (E,) bool -- entry's slab is defined (it got chunks,
+                   or needed none); UNDEFINED entries' kernel output is
+                   garbage VMEM and must be zeroed by the caller;
+      dropped:     int32 candidates truncated by the chunk budget.
+    """
+    n_entries = starts.shape[0]
+    totals = jnp.sum(lens, axis=1)                    # (E,)
+    need = -(-totals // cw)
+    off = jnp.cumsum(need) - need                     # first chunk of e
+    nch = jnp.clip(n_chunks - off, 0, need)           # granted chunks
+    has = nch > 0
+
+    # chunk -> entry: scatter each granted entry at its first chunk,
+    # forward-fill with a cummax (distinct offsets by construction);
+    # trailing unscattered chunks repeat the last entry -- their lanes
+    # are all-sentinel, so they accumulate exact zeros
+    e_ids = jnp.arange(n_entries, dtype=jnp.int32)
+    chunk_entry = jnp.zeros(n_chunks, jnp.int32).at[
+        jnp.where(has, off, n_chunks)].max(e_ids, mode="drop")
+    chunk_entry = jax.lax.associative_scan(jnp.maximum, chunk_entry)
+
+    # per-chunk span-table rows (small gathers: n_chunks x n_span) and
+    # the same fused select chain as _pack_src, on packed-lane offsets
+    st = starts[chunk_entry]                          # (n_chunks, n_span)
+    ln = lens[chunk_entry]
+    off_in = jnp.cumsum(ln, axis=1) - ln
+    base = (jnp.arange(n_chunks, dtype=jnp.int32)
+            - off[chunk_entry]) * cw
+    j = base[:, None] + jnp.arange(cw, dtype=jnp.int32)[None, :]
+    src = jnp.full((n_chunks, cw), n_search, jnp.int32)
+    for i in range(ln.shape[1]):
+        o = off_in[:, i:i + 1]
+        hit = (j >= o) & (j < o + ln[:, i:i + 1])
+        src = jnp.where(hit, st[:, i:i + 1] + (j - o), src)
+
+    dropped = jnp.sum(jnp.maximum(totals - nch * cw, 0)).astype(jnp.int32)
+    defined = has | (need == 0)
+    return src, chunk_entry, defined, dropped
+
+
+def _ragged_slabs(q_t, centers, starts, lens, sorted3, n_chunks, radii,
+                  exclude_radius, interpret, precision, with_sazo,
+                  n_attr=0):
+    """Moment slabs for one band via the ragged kernel: build the chunk
+    tables, gather the ragged candidate array (lanes = measured totals,
+    128-rounded per entry -- 1M bench host mirror: 1.64M lanes vs 3.6M
+    under the two-bucket split caps), run the chunk-gridded kernel, and
+    zero the slabs of entries the kernel never visited."""
+    from nimrud_tpu.ops.pallas import ragged_kernel
+
+    src, chunk_entry, defined, dropped = _ragged_tables(
+        starts, lens, n_chunks, sorted3.shape[0] - 1,
+        ragged_kernel.CHUNK_W)
+    cand_t = sorted3[src.reshape(-1)].T
+    slabs = ragged_kernel.ragged_moments.__wrapped__(
+        q_t, cand_t, centers, chunk_entry, radii, exclude_radius,
+        interpret, precision, with_sazo, n_attr)
+    slabs = jnp.where(defined[:, None, None], slabs, 0.0)
+    return slabs, dropped
+
+
 _GATHER_CHUNK = 4 * 1024 * 1024   # lanes per packing-gather piece: the
                                   # largest size where XLA reliably
                                   # fuses the gather+transpose (see the
@@ -823,6 +905,63 @@ def _packed_slabs(q_t, centers, src3, sorted3, radii, exclude_radius,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("spec", "radii", "kind", "exclude_radius",
+                     "n_out", "n_chunks", "interpret", "precision",
+                     "with_stats"))
+def fused_extract_ragged(query, q_valid, search, s_valid, spec, radii,
+                         kind, exclude_radius, n_out, n_chunks,
+                         interpret=False, precision="highest",
+                         with_stats=False, attributes=None):
+    """
+    Raw padded clouds -> feature block via the RAGGED packed-candidate
+    Pallas kernel (nimrud_tpu.ops.pallas.ragged_kernel): same span plan
+    as :func:`fused_extract_packed`, but the candidate array holds
+    exactly each entry's measured candidate total (128-rounded) --
+    no per-entry cap, ~2-3x fewer gather and kernel lanes than the
+    two-bucket split caps on the 1M bench host mirror.
+
+    ``n_chunks`` (static) bounds total 128-lane chunks; size it with
+    :func:`nimrud_tpu.ops.span_host.ragged_chunk_budget`.  Entries past
+    the budget truncate into the counted ``dropped_candidates`` stat.
+    """
+    from nimrud_tpu.features import layouts
+    from nimrud_tpu.ops.pallas import multiscale_kernel
+
+    n_attr = 0 if attributes is None else attributes.shape[1]
+    prob = _span_problem(query, q_valid, search, s_valid, spec,
+                         attrs=attributes)
+    sazo = layouts.needs_sazo(kind)
+    slabs, dropped = _ragged_slabs(
+        prob["q_t"], prob["centers"], prob["span_starts"],
+        prob["span_lens"], _far_extended(prob["sorted_pts"]), n_chunks,
+        radii, exclude_radius, interpret, precision, sazo,
+        n_attr=n_attr)
+    per_radius = multiscale_kernel.moments_from_slabs(
+        slabs, prob["centers"], radii, with_sazo=sazo, n_attr=n_attr)
+
+    blocks = []
+    for p, radius in zip(per_radius, radii):
+        if kind == "vector":
+            blocks.append(p["attr_mean"])
+            continue
+        blocks.append(layouts.build_block(
+            kind, p["count"], p["mean_local"] + prob["centers"][:, None, :],
+            p["cov"], prob["q_pts"], radius, sazo=p.get("sazo")))
+    feats = jnp.concatenate(blocks, axis=-1)
+    feats_out = _unsort_features(feats, prob, spec, query.shape[0], n_out)
+    if not with_stats:
+        return feats_out
+    stats = {
+        "dropped_query": (
+            jnp.sum(q_valid.astype(jnp.int32)) - jnp.sum(prob["count"])
+        ).astype(jnp.int32),
+        "dropped_candidates": dropped,
+    }
+    return feats_out, stats
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("pack_spec", "band_specs", "radii_bands", "kind",
                      "exclude_radius", "n_out", "c_caps", "interpret",
                      "entry_batch", "precision", "with_stats", "order",
@@ -907,7 +1046,12 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
         the same exact results.  The slabs are un-permuted before the
         layouts, so positions and downstream order never see the sort.
         """
-        if isinstance(c_cap, tuple):
+        if isinstance(c_cap, RaggedCaps):
+            slabs, drop = _ragged_slabs(
+                q_t_c, centers_c, starts_c, lens_c, sorted3,
+                c_cap.n_chunks, radii, exclude_radius, interpret,
+                precision, sazo, n_attr=n_attr)
+        elif isinstance(c_cap, tuple):
             c_lo, c_hi, e_hi = c_cap
             totals = jnp.sum(lens_c, axis=1)
             order = jnp.argsort(-totals)

@@ -67,7 +67,7 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
     # the packed backend runs ALL bands in one shared-query-plan program
     # (fused_extract_packed_multi): one query sort, one (E, q_cap)
     # gather, one caller-order unsort for the whole scaleset
-    use_multi = (backend == "packed"
+    use_multi = (backend in ("packed", "ragged")
                  and all(len(b) > 5 and b[5] is not None
                          for b in band_specs))
     if use_multi:
@@ -125,8 +125,9 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                 tuple(b[1] for b in band_specs),
                 tuple(b[2] for b in band_specs), kind, exclude_radius,
                 n_query,
-                tuple(b[5] if isinstance(b[5], tuple) else int(b[5])
-                      for b in band_specs),
+                tuple(b[5] if isinstance(
+                          b[5], (tuple, device_grid.RaggedCaps))
+                      else int(b[5]) for b in band_specs),
                 interpret, 8, span_prec, with_stats=True, order="plan",
                 attributes=tuple(cattrs), entry_chunk=entry_chunk,
                 reduce_fn=reducer, reduce_args=clf_params)
@@ -352,9 +353,9 @@ class GeometryClassifier:
         # NOTE: "packed" sizes per-entry candidate capacity on the HOST
         # (ops.span_host) at spec-build time; with fixed ``bounds`` the
         # result is cached, without them it recomputes per staged cloud.
-        if backend not in ("xla", "pallas", "packed", "auto"):
+        if backend not in ("xla", "pallas", "packed", "ragged", "auto"):
             raise ValueError(
-                "backend must be xla, pallas, packed or auto")
+                "backend must be xla, pallas, packed, ragged or auto")
         # "auto" resolves LAZILY (first .backend read): probing
         # jax.default_backend() here would initialize the jax client as
         # a construction side effect -- on this repo's own environment
@@ -367,10 +368,11 @@ class GeometryClassifier:
         # "bf16x2" runs the moment dot as three bf16 passes (counts stay
         # exact, features within ~1e-3 abs; validated
         # scripts/validate_precision.py + tests).
-        if precision == "bf16x2" and backend not in ("pallas", "packed"):
+        if precision == "bf16x2" \
+                and backend not in ("pallas", "packed", "ragged"):
             raise ValueError(
-                "precision='bf16x2' needs backend='pallas' or 'packed' "
-                "(named explicitly, not 'auto')")
+                "precision='bf16x2' needs backend='pallas', 'packed' or "
+                "'ragged' (named explicitly, not 'auto')")
         self.precision = precision
         # entry-slot budget above which the packed serving program runs
         # its per-slot pipeline (candidate pack + kernel + layout +
@@ -593,8 +595,9 @@ class GeometryClassifier:
             from nimrud_tpu.features import layouts as _layouts
             # packed computes SAZO natively and carries up to 6
             # attribute columns (V_MSO); the span kernel does neither
+            packed_like = self.backend in ("packed", "ragged")
             use_pallas = (
-                (self.backend == "packed"
+                (packed_like
                  and (self.kind != "vector"
                       or (attr_width is not None and attr_width <= 6)))
                 or (self.backend == "pallas" and self.kind != "vector"
@@ -603,14 +606,13 @@ class GeometryClassifier:
             # packing gather -- candidate lanes drop ~40% vs 256
             # because the +-1-tile fringe is shared by more queries);
             # the span kernel wants 256; the XLA matmul path 128
-            q_cap = (512 if self.backend == "packed" else 256) \
-                if use_pallas else 128
+            q_cap = (512 if packed_like else 256) if use_pallas else 128
             dev_specs = [device_grid.make_spec(
                 lo, hi, max(radii), n_query=q_bucket,
                 voxel_edge=edge, q_cap=q_cap,
                 x_seg=32 if use_pallas else 1)
                 for edge, radii in self.scaleset]
-            if use_pallas and self.backend == "packed":
+            if use_pallas and packed_like:
                 # entry capacity from the cloud's real segment occupancy
                 # (dead entries cost kernel batches AND, at the 10M
                 # workload, gigabytes of dead q/slab rows); overflow on
@@ -623,7 +625,7 @@ class GeometryClassifier:
             # finest-tile band's grid bounds every band's reach
             pack_spec = min(dev_specs, key=lambda s: s.tile_edge)
             host_plan = None
-            if use_pallas and self.backend == "packed":
+            if use_pallas and packed_like:
                 # one host mirror of that shared plan for every band's
                 # capacity sizing (re-deriving it per band argsorts the
                 # whole cloud each time -- minutes at 10M points)
@@ -636,7 +638,7 @@ class GeometryClassifier:
                 vox_spec = packing.GridSpec.fit_bounds(s_lo, s_hi, edge)
                 c_cap = None
                 v_cap = None
-                if use_pallas and self.backend == "packed":
+                if use_pallas and packed_like:
                     # static per-entry candidate capacity, sized on the
                     # HOST against this cloud's voxel-downsampled search
                     # set (a device readback would degrade the relay
@@ -646,11 +648,22 @@ class GeometryClassifier:
                     from nimrud_tpu.ops import span_host
                     host_centers = multiscale._host_unique_voxels(
                         np.asarray(search, np.float32)[:, :3], edge)
-                    c_cap = span_host.candidate_caps_split(
-                        None, host_centers, dev_spec, plan=host_plan,
-                        entry_chunk=_serving_entry_chunk(
-                            pack_spec.e_cap, pack_spec.q_cap,
-                            self.serving_chunk_slots))
+                    entry_chunk = _serving_entry_chunk(
+                        pack_spec.e_cap, pack_spec.q_cap,
+                        self.serving_chunk_slots)
+                    if self.backend == "ragged":
+                        # ragged layout: one chunk budget instead of
+                        # per-entry caps (lanes = measured totals,
+                        # 128-rounded per entry)
+                        c_cap = device_grid.RaggedCaps(
+                            span_host.ragged_chunk_budget(
+                                None, host_centers, dev_spec,
+                                plan=host_plan,
+                                entry_chunk=entry_chunk))
+                    else:
+                        c_cap = span_host.candidate_caps_split(
+                            None, host_centers, dev_spec, plan=host_plan,
+                            entry_chunk=entry_chunk)
                     if self.kind != "vector":
                         # per-band search capacity from the real voxel
                         # count: unique_voxels compacts live voxels to
@@ -949,8 +962,13 @@ class GeometryClassifier:
             + max(e for e, _ in self.scaleset)
         shards = tiles.shard_cloud_2d(cloud, mesh_shape, buffer)
 
+        # the mesh program runs the dense packed layout (the ragged
+        # chunk tables are per-shard query packings the host sizing
+        # mirror cannot bound tightly yet)
+        mc_backend = "packed" if self.backend == "ragged" \
+            else self.backend
         c_caps = None
-        if self.backend == "packed":
+        if mc_backend == "packed":
             # per-band candidate capacities, sized host-side against the
             # FULL cloud with segment-wide entry extents -- each shard
             # packs its own query subset into entries the host mirror
@@ -984,7 +1002,7 @@ class GeometryClassifier:
         key = (id(mesh), tuple(int(s) for s in mesh_shape),
                int(shards["blocks"].shape[1]),
                int(shards["halo_x"]), int(shards["halo_y"]),
-               self.backend, c_caps)
+               mc_backend, c_caps)
         if not hasattr(self, "_multichip_cache"):   # pre-cache pickles
             self._multichip_cache = {}
         run = self._multichip_cache.get(key)
@@ -993,7 +1011,7 @@ class GeometryClassifier:
                 mesh, shards["halo_x"], shards["halo_y"], self.scaleset,
                 self.kind, lo, hi, shards["blocks"].shape[1],
                 clf_kind, clf_params, clf_static,
-                precision=self.precision, backend=self.backend,
+                precision=self.precision, backend=mc_backend,
                 c_caps=c_caps)
             if len(self._multichip_cache) > 8:  # bound compiled programs
                 self._multichip_cache.clear()
