@@ -628,17 +628,14 @@ def _span_problem(query, q_valid, search, s_valid, spec, attrs=None):
     return {**plan, **band, "q_pts": q_pts, "q_local": q_local}
 
 
-def _unsort_positions(prob, spec, n_query, sentinel):
-    """Caller-order -> (entry, slot) flat positions, WITHOUT a row
-    scatter.  Entries are CONSECUTIVE rank blocks, so each sorted
-    rank's flat position is rank + (entry*q_cap - entry_start),
-    propagated down the rank axis with one scatter + cummax -- this
+def _rank_positions(prob, spec, n_query, sentinel):
+    """Sorted-rank -> (entry, slot) flat positions (MONOTONE over the
+    covered ranks).  Entries are CONSECUTIVE rank blocks, so each rank's
+    flat position is rank + (entry*q_cap - entry_start), propagated
+    down the rank axis with one ~E-element scatter + a cummax -- this
     replaces two 1M-element small-table gathers (seg_starts/offsets
-    lookups, ~10 ms/step on v5e) with ~E scatter updates and a scan.
-    An int32 scatter then inverts the sort permutation (cheaper than
-    carrying positions through one more full sort: scatter-add
-    measures 6.7 ms/M vs ~10 ms for the keyed sort).  Queries without
-    a live entry slot map to ``sentinel``."""
+    lookups, ~10 ms/step on v5e).  Ranks without a live entry slot map
+    to ``sentinel``."""
     count = prob["count"]
     start = prob["start"]
     # per-entry base, monotone along ranks (start deltas are <= q_cap);
@@ -651,7 +648,17 @@ def _unsort_positions(prob, spec, n_query, sentinel):
         jnp.where(count > 0, base, lowest), mode="drop")
     pos_r = prob["q_iota"] + jax.lax.cummax(arr)
     covered = jnp.sum(count)       # entries are rank-contiguous from 0
-    pos_r = jnp.where(prob["q_iota"] < covered, pos_r, sentinel)
+    return jnp.where(prob["q_iota"] < covered, pos_r, sentinel)
+
+
+def _unsort_positions(prob, spec, n_query, sentinel):
+    """Caller-order -> (entry, slot) flat positions: the rank-order
+    positions scattered through the sort permutation (an int32 scatter
+    is cheaper than carrying positions through one more full sort when
+    the CONSUMER needs caller-order positions for a wide row gather;
+    narrow label/probability unsorts take the order="rank" path and
+    ride one key-value sort instead)."""
+    pos_r = _rank_positions(prob, spec, n_query, sentinel)
     return jnp.full((n_query,), sentinel,
                     jnp.int32).at[prob["q_order"]].set(pos_r)
 
@@ -1000,6 +1007,14 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
     unsorts only the labels/probabilities -- int32/narrow gathers
     instead of the full feature width.
 
+    ``order="rank"`` returns ``(feats_flat, pos_r, q_order)``: flat
+    positions in SORTED-RANK order (monotone over covered ranks, so
+    the downstream gather reads HBM near-sequentially) plus the plan's
+    sort permutation.  The caller restores caller order with ONE
+    key-value sort of the narrow results --
+    ``lax.sort_key_val(q_order, values[pos_r])`` -- which is cheaper
+    than the order="plan" position scatter + random gather.
+
     ``reduce_fn`` (static, hashable; order="plan" only) maps each flat
     feature block through ``reduce_fn(reduce_args, feats) -> tuple of
     (rows, ...) arrays`` INSIDE this program (serving passes the
@@ -1094,7 +1109,7 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
         width_total = layouts.LAYOUT_WIDTHS[kind] \
             * sum(len(b[4]) for b in band_data)
 
-    if order == "plan" and reduce_fn is not None \
+    if order in ("plan", "rank") and reduce_fn is not None \
             and entry_chunk is not None \
             and pack_spec.e_cap > entry_chunk:
         pad_e = -pack_spec.e_cap % entry_chunk
@@ -1152,9 +1167,16 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
             lambda a, z: jnp.concatenate(
                 [a.reshape((n_rows,) + a.shape[2:]), z]),
             outs, zero_row)
-        pos = _unsort_positions(
-            plan, pack_spec, query.shape[0], n_rows)[:n_out]
-        out = (out_flat, pos)
+        if order == "rank":
+            # rank-order positions (monotone gather downstream) + the
+            # sort permutation: the caller unsorts narrow results with
+            # ONE key-value sort instead of a 1M scatter + random gather
+            pos = _rank_positions(plan, pack_spec, query.shape[0], n_rows)
+            out = (out_flat, pos, plan["q_order"])
+        else:
+            pos = _unsort_positions(
+                plan, pack_spec, query.shape[0], n_rows)[:n_out]
+            out = (out_flat, pos)
         dropped = jnp.sum(drops).astype(jnp.int32)
     else:
         blocks = []
@@ -1165,11 +1187,16 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
             blocks.extend(bl)
             dropped = dropped + dr
         feats = jnp.concatenate(blocks, axis=-1)
-        if order == "plan":
+        if order in ("plan", "rank"):
             width = feats.shape[-1]
             flat = feats.reshape(-1, width)
-            pos = _unsort_positions(
-                plan, pack_spec, query.shape[0], flat.shape[0])[:n_out]
+            if order == "rank":
+                pos = _rank_positions(
+                    plan, pack_spec, query.shape[0], flat.shape[0])
+            else:
+                pos = _unsort_positions(
+                    plan, pack_spec, query.shape[0],
+                    flat.shape[0])[:n_out]
             if reduce_fn is not None:
                 out_flat = jax.tree_util.tree_map(
                     lambda a, z: jnp.concatenate([a, z]),
@@ -1179,6 +1206,8 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
                 out = (out_flat, pos)
             else:
                 out = (flat, pos)
+            if order == "rank":
+                out = out + (plan["q_order"],)
         else:
             out = _unsort_features(
                 feats, plan, pack_spec, query.shape[0], n_out)

@@ -65,9 +65,9 @@ def _ragged_body(radii, exclude_radius, precision, with_sazo, n_attr):
         g = pl.program_id(0)
         first = (g == 0) | (ce_ref[g] != ce_ref[jnp.maximum(g - 1, 0)])
 
-        cx = center_ref[0, 0]
-        cy = center_ref[0, 1]
-        cz = center_ref[0, 2]
+        cx = center_ref[0, 0, 0]
+        cy = center_ref[0, 0, 1]
+        cz = center_ref[0, 0, 2]
         q = q_ref[0].T                                # (q_cap, 3)
         q_cap = q.shape[0]
         qx = q[:, 0:1] - cx
@@ -193,7 +193,10 @@ def ragged_moments(q_t, cand_t, centers, chunk_entry, radii,
         num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, 3), lambda g, ce: (ce[g], 0),
+            # (E, 1, 3) so the block's LAST TWO dims equal the array's
+            # -- the TPU lowering rejects a (1, 3) block on (E, 3)
+            # (sublane dim 1 neither divisible by 8 nor equal to E)
+            pl.BlockSpec((1, 1, 3), lambda g, ce: (ce[g], 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3, q_cap), lambda g, ce: (ce[g], 0, 0)),
             pl.BlockSpec((3 + n_attr, CHUNK_W), lambda g, ce: (0, g)),
@@ -212,5 +215,5 @@ def ragged_moments(q_t, cand_t, centers, chunk_entry, radii,
         out_shape=jax.ShapeDtypeStruct(
             (n_entries, width, q_cap), jnp.float32),
         interpret=interpret,
-    )(chunk_entry, centers, q_t, cand_t)
+    )(chunk_entry, centers.reshape(n_entries, 1, 3), q_t, cand_t)
     return jnp.swapaxes(out, 1, 2)

@@ -119,8 +119,8 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
         # entry slot the same zero-feature classification the
         # caller-order path gives.
         reducer = _FusedReducer(clf_kind, clf_static, with_proba)
-        (out_flat, pos), m_stats = device_grid.fused_extract_packed_multi \
-            .__wrapped__(
+        (out_flat, pos_r, q_order), m_stats = \
+            device_grid.fused_extract_packed_multi.__wrapped__(
                 query, q_valid, tuple(searches), tuple(masks), pack_spec,
                 tuple(b[1] for b in band_specs),
                 tuple(b[2] for b in band_specs), kind, exclude_radius,
@@ -128,16 +128,32 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                 tuple(b[5] if isinstance(
                           b[5], (tuple, device_grid.RaggedCaps))
                       else int(b[5]) for b in band_specs),
-                interpret, 8, span_prec, with_stats=True, order="plan",
+                interpret, 8, span_prec, with_stats=True, order="rank",
                 attributes=tuple(cattrs), entry_chunk=entry_chunk,
                 reduce_fn=reducer, reduce_args=clf_params)
         dropped_query = dropped_query + m_stats["dropped_query"]
         cand_dropped = cand_dropped + m_stats["dropped_candidates"]
-        labels = out_flat[0][pos]
-        # the (n, n_classes) probability unsort only rides along when a
-        # caller actually wants probabilities (static arg -> the label
-        # path compiles without the gather)
-        probs = out_flat[1][pos] if with_proba else None
+        # rank-order gather (pos_r is MONOTONE over covered ranks --
+        # near-sequential HBM reads), then ONE key-value sort restores
+        # caller order: measured cheaper than the caller-order position
+        # scatter + random gather the order="plan" path pays (sort
+        # 1.7 ms/M + payloads vs 6.7 ms/M scatter + ~10 ms/M gather)
+        labels_r = out_flat[0][pos_r]
+        if with_proba:
+            # the (n, n_classes) probability unsort only rides along
+            # when a caller actually wants probabilities (static arg ->
+            # the label path compiles without it)
+            probs_r = out_flat[1][pos_r]
+            parts = jax.lax.sort(
+                (q_order, labels_r)
+                + tuple(probs_r[:, i] for i in range(probs_r.shape[1])),
+                num_keys=1)
+            labels = parts[1][:n_query]
+            probs = jnp.stack(parts[2:], axis=1)[:n_query]
+        else:
+            _, labels = jax.lax.sort_key_val(q_order, labels_r)
+            labels = labels[:n_query]
+            probs = None
         return (labels, probs,
                 {"vox_dropped": vox_dropped,
                  "dropped_query": dropped_query,

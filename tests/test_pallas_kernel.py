@@ -437,3 +437,48 @@ def test_ragged_vector_attributes():
     assert ragged.shape == packed.shape
     assert np.allclose(ragged, packed, atol=1e-4), \
         np.abs(ragged - packed).max()
+
+
+def test_rank_order_unsort_matches_plan_order():
+    # order="rank" (monotone gather + one key-value sort) must produce
+    # the same caller-order results as order="plan" (position scatter +
+    # random gather) -- the serving label path runs "rank"
+    import jax
+    from nimrud_tpu.features.multiscale import _host_unique_voxels
+    from nimrud_tpu.features.layouts import LAYOUT_WIDTHS
+    from nimrud_tpu.ops import device_grid, packing, span_host, unique
+    rng = np.random.default_rng(45)
+    pts = (rng.random((5000, 3)) * [10, 10, 3]).astype(np.float32)
+    lo, hi = pts.min(0), pts.max(0)
+    edge, radii = 0.25, (0.8,)
+    spec = device_grid.make_spec(lo, hi, max(radii), n_query=8192,
+                                 voxel_edge=edge, q_cap=64, x_seg=4)
+    vox = packing.GridSpec.fit_bounds(lo, hi, edge)
+    q = jnp.asarray(np.vstack([pts, np.zeros((8192 - 5000, 3),
+                                             np.float32)]))
+    qv = jnp.arange(8192) < 5000
+    centers, _, mask = unique.unique_voxels(q, vox, valid=qv)
+    host_centers = _host_unique_voxels(pts, edge)
+    cap = span_host.candidate_cap(pts, host_centers, spec)
+    width = LAYOUT_WIDTHS["minimal"] * len(radii)
+    w = jnp.asarray(rng.standard_normal((width, 3)).astype(np.float32))
+    interp = jax.default_backend() not in ("tpu", "axon")
+    args = (q, qv, (centers,), (mask,), spec, (spec,), (radii,),
+            "minimal", None, 5000, (cap,))
+    for entry_chunk in (None, 96):
+        kw = dict(interpret=interp, with_stats=True,
+                  reduce_fn=_dot_reduce, reduce_args=w,
+                  entry_chunk=entry_chunk)
+        (fl_p, pos_p), _ = device_grid.fused_extract_packed_multi(
+            *args, order="plan", **kw)
+        (fl_r, pos_r, q_order), _ = \
+            device_grid.fused_extract_packed_multi(
+                *args, order="rank", **kw)
+        a = np.asarray(fl_p[0])[np.asarray(pos_p)]
+        vals_r = fl_r[0][pos_r]                  # (n, 3) 2-D payload:
+        parts = jax.lax.sort(                    # one column per lane,
+            (q_order,) + tuple(vals_r[:, i]      # as the proba path does
+                               for i in range(vals_r.shape[1])),
+            num_keys=1)
+        b = np.stack([np.asarray(p) for p in parts[1:]], axis=1)
+        np.testing.assert_array_equal(a, b[:5000])
