@@ -522,7 +522,7 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
     """
     from nimrud_tpu.features import layouts
     from nimrud_tpu.ops import device_grid, packing, unique
-    from nimrud_tpu.pipeline import classify_features
+    from nimrud_tpu.pipeline import _FusedReducer, classify_features
 
     use_packed = (backend == "packed" and kind != "vector"
                   and c_caps is not None)
@@ -571,13 +571,23 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
                     search, vox_spec, valid=s_valid)
                 centers.append(c)
                 masks.append(mk)
-            feats, st = device_grid.fused_extract_packed_multi \
-                .__wrapped__(
+            # same structure as single-chip serving: classify in
+            # (entry, slot) order INSIDE the extract program and unsort
+            # only the int32 labels (rank-order gather + one key-value
+            # sort) instead of the full feature width per shard
+            reducer = _FusedReducer(clf_kind, clf_static, False)
+            (out_flat, pos_r, q_order), st = \
+                device_grid.fused_extract_packed_multi.__wrapped__(
                     block, v, tuple(centers), tuple(masks), pack_spec,
                     tuple(s[1] for s in specs),
                     tuple(s[2] for s in specs), kind, None, rows,
-                    c_caps, interpret, 8, span_prec, with_stats=True)
+                    c_caps, interpret, 8, span_prec, with_stats=True,
+                    order="rank", reduce_fn=reducer,
+                    reduce_args=clf_params)
             dropped = st["dropped_candidates"]
+            labels_r = out_flat[0][pos_r]
+            _, labels = jax.lax.sort_key_val(q_order, labels_r)
+            return labels[:rows][None], dropped[None]
         else:
             bands = []
             for vox_spec, dev_spec, radii in specs:
