@@ -573,10 +573,11 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
                 masks.append(mk)
             # same structure as single-chip serving: classify in
             # (entry, slot) order INSIDE the extract program and unsort
-            # only the int32 labels (rank-order gather + one key-value
-            # sort) instead of the full feature width per shard
+            # only the int32 labels (in-program rank compaction + one
+            # key-value sort) instead of the full feature width per
+            # shard
             reducer = _FusedReducer(clf_kind, clf_static, False)
-            (out_flat, pos_r, q_order), st = \
+            (out_rank, q_order), st = \
                 device_grid.fused_extract_packed_multi.__wrapped__(
                     block, v, tuple(centers), tuple(masks), pack_spec,
                     tuple(s[1] for s in specs),
@@ -585,8 +586,7 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
                     order="rank", reduce_fn=reducer,
                     reduce_args=clf_params)
             dropped = st["dropped_candidates"]
-            labels_r = out_flat[0][pos_r]
-            _, labels = jax.lax.sort_key_val(q_order, labels_r)
+            _, labels = jax.lax.sort_key_val(q_order, out_rank[0])
             return labels[:rows][None], dropped[None]
         else:
             bands = []

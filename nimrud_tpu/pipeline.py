@@ -113,13 +113,12 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
             masks.append(mask)
         # classify in (entry, slot) order INSIDE the extract program
         # (per entry chunk when chunked) and unsort only the RESULTS:
-        # narrow label/probability gathers instead of the full feature
+        # narrow label/probability sorts instead of the full feature
         # width (the caller-order feature gather was ~15% of the step).
-        # The reduce's appended sentinel row feeds queries without an
-        # entry slot the same zero-feature classification the
-        # caller-order path gives.
+        # The reduce path fills queries without an entry slot with the
+        # same zero-feature classification the caller-order path gives.
         reducer = _FusedReducer(clf_kind, clf_static, with_proba)
-        (out_flat, pos_r, q_order), m_stats = \
+        (out_rank, q_order), m_stats = \
             device_grid.fused_extract_packed_multi.__wrapped__(
                 query, q_valid, tuple(searches), tuple(masks), pack_spec,
                 tuple(b[1] for b in band_specs),
@@ -133,17 +132,17 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                 reduce_fn=reducer, reduce_args=clf_params)
         dropped_query = dropped_query + m_stats["dropped_query"]
         cand_dropped = cand_dropped + m_stats["dropped_candidates"]
-        # rank-order gather (pos_r is MONOTONE over covered ranks --
-        # near-sequential HBM reads), then ONE key-value sort restores
-        # caller order: measured cheaper than the caller-order position
-        # scatter + random gather the order="plan" path pays (sort
-        # 1.7 ms/M + payloads vs 6.7 ms/M scatter + ~10 ms/M gather)
-        labels_r = out_flat[0][pos_r]
+        # out_rank is already rank-ordered (in-program compaction
+        # sort); ONE more key-value sort restores caller order.  Two
+        # near-sorted sorts measured cheaper than either the
+        # caller-order position scatter + random gather (6.7 + ~10
+        # ms/M) or the rank-position gather (~7.5 ms/M)
+        labels_r = out_rank[0]
         if with_proba:
             # the (n, n_classes) probability unsort only rides along
             # when a caller actually wants probabilities (static arg ->
             # the label path compiles without it)
-            probs_r = out_flat[1][pos_r]
+            probs_r = out_rank[1]
             parts = jax.lax.sort(
                 (q_order, labels_r)
                 + tuple(probs_r[:, i] for i in range(probs_r.shape[1])),

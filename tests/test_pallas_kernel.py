@@ -471,14 +471,14 @@ def test_rank_order_unsort_matches_plan_order():
                   entry_chunk=entry_chunk)
         (fl_p, pos_p), _ = device_grid.fused_extract_packed_multi(
             *args, order="plan", **kw)
-        (fl_r, pos_r, q_order), _ = \
+        (out_r, q_order), _ = \
             device_grid.fused_extract_packed_multi(
                 *args, order="rank", **kw)
         a = np.asarray(fl_p[0])[np.asarray(pos_p)]
-        vals_r = fl_r[0][pos_r]                  # (n, 3) 2-D payload:
-        parts = jax.lax.sort(                    # one column per lane,
-            (q_order,) + tuple(vals_r[:, i]      # as the proba path does
+        vals_r = out_r[0]                        # (n, 3) 2-D payload,
+        parts = jax.lax.sort(                    # already rank-ordered:
+            (q_order,) + tuple(vals_r[:, i]      # one column per lane,
                                for i in range(vals_r.shape[1])),
-            num_keys=1)
+            num_keys=1)                          # as the proba path does
         b = np.stack([np.asarray(p) for p in parts[1:]], axis=1)
         np.testing.assert_array_equal(a, b[:5000])
