@@ -407,13 +407,23 @@ def _pack_plan(query, q_valid, spec):
     # queries x-sorted -- an entry's tiles are a contiguous x range.
     q_iota = jnp.arange(n_query, dtype=jnp.int32)
     q_ids = jnp.where(q_valid, _encode(query, spec, coarse=True), n_qgrid)
-    sid = jnp.where(q_valid,
-                    (q_ids // qd[0]) * nseg_x + (q_ids % qd[0]) // x_seg,
-                    n_seg)
     sorted_qids, q_order, qsx, qsy, qsz = jax.lax.sort(
         (q_ids, q_iota, query[:, 0], query[:, 1], query[:, 2]),
         num_keys=1)
-    seg_counts = jnp.zeros(n_seg + 1, jnp.int32).at[sid].add(1)[:n_seg]
+    # segment histogram in two levels: scatter into the much larger
+    # coarse-TILE table (collisions ~ points per tile), then reduce
+    # x_seg-tile groups with a reshape-sum.  The direct 1M -> n_seg
+    # scatter-add serializes on its thousands of per-bin collisions
+    # (~8.5 ms/step on v5e, the single hottest fusion of the serving
+    # program); this form is collision-sparse and costs what the
+    # per-band s_counts scatters do (~1 ms)
+    tile_counts = jnp.zeros(n_qgrid + 1, jnp.int32).at[q_ids].add(
+        1)[:n_qgrid]
+    tc = tile_counts.reshape(-1, qd[0])               # (qd2*qd1, qd0)
+    pad = nseg_x * x_seg - qd[0]
+    if pad:
+        tc = jnp.pad(tc, ((0, 0), (0, pad)))
+    seg_counts = tc.reshape(-1, x_seg).sum(axis=1)    # (n_seg,)
     seg_starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(seg_counts)[:-1]])
     per_seg = -(-seg_counts // spec.q_cap)
@@ -894,17 +904,26 @@ def _pack_src(starts, lens, c_cap, n_search):
     chain of n_span selects over (E', c_cap) -- no gather, no
     searchsorted (XLA's is a serial log(n) while loop); dead slots
     index the appended FAR sentinel row (index ``n_search``), which the
-    kernel's distance masks kill for free."""
+    kernel's distance masks kill for free.
+
+    Because the packing is CONTIGUOUS (off is an exclusive cumsum of
+    lens), every live slot ``j < total`` lies in exactly one span --
+    the LAST span with ``off_i <= j`` -- so the map reduces to
+    ``src[j] = j + (starts_k - off_k)``: one compare + one select per
+    span over (E', c_cap), instead of the interval test's two compares
+    + and + add + select (~3x fewer VPU ops on the hottest serving
+    fusion).  Zero-length spans share an offset with their successor
+    and lose the last-writer select, which is exactly right: they own
+    no slots."""
     n_span = lens.shape[1]
     off = jnp.cumsum(lens, axis=1) - lens
     total = off[:, -1] + lens[:, -1]                 # (E',)
+    delta = starts - off                             # (E', n_span)
     j = jnp.arange(c_cap, dtype=jnp.int32)[None, :]  # (1, c_cap)
-    src = jnp.zeros((starts.shape[0], c_cap), jnp.int32)
-    for i in range(n_span):
-        o = off[:, i:i + 1]
-        hit = (j >= o) & (j < o + lens[:, i:i + 1])
-        src = jnp.where(hit, starts[:, i:i + 1] + (j - o), src)
-    src3 = jnp.where(j < total[:, None], src, n_search)
+    d = jnp.broadcast_to(delta[:, 0:1], (starts.shape[0], c_cap))
+    for i in range(1, n_span):                       # off[:, 0] == 0
+        d = jnp.where(j >= off[:, i:i + 1], delta[:, i:i + 1], d)
+    src3 = jnp.where(j < total[:, None], j + d, n_search)
     dropped = jnp.sum(jnp.maximum(total - c_cap, 0)).astype(jnp.int32)
     return src3, dropped
 
