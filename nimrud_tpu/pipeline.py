@@ -330,7 +330,8 @@ class GeometryClassifier:
                  method="auto", chunk_size=1024,
                  transfer_dtype="float32", vector_s_cap=32,
                  bounds=None, trim_entries=False, backend="auto",
-                 precision="highest", serving_chunk_slots=None):
+                 precision="highest", serving_chunk_slots=None,
+                 tile_m=3):
         self.scaleset = [(float(e), tuple(float(r) for r in rs))
                          for e, rs in scaleset]
         self.kind = kind
@@ -394,6 +395,15 @@ class GeometryClassifier:
         # classifier) chunked under lax.map -- bounds peak HBM at the
         # 10M+ workloads; None = the module default (_CHUNK_SLOTS)
         self.serving_chunk_slots = serving_chunk_slots
+        # coarse-tile factor of the single-chip serving grid specs: the
+        # entry segments are (x_seg, 1, 1) coarse tiles of m fine tiles
+        # each, so candidate rows per entry scale with (m+2)^2 while
+        # entry count (rank blocks) barely moves -- smaller m trades
+        # more segments (more partial rank blocks) for fewer candidate
+        # lanes per entry.
+        self.tile_m = int(tile_m)
+        if not 1 <= self.tile_m <= 8:
+            raise ValueError("tile_m must be in [1, 8]")
         self._spec_cache = None
         self._stage_spec_cache = {}
         self._multichip_cache = {}
@@ -624,7 +634,7 @@ class GeometryClassifier:
             q_cap = (512 if packed_like else 256) if use_pallas else 128
             dev_specs = [device_grid.make_spec(
                 lo, hi, max(radii), n_query=q_bucket,
-                voxel_edge=edge, q_cap=q_cap,
+                voxel_edge=edge, q_cap=q_cap, m=self.tile_m,
                 x_seg=32 if use_pallas else 1)
                 for edge, radii in self.scaleset]
             if use_pallas and packed_like:

@@ -34,7 +34,7 @@ def make_bench_cloud(n=BENCH_N_POINTS, seed=0):
 
 
 def make_bench_model(cloud, backend="packed", precision="highest",
-                     epochs=10):
+                     epochs=10, **kwargs):
     """The production serving configuration measured by bench.py."""
     from nimrud_tpu.pipeline import GeometryClassifier
 
@@ -44,7 +44,8 @@ def make_bench_model(cloud, backend="packed", precision="highest",
         scaleset, kind="minimal", classifier="linear",
         classifier_kwargs={"epochs": epochs, "seed": 0},
         transfer_dtype="uint16", backend=backend, precision=precision,
-        bounds=(cloud.min(0), cloud.max(0)), trim_entries=True)
+        bounds=(cloud.min(0), cloud.max(0)), trim_entries=True,
+        **kwargs)
 
 
 def lower_predict(model, staged, with_proba=False):

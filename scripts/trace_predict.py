@@ -33,9 +33,11 @@ def main():
     repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     backend = sys.argv[2] if len(sys.argv) > 2 else "pallas"
     precision = sys.argv[3] if len(sys.argv) > 3 else "highest"
+    tile_m = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     cloud, labels = make_bench_cloud()
     model = make_bench_model(cloud, backend=backend,
-                             precision=precision, epochs=3)
+                             precision=precision, epochs=3,
+                             tile_m=tile_m)
     model.fit(cloud, labels, sample=20_000)
 
     staged = model.stage(cloud)
