@@ -482,3 +482,50 @@ def test_rank_order_unsort_matches_plan_order():
             num_keys=1)                          # as the proba path does
         b = np.stack([np.asarray(p) for p in parts[1:]], axis=1)
         np.testing.assert_array_equal(a, b[:5000])
+
+
+def test_scan_pack_plan_matches_host_mirror():
+    # the scatter-free _pack_plan (head flags + scans + one compaction
+    # sort) must reproduce the host mirror's entry table exactly --
+    # counts for every slot, geometry for live slots -- across segment
+    # shapes, clustering, invalid rows, and e_cap > n_query
+    import jax
+
+    from nimrud_tpu.ops import device_grid, span_host
+
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        n = int(rng.integers(50, 3000))
+        q_cap = int(rng.choice([8, 32, 128]))
+        m = int(rng.choice([1, 2, 3]))
+        x_seg = int(rng.choice([1, 2, 8, 32]))
+        span = rng.random(3) * 20 + 0.5
+        pts = (rng.random((n, 3)) * span).astype(np.float32)
+        if trial % 3 == 0:
+            pts[: n // 2] = (rng.normal(span / 2, 0.3, (n // 2, 3))
+                             ).astype(np.float32)
+        valid = rng.random(n) > (0.5 if trial % 4 == 0 else 0.05)
+        spec = device_grid.make_spec(
+            pts.min(0) - 1e-3, pts.max(0) + 1e-3,
+            float(rng.random() * 2 + 0.3), n_query=n,
+            m=m, q_cap=q_cap, s_cap=64, x_seg=x_seg)
+        plan = jax.jit(
+            lambda q, v, s=spec: device_grid._pack_plan(q, v, s))(
+            jnp.asarray(pts), jnp.asarray(valid))
+        h = span_host.pack_plan_np(pts, valid, spec)
+        hc = np.asarray(h["count"])
+        live = hc > 0
+        np.testing.assert_array_equal(
+            np.asarray(plan["count"])[:hc.shape[0]], hc,
+            err_msg=f"trial {trial} count")
+        for k in ("tx_lo", "tx_hi", "ty", "tz"):
+            got = np.asarray(plan[k])[:hc.shape[0]]
+            np.testing.assert_array_equal(
+                got[live], np.asarray(h[k])[live],
+                err_msg=f"trial {trial} {k}")
+    # all-invalid cloud: zero coverage, no NaNs in centers
+    dead = jax.jit(
+        lambda q, v, s=spec: device_grid._pack_plan(q, v, s))(
+        jnp.asarray(pts), jnp.zeros(n, bool))
+    assert int(np.asarray(dead["count"]).sum()) == 0
+    assert np.isfinite(np.asarray(dead["centers"])).all()
