@@ -238,26 +238,34 @@ def ragged_chunk_budget(query, search, spec, s_valid=None, margin=1.25,
 
 
 def candidate_caps_split(query, search, spec, s_valid=None, margin=1.25,
-                         pack_spec=None, entry_chunk=None, plan=None):
-    """Two-bucket static candidate capacities for
-    device_grid.fused_extract_packed_multi: ``(c_lo, c_hi, e_hi)``, or
-    a single int cap when splitting is not worth it.
+                         pack_spec=None, entry_chunk=None, plan=None,
+                         max_buckets=4):
+    """Multi-bucket static candidate capacities for
+    device_grid.fused_extract_packed_multi: ``(caps, bounds)`` --
+    ``caps`` a descending tuple of per-bucket capacities and ``bounds``
+    the interior cut ranks, so bucket ``j`` runs the entries at
+    descending-total ranks ``[(0,)+bounds][j] .. [bounds+(e,)][j]`` at
+    ``caps[j]`` -- or a single int cap when splitting is not worth it.
 
     Per-entry candidate totals of real clouds are far from uniform --
     sometimes a thin heavy tail (a dense cluster in a sparse site),
     sometimes a fat two-regime body (the 1M bench's canopy entries sit
     at ~450-550 candidates against a 726 max).  One shared cap sized
     for the max leaves the packing gather and the kernel mostly dead,
-    so serving argsorts entries by measured total per band and runs the
-    top ``e_hi`` entries at ``c_hi`` (the max) and the rest at a
-    smaller ``c_lo``.  The cut is CHOSEN PER BAND by sweeping candidate
-    cuts and minimizing total gather lanes on the host mirror of the
-    device plan (per entry chunk when ``entry_chunk`` is set -- the
-    chunked path re-splits within each chunk, so ``c_lo`` must cover
-    the worst chunk's cut); a split must save >=25% of the single-cap
-    lanes to pay for its second gather+kernel launch.  Denser serving
-    clouds overflow into the counted dropped_candidates diagnostic,
-    same contract as the single cap."""
+    so serving argsorts entries by measured total per band and runs
+    each descending-rank bucket at its own capacity.  Cuts are CHOSEN
+    PER BAND by sweeping power-of-two rank positions and minimizing
+    total gather lanes on the host mirror of the device plan (per
+    entry chunk when ``entry_chunk`` is set -- the chunked path
+    re-splits within each chunk, so every cap must cover the worst
+    chunk's rank); the first split must save >=25% of the single-cap
+    lanes to pay for its second gather+kernel launch, and each further
+    bucket must save >=10% more (the 1M bench: 2 buckets 3.03M lanes,
+    4 buckets 2.25M -- v5e gathers and kernel lanes scale ~1:1 with
+    the total).  Denser serving clouds overflow into the counted
+    dropped_candidates diagnostic, same contract as the single cap."""
+    import itertools
+
     search = np.asarray(search, np.float32)
     if s_valid is None:
         s_valid = np.ones(search.shape[0], bool)
@@ -274,17 +282,48 @@ def candidate_caps_split(query, search, spec, s_valid=None, margin=1.25,
     # descending totals per chunk; ragged last chunk kept as-is
     parts = [np.sort(totals[s:s + chunk])[::-1]
              for s in range(0, e_cap, chunk)]
-    single_lanes = e_cap * c_hi
-    best = (single_lanes, None)
+
+    def rank_cap(r):
+        """Capacity covering every chunk's total at descending rank r."""
+        if r == 0:
+            return c_hi
+        need = max((int(p[r]) for p in parts if len(p) > r), default=0)
+        return _round_cap(max(need * margin, 1))
+
+    def lanes_of(bounds):
+        edges = (0,) + bounds + (chunk,)
+        caps = tuple(rank_cap(a) for a in edges[:-1])
+        total = 0
+        for cap, a, b in zip(caps, edges[:-1], edges[1:]):
+            n = sum(min(b, len(p)) - min(a, len(p)) for p in parts)
+            total += n * cap
+        return total, caps
+
+    cand = []
     k = 8
     while k < chunk:
-        lo_need = max((int(p[k]) for p in parts if len(p) > k), default=0)
-        c_lo = _round_cap(max(lo_need * margin, 1))
-        hi_total = sum(min(k, len(p)) for p in parts)
-        lanes = (e_cap - hi_total) * c_lo + hi_total * c_hi
-        if lanes < best[0]:
-            best = (lanes, (int(c_lo), int(c_hi), int(k)))
+        cand.append(k)
         k *= 2
-    if best[1] is None or best[0] > 0.75 * single_lanes:
+    single_lanes = e_cap * c_hi
+    best = {1: (single_lanes, (), (c_hi,))}
+    for n_cuts in range(1, max_buckets):
+        opt = None
+        for cuts in itertools.combinations(cand, n_cuts):
+            lanes, caps = lanes_of(cuts)
+            if opt is None or lanes < opt[0]:
+                opt = (lanes, cuts, caps)
+        if opt is None:
+            break
+        best[n_cuts + 1] = opt
+
+    # gain gates: 25% for the first split, 10% per further bucket
+    pick = 1
+    if 2 in best and best[2][0] <= 0.75 * single_lanes:
+        pick = 2
+        for k_b in range(3, max_buckets + 1):
+            if k_b in best and best[k_b][0] <= 0.90 * best[pick][0]:
+                pick = k_b
+    if pick == 1:
         return c_hi
-    return best[1]
+    _, cuts, caps = best[pick]
+    return (tuple(int(c) for c in caps), tuple(int(c) for c in cuts))

@@ -206,7 +206,8 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                 exclude_radius, n_query,
                 # the single-band path takes one capacity; a split spec
                 # collapses to its max bucket (correct, un-optimized)
-                int(c_cap[1]) if isinstance(c_cap, tuple) else int(c_cap),
+                int(max(c_cap[0])) if isinstance(c_cap, tuple)
+                else int(c_cap),
                 interpret, 8, span_prec, with_stats=True)
             dropped_query = dropped_query + b_stats["dropped_query"]
             cand_dropped = cand_dropped + b_stats["dropped_candidates"]

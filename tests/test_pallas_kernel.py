@@ -198,7 +198,7 @@ def test_packed_candidate_overflow_is_counted():
 
 
 def test_packed_split_caps_match_single_cap():
-    # two-bucket (c_lo, c_hi, e_hi) capacities from
+    # multi-bucket (caps, bounds) capacities from
     # span_host.candidate_caps_split gather exactly the same candidate
     # rows per entry as one max-sized cap (the bucket argsort is
     # un-permuted before the layouts), so the multi-band features must

@@ -299,8 +299,8 @@ def test_packed_backend_matches_xla_predict_multiband():
 @pytest.mark.slow
 def test_packed_split_caps_match_xla():
     # heavy-tailed candidate totals (a dense cluster inside a sparse
-    # site) make span_host.candidate_caps_split return a two-bucket
-    # (c_lo, c_hi, e_hi) capacity; the bucketed kernel launches must
+    # site) make span_host.candidate_caps_split return a multi-bucket
+    # (caps, bounds) capacity; the bucketed kernel launches must
     # reproduce the XLA path's labels exactly.  A local generator: the
     # split/no-split decision depends on the exact draws, so it must
     # not drift with test execution order.
