@@ -500,11 +500,18 @@ def _pack_plan(query, q_valid, spec):
     }
 
 
-def _band_spans(plan, search, s_valid, spec, attrs=None):
+def _band_spans(plan, search, s_valid, spec, attrs=None,
+                presorted=False):
     """Candidate x-row spans of one band's fine grid against a (possibly
     coarser-grained) shared entry packing.  ``attrs`` (n, A) rides the
     tile-id sort as extra payloads and comes back as
     ``sorted_pts`` columns 3..3+A (the packed vector path).
+
+    ``presorted``: the search rows already arrive sorted by this spec's
+    fine tile id with invalid rows last (``unique.unique_voxels`` with
+    ``tile_spec`` folds that ordering into its compaction sort for
+    free), so the tile-id sort here is skipped entirely.  Only valid
+    with ``attrs=None``.
 
     ``plan`` comes from :func:`_pack_plan` on the PACK spec; ``spec`` is
     the band's own grid.  When the two specs coincide the arithmetic
@@ -534,11 +541,17 @@ def _band_spans(plan, search, s_valid, spec, attrs=None):
     n_search = search.shape[0]
     s_ids = jnp.where(s_valid, _encode(search, spec, coarse=False),
                       n_grid)
-    a_cols = [] if attrs is None \
-        else [attrs[:, i] for i in range(attrs.shape[1])]
-    _, sx, sy, sz, *sa = jax.lax.sort(
-        (s_ids, search[:, 0], search[:, 1], search[:, 2], *a_cols),
-        num_keys=1)
+    if presorted:
+        if attrs is not None:
+            raise ValueError("presorted search cannot carry attrs")
+        sx, sy, sz = search[:, 0], search[:, 1], search[:, 2]
+        sa = []
+    else:
+        a_cols = [] if attrs is None \
+            else [attrs[:, i] for i in range(attrs.shape[1])]
+        _, sx, sy, sz, *sa = jax.lax.sort(
+            (s_ids, search[:, 0], search[:, 1], search[:, 2], *a_cols),
+            num_keys=1)
     s_counts = jnp.zeros(n_grid + 1, jnp.int32).at[s_ids].add(1)[:n_grid]
     s_starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(s_counts)[:-1]])
@@ -593,23 +606,26 @@ def _band_spans(plan, search, s_valid, spec, attrs=None):
     x1 = jnp.minimum(x1, dims[0] - 1)
 
     # --- candidate x-row spans: one contiguous segment per (dy, dz) -----
-    span_starts, span_lens = [], []
-    for dy in range(n_rows):
-        for dz in range(n_rows):
-            y = row_lo_y + dy
-            z = row_lo_z + dz
-            ok = (y >= 0) & (y < dims[1]) & (y <= row_hi_y) \
-                & (z >= 0) & (z < dims[2]) & (z <= row_hi_z) \
-                & (count > 0)
-            row = y * dims[0] + z * dims[0] * dims[1]
-            first = jnp.where(ok, x0 + row, n_grid)
-            last = jnp.where(ok, x1 + row, n_grid)
-            begin = starts_ext[first]
-            end = starts_ext[last] + counts_ext[last]
-            span_starts.append(jnp.where(ok, begin, 0))
-            span_lens.append(jnp.clip(end - begin, 0, span_rows))
-    span_starts = jnp.stack(span_starts, axis=1).astype(jnp.int32)
-    span_lens = jnp.stack(span_lens, axis=1).astype(jnp.int32)
+    # vectorized over the (dy, dz) row axis: a Python loop emitted 2
+    # small starts_ext gathers per row (50 gather dispatches/band,
+    # measured ~3.75 ms/step across the bench bands); one (E, n_rows^2)
+    # index block keeps it to 2 gathers per band, same math bit for bit
+    dyz = jnp.arange(n_rows, dtype=jnp.int32)
+    y = row_lo_y[:, None, None] + dyz[None, :, None]     # (E, dy, dz)
+    z = row_lo_z[:, None, None] + dyz[None, None, :]
+    ok = ((y >= 0) & (y < dims[1]) & (y <= row_hi_y[:, None, None])
+          & (z >= 0) & (z < dims[2]) & (z <= row_hi_z[:, None, None])
+          & (count > 0)[:, None, None])
+    row = y * dims[0] + z * (dims[0] * dims[1])
+    e_rows = row.shape[0]
+    first = jnp.where(ok, x0[:, None, None] + row, n_grid)
+    last = jnp.where(ok, x1[:, None, None] + row, n_grid)
+    begin = starts_ext[first.reshape(e_rows, -1)]
+    end = starts_ext[last.reshape(e_rows, -1)] \
+        + counts_ext[last.reshape(e_rows, -1)]
+    ok2 = ok.reshape(e_rows, -1)
+    span_starts = jnp.where(ok2, begin, 0).astype(jnp.int32)
+    span_lens = jnp.clip(end - begin, 0, span_rows).astype(jnp.int32)
 
     # transposed (4, n_pad) layout: points along lanes so span DMAs can
     # slice the lane dim at 128-aligned starts (span-kernel path only;
@@ -1068,7 +1084,7 @@ def fused_extract_ragged(query, q_valid, search, s_valid, spec, radii,
     static_argnames=("pack_spec", "band_specs", "radii_bands", "kind",
                      "exclude_radius", "n_out", "c_caps", "interpret",
                      "entry_batch", "precision", "with_stats", "order",
-                     "entry_chunk", "reduce_fn"))
+                     "entry_chunk", "reduce_fn", "presorted"))
 def fused_extract_packed_multi(query, q_valid, searches, s_valids,
                                pack_spec, band_specs, radii_bands, kind,
                                exclude_radius, n_out, c_caps,
@@ -1076,7 +1092,7 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
                                precision="highest", with_stats=False,
                                order="caller", attributes=None,
                                entry_chunk=None, reduce_fn=None,
-                               reduce_args=None):
+                               reduce_args=None, presorted=False):
     """
     ALL bands of a scaleset in one program over ONE shared query plan.
 
@@ -1144,7 +1160,8 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
             searches, s_valids, band_specs, radii_bands, c_caps,
             attributes):
         n_attr = 0 if attrs is None else attrs.shape[1]
-        band = _band_spans(plan, search, s_valid, spec, attrs=attrs)
+        band = _band_spans(plan, search, s_valid, spec, attrs=attrs,
+                           presorted=presorted and attrs is None)
         band_data.append((band["span_starts"], band["span_lens"],
                           _far_extended(band["sorted_pts"]), c_cap,
                           radii, n_attr))

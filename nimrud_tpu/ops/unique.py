@@ -12,6 +12,7 @@ TPU-native replacement for the reference's host ``numpy.unique`` dedup
 (reference: nimrud/utils/geometry.py:142-156, nimrud/prototypes/ch.py:1576-1699).
 """
 
+import jax
 import jax.numpy as jnp
 
 from nimrud_tpu.ops.packing import PAD_KEY
@@ -44,17 +45,49 @@ def unique_keys(keys, valid=None):
     return out, is_unique.sum()
 
 
-def unique_voxels(points, spec, valid=None):
+def unique_voxels(points, spec, valid=None, tile_spec=None):
     """
     Voxel-downsample under jit: encode, dedup, decode.
 
     Returns ``(centers, count, mask)``: (N, dim) voxel centers (sorted by
     key, padded rows repeat the grid origin), the live count, and the
     validity mask.
+
+    With ``tile_spec`` (a ``device_grid.DeviceGridSpec``), the
+    COMPACTION sort orders survivors by that spec's fine-tile id
+    instead of by voxel key, carrying the key as payload -- the output
+    then feeds ``device_grid._band_spans(..., presorted=True)`` without
+    its own search tile sort (measured ~3.5 ms/step across the three
+    bench bands on v5e).  Within a tile the order is still voxel-key
+    order (both sorts are stable over a key-sorted input), so every
+    downstream span table, candidate order, and feature SUM is
+    bit-identical to the unsorted path.
     """
     keys = spec.encode(points)
-    uniq, count = unique_keys(keys, valid=valid)
+    if tile_spec is None:
+        uniq, count = unique_keys(keys, valid=valid)
+        mask = uniq != PAD_KEY
+        # decode pads as key 0 so padded rows hold finite coordinates
+        centers = spec.decode(jnp.where(mask, uniq, 0))
+        return centers, count, mask
+
+    from nimrud_tpu.ops import device_grid
+    if valid is not None:
+        keys = jnp.where(valid, keys, PAD_KEY)
+    keys = jnp.sort(keys)
+    head = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), keys[1:] != keys[:-1]])
+    is_unique = head & (keys != PAD_KEY)
+    # fine-tile id of each survivor's center, computed the same way
+    # _band_spans computes s_ids (same decode, same _encode), so the
+    # compacted order IS the band sort order; duplicates and pads get
+    # INT32_MAX and sort past every live tile (n_grid included)
+    tid = device_grid._encode(
+        spec.decode(jnp.where(keys != PAD_KEY, keys, 0)),
+        tile_spec, coarse=False)
+    uniq = jax.lax.sort_key_val(
+        jnp.where(is_unique, tid, PAD_KEY),
+        jnp.where(is_unique, keys, PAD_KEY))[1]
     mask = uniq != PAD_KEY
-    # decode pads as key 0 so padded rows hold finite in-grid coordinates
     centers = spec.decode(jnp.where(mask, uniq, 0))
-    return centers, count, mask
+    return centers, is_unique.sum(), mask

@@ -566,9 +566,13 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
         dropped = jnp.zeros((), jnp.int32)
         if use_packed:
             centers, masks = [], []
-            for vox_spec, _, _ in specs:
+            for vox_spec, dev_spec, _ in specs:
+                # compaction sort ordered by the band's fine tile id so
+                # the extract skips its per-band search sort (same
+                # bit-identical trick as single-chip serving; see
+                # unique.unique_voxels)
                 c, _, mk = unique.unique_voxels(
-                    search, vox_spec, valid=s_valid)
+                    search, vox_spec, valid=s_valid, tile_spec=dev_spec)
                 centers.append(c)
                 masks.append(mk)
             # same structure as single-chip serving: classify in
@@ -584,7 +588,7 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
                     tuple(s[2] for s in specs), kind, None, rows,
                     c_caps, interpret, 8, span_prec, with_stats=True,
                     order="rank", reduce_fn=reducer,
-                    reduce_args=clf_params)
+                    reduce_args=clf_params, presorted=True)
             dropped = st["dropped_candidates"]
             _, labels = jax.lax.sort_key_val(q_order, out_rank[0])
             return labels[:rows][None], dropped[None]

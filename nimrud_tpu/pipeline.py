@@ -101,8 +101,13 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                     + i_stats["dropped_search"]
                 cattrs.append(ca)
             else:
+                # the dedup's compaction sort orders survivors by this
+                # band's fine tile id (tile_spec), so the extract skips
+                # its per-band search tile sort (presorted=True below);
+                # intra-tile order stays voxel-key order -- features
+                # are bit-identical (see unique.unique_voxels)
                 centers, _, mask = unique.unique_voxels(
-                    search, vox_spec, valid=s_valid)
+                    search, vox_spec, valid=s_valid, tile_spec=band[1])
                 cattrs.append(None)
                 if v_cap is not None and v_cap < centers.shape[0]:
                     vox_dropped = vox_dropped + jnp.sum(
@@ -129,7 +134,8 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                       else int(b[5]) for b in band_specs),
                 interpret, 8, span_prec, with_stats=True, order="rank",
                 attributes=tuple(cattrs), entry_chunk=entry_chunk,
-                reduce_fn=reducer, reduce_args=clf_params)
+                reduce_fn=reducer, reduce_args=clf_params,
+                presorted=kind != "vector")
         dropped_query = dropped_query + m_stats["dropped_query"]
         cand_dropped = cand_dropped + m_stats["dropped_candidates"]
         # out_rank is already rank-ordered (in-program compaction

@@ -238,6 +238,54 @@ def test_packed_split_caps_match_single_cap():
     np.testing.assert_array_equal(np.asarray(f_split), np.asarray(f_one))
 
 
+def test_packed_presorted_search_matches_sorted():
+    # unique_voxels(tile_spec=...) orders its compaction sort by the
+    # band's fine tile id, and _band_spans(presorted=True) skips its
+    # own search sort.  Both sorts are stable over a key-sorted input,
+    # so intra-tile candidate order -- and every feature SUM -- must be
+    # BIT-identical to the default (key-sorted centers + in-band sort)
+    # path.
+    import jax
+    from nimrud_tpu.ops import device_grid, packing, span_host, unique
+    from nimrud_tpu.features.multiscale import _host_unique_voxels
+    rng = np.random.default_rng(35)
+    sparse = (rng.random((3000, 3)) * [12, 12, 3]).astype(np.float32)
+    dense = rng.normal([6, 6, 1.5], 0.12, (3000, 3)).astype(np.float32)
+    pts = np.vstack([sparse, dense]).astype(np.float32)
+    lo, hi = pts.min(0), pts.max(0)
+    edge, radius = 0.2, 0.8
+    spec = device_grid.make_spec(lo, hi, radius, n_query=8192,
+                                 voxel_edge=edge, q_cap=64, x_seg=4)
+    vox = packing.GridSpec.fit_bounds(lo, hi, edge)
+    q = jnp.asarray(np.vstack([pts, np.zeros((8192 - 6000, 3),
+                                             np.float32)]))
+    qv = jnp.arange(8192) < 6000
+    c_key, n_key, m_key = unique.unique_voxels(q, vox, valid=qv)
+    c_tile, n_tile, m_tile = unique.unique_voxels(
+        q, vox, valid=qv, tile_spec=spec)
+    assert int(n_key) == int(n_tile)
+    # same survivor SET (row order differs), dead rows still last
+    k = int(n_key)
+    assert bool(m_tile[:k].all()) and not bool(m_tile[k:].any())
+    np.testing.assert_array_equal(
+        np.unique(np.asarray(c_key)[:k], axis=0),
+        np.unique(np.asarray(c_tile)[:k], axis=0))
+
+    host_centers = _host_unique_voxels(pts, edge)
+    cap = span_host.candidate_cap(pts, host_centers, spec)
+    interp = jax.default_backend() not in ("tpu", "axon")
+    kw = dict(interpret=interp, with_stats=True)
+    f_sorted, st_a = device_grid.fused_extract_packed_multi(
+        q, qv, (c_key,), (m_key,), spec, (spec,), ((radius, 0.4),),
+        "minimal", None, 6000, (cap,), **kw)
+    f_pre, st_b = device_grid.fused_extract_packed_multi(
+        q, qv, (c_tile,), (m_tile,), spec, (spec,), ((radius, 0.4),),
+        "minimal", None, 6000, (cap,), presorted=True, **kw)
+    assert int(st_a["dropped_candidates"]) == 0
+    assert int(st_b["dropped_candidates"]) == 0
+    np.testing.assert_array_equal(np.asarray(f_pre), np.asarray(f_sorted))
+
+
 def _dot_reduce(w, feats):
     # stand-in for the serving classifier reduce: one matmul, tuple out
     return (feats @ w,)
