@@ -47,10 +47,18 @@ def three_metrics(conf):
     """
     Per-class [tp, fp, fn] rate columns.  Follows the reference's balanced
     -validation convention: true counts per class assumed equal (uses
-    column 0's total as the per-class reference count).
+    column 0's total as the per-class reference count).  The input MUST
+    come from a balanced validation set; an unbalanced confusion would
+    silently produce wrong rates, so it is rejected.
     """
     conf = np.asarray(conf, dtype=np.float64)
-    n_real = conf.sum(0)[0]
+    col_totals = conf.sum(0)
+    if not np.all(col_totals == col_totals[0]):
+        raise ValueError(
+            "three_metrics requires a balanced confusion matrix (equal "
+            f"true counts per class); got column totals {col_totals}. "
+            "Use user_producer for unbalanced validation sets.")
+    n_real = col_totals[0]
     n_pred = conf.sum(1)
     diagonal = np.diag(conf)
     tp = diagonal / n_real

@@ -1109,6 +1109,15 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
     ``searches`` / ``s_valids`` / ``radii_bands`` / ``band_specs`` /
     ``c_caps`` are parallel tuples, one element per band.
 
+    ``presorted=True`` is a TRUST CONTRACT: each band's search rows must
+    arrive ordered by THAT band's ``band_specs[i]`` fine-tile id with
+    invalid rows last -- i.e. each must come from
+    ``unique.unique_voxels(..., tile_spec=band_specs[i])`` with the same
+    spec object passed here.  The span tables assume the ordering and
+    are silently wrong on any other input; the fast op-level parity
+    test (test_packed_presorted_search_matches_sorted) guards the one
+    sanctioned producer.
+
     Returns (n_out, sum of band widths) features, plus the overflow
     stats dict when ``with_stats``.
 

@@ -18,6 +18,22 @@ import jax.numpy as jnp
 from nimrud_tpu.ops.packing import PAD_KEY
 
 
+def _sorted_unique_flags(keys, valid=None):
+    """Shared dedup step: sort keys (invalid rows forced to PAD_KEY) and
+    flag segment heads.  Returns ``(sorted_keys, is_unique)`` where
+    ``is_unique`` marks the first occurrence of each live key.  Both
+    ``unique_keys`` and the ``tile_spec`` branch of ``unique_voxels``
+    build on this so the PAD_KEY semantics live in exactly one place.
+    """
+    if valid is not None:
+        keys = jnp.where(valid, keys, PAD_KEY)
+    keys = jnp.sort(keys)
+    head = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), keys[1:] != keys[:-1]])
+    is_unique = head & (keys != PAD_KEY)
+    return keys, is_unique
+
+
 def unique_keys(keys, valid=None):
     """
     Deduplicate int32 keys under jit.
@@ -30,12 +46,7 @@ def unique_keys(keys, valid=None):
       (unique, count): ``unique`` is (N,) int32 with the sorted unique keys
       in the first ``count`` slots and PAD_KEY elsewhere.
     """
-    if valid is not None:
-        keys = jnp.where(valid, keys, PAD_KEY)
-    keys = jnp.sort(keys)
-    head = jnp.concatenate(
-        [jnp.ones((1,), dtype=bool), keys[1:] != keys[:-1]])
-    is_unique = head & (keys != PAD_KEY)
+    keys, is_unique = _sorted_unique_flags(keys, valid)
     # compact unique keys to the front by masking duplicates to PAD_KEY
     # and re-sorting: a second sort of near-sorted data costs ~1.7 ms/M
     # on v5e where the scatter it replaces costs ~7 ms/M
@@ -50,8 +61,8 @@ def unique_voxels(points, spec, valid=None, tile_spec=None):
     Voxel-downsample under jit: encode, dedup, decode.
 
     Returns ``(centers, count, mask)``: (N, dim) voxel centers (sorted by
-    key, padded rows repeat the grid origin), the live count, and the
-    validity mask.
+    key, or by ``tile_spec`` fine-tile id when given; padded rows repeat
+    the grid origin), the live count, and the validity mask.
 
     With ``tile_spec`` (a ``device_grid.DeviceGridSpec``), the
     COMPACTION sort orders survivors by that spec's fine-tile id
@@ -72,12 +83,7 @@ def unique_voxels(points, spec, valid=None, tile_spec=None):
         return centers, count, mask
 
     from nimrud_tpu.ops import device_grid
-    if valid is not None:
-        keys = jnp.where(valid, keys, PAD_KEY)
-    keys = jnp.sort(keys)
-    head = jnp.concatenate(
-        [jnp.ones((1,), dtype=bool), keys[1:] != keys[:-1]])
-    is_unique = head & (keys != PAD_KEY)
+    keys, is_unique = _sorted_unique_flags(keys, valid)
     # fine-tile id of each survivor's center, computed the same way
     # _band_spans computes s_ids (same decode, same _encode), so the
     # compacted order IS the band sort order; duplicates and pads get

@@ -109,6 +109,10 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                 centers, _, mask = unique.unique_voxels(
                     search, vox_spec, valid=s_valid, tile_spec=band[1])
                 cattrs.append(None)
+                # NOTE: with tile-ordered centers the v_cap prefix drops
+                # the highest-TILE-ID voxels (not the highest keys as the
+                # pre-tile_spec code did); either way the loss is counted
+                # in vox_dropped and predict() warns on truncation
                 if v_cap is not None and v_cap < centers.shape[0]:
                     vox_dropped = vox_dropped + jnp.sum(
                         mask[v_cap:].astype(jnp.int32))

@@ -216,6 +216,16 @@ def test_three_metrics():
     assert np.allclose(scores[:, 2], [0.1, 0.1])     # fn rate
 
 
+def test_three_metrics_rejects_unbalanced():
+    # column totals 10 vs 20: the balanced-validation convention does not
+    # apply and the rates would be silently wrong -- must raise
+    conf = np.array([
+        [9., 1.],
+        [1., 19.]])
+    with pytest.raises(ValueError, match="balanced"):
+        metrics.three_metrics(conf)
+
+
 def test_binary_confusion():
     labels = np.array([0, 0, 0, 1, 1, 1], dtype=float)
     pred = np.array([0, 0, 1, 1, 1, 0], dtype=float)
