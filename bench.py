@@ -40,7 +40,8 @@ import numpy as np
 
 from nimrud_tpu.utils.workload import (
     BENCH_RADII as RADII, BENCH_N_POINTS as N_POINTS,
-    make_bench_cloud, make_bench_model)
+    make_bench_cloud, make_bench_model, roofline_payload,
+    roofline_rates)
 
 BASELINE_PTS_PER_SEC = 5000.0 / len(RADII)
 WARMUP_RUNS = 1
@@ -149,7 +150,8 @@ def main():
         shutil.rmtree(trace_dir, ignore_errors=True)
         trace_stats = {
             "window_ms_per_step": round(window_us / 1e3 / TRACE_RUNS, 3),
-            "busy_ms_total": round(busy_us / 1e3, 3),
+            "busy_ms_per_step": round(busy_us / 1e3 / TRACE_RUNS, 3),
+            "traced_steps": TRACE_RUNS,
         }
         labels_dev = out
     except Exception as error:      # pragma: no cover - relay flakiness
@@ -172,12 +174,25 @@ def main():
         "streamed_per_cloud_dispatch": round(t_stream, 3),
     })
 
+    # auditable bytes-moved model of the step (lower bound), so the
+    # "primitive floor" claim is checkable: payload GB/s vs peak HBM
+    roofline = None
+    try:
+        roofline = roofline_payload(model, staged)
+    except Exception as error:      # pragma: no cover
+        roofline = {"error": str(error)[:120]}
+
     if trace_stats and "window_ms_per_step" in trace_stats:
         step_sec = trace_stats["window_ms_per_step"] / 1e3
         rate = N_POINTS / step_sec
         metric = ("serving step device time (profiler trace), 1M-point "
                   "cloud, 3 scales, single chip")
         semantics = "device-trace window per serving step"
+        if roofline and "bytes_total" in roofline:
+            import jax as _jax
+            roofline = roofline_rates(
+                roofline, trace_stats["window_ms_per_step"],
+                str(_jax.devices()[0]))
     else:
         rate = N_POINTS / min(times)
         metric = ("end-to-end dispatch-side step wall, 1M-point cloud, "
@@ -191,6 +206,7 @@ def main():
         "vs_baseline": round(rate / BASELINE_PTS_PER_SEC, 1),
         "detail": {
             "trace": trace_stats,
+            "roofline": roofline,
             "large_scale_10m": large,
             "stages_sec": stages,
             "n_points": N_POINTS,

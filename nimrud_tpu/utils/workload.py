@@ -48,6 +48,105 @@ def make_bench_model(cloud, backend="packed", precision="highest",
         **kwargs)
 
 
+_PEAK_HBM_GBPS = {
+    # advertised HBM bandwidth per chip (public spec-sheet numbers)
+    "v5 lite": 819.0, "v5e": 819.0, "v5p": 2765.0,
+    "v4": 1228.0, "v6e": 1640.0,
+}
+
+
+def _packed_lane_total(c_cap, e_cap, entry_chunk):
+    """Static candidate lanes one band's packed gather moves per step:
+    every entry slot (live or dead -- dead slots fetch the FAR sentinel
+    row) costs its rank bucket's capacity.  Mirrors the bucket-edge
+    arithmetic of span_host.candidate_caps_split / the device band_blocks."""
+    from nimrud_tpu.ops.device_grid import RaggedCaps
+    if isinstance(c_cap, RaggedCaps):
+        chunk = e_cap if entry_chunk is None else int(entry_chunk)
+        n_chunks = -(-e_cap // chunk)
+        return int(c_cap.n_chunks) * 128 * n_chunks
+    if isinstance(c_cap, tuple):
+        caps, bounds = c_cap
+    else:
+        caps, bounds = (int(c_cap),), ()
+    chunk = e_cap if entry_chunk is None else int(entry_chunk)
+    edges = (0,) + tuple(bounds) + (chunk,)
+    total = 0
+    for start in range(0, e_cap, chunk):
+        length = min(chunk, e_cap - start)
+        for cap, a, b in zip(caps, edges[:-1], edges[1:]):
+            total += max(min(b, length) - min(a, length), 0) * cap
+    return total
+
+
+def roofline_payload(model, staged):
+    """Single-touch payload model of the serving step's data movement:
+    every major buffer counted ONCE per read + once per write at its
+    STATIC (padded) device shape.  This is a LOWER bound on bytes the
+    step moves through HBM (sorts make multiple passes; XLA may
+    re-materialize); divide by the traced window for an achieved-GB/s
+    floor that makes "the step is not bandwidth-bound" auditable.
+
+    Returns a dict of per-movement byte counts plus totals."""
+    from nimrud_tpu import pipeline
+
+    specs = staged["specs"]
+    n_q = int(staged["q_bucket"])
+    n_s = int(staged["s_bucket"])
+    rows = {}
+    # shared query plan: qid sort carrying 3 coord payloads, the two
+    # rank-compaction sorts (key+payload), the caller-order label sort
+    rows["plan_sort"] = 2 * n_q * (4 + 12)
+    rows["rank_sorts"] = 2 * 2 * n_q * (4 + 4)
+    rows["label_unsort"] = 2 * n_q * (4 + 4)
+    rows["unique_sorts"] = 0
+    rows["span_tables"] = 0
+    cand_lanes = 0
+    qt_lanes = 0
+    for vox_spec, dev, radii, interp, v_cap, c_cap in specs:
+        # per-band voxel dedup: key sort + (tile-id, key) compaction sort
+        rows["unique_sorts"] += 2 * n_s * 4 + 2 * n_s * (4 + 4)
+        sv = int(v_cap) if v_cap else n_s
+        # span starts/lens scans + counts scatter over the band's search
+        rows["span_tables"] += 2 * sv * 4 * 2
+        if c_cap is not None:
+            chunk = pipeline._serving_entry_chunk(
+                dev.e_cap, dev.q_cap, model.serving_chunk_slots)
+            cand_lanes += _packed_lane_total(c_cap, dev.e_cap, chunk)
+            qt_lanes = max(qt_lanes, dev.e_cap * dev.q_cap)
+    # candidate pack gather: 4 B index read + 12 B row read + 12 B write
+    rows["candidate_gather"] = cand_lanes * (4 + 12 + 12)
+    # the kernel re-reads the packed block and the query block from HBM
+    rows["kernel_reads"] = cand_lanes * 12 + qt_lanes * 12
+    # shared (E, q_cap) query gather (once for all bands)
+    rows["qt_gather"] = qt_lanes * (4 + 12 + 12)
+    total = int(sum(rows.values()))
+    return {
+        "model": ("single-touch payload bytes at static device shapes "
+                  "(lower bound; sorts counted one read+write pass)"),
+        "movements_bytes": {k: int(v) for k, v in rows.items()},
+        "candidate_lanes": int(cand_lanes),
+        "qt_lanes": int(qt_lanes),
+        "bytes_total": total,
+        "bytes_per_point": round(total / max(int(staged["n_query"]), 1),
+                                 1),
+    }
+
+
+def roofline_rates(payload, window_ms, device_str):
+    """Fill in achieved GB/s vs the chip's peak HBM bandwidth."""
+    out = dict(payload)
+    gbps = payload["bytes_total"] / (window_ms * 1e-3) / 1e9
+    out["window_ms"] = round(window_ms, 3)
+    out["achieved_payload_gbps"] = round(gbps, 2)
+    peak = next((v for k, v in _PEAK_HBM_GBPS.items()
+                 if k in device_str.lower()), None)
+    if peak:
+        out["peak_hbm_gbps"] = peak
+        out["pct_of_peak"] = round(100.0 * gbps / peak, 2)
+    return out
+
+
 def lower_predict(model, staged, with_proba=False):
     """AOT-lower the exact program `predict_staged` dispatches for this
     staged cloud (for compiled-HLO fetch / op-name attribution).

@@ -74,10 +74,12 @@ def main():
 
     accuracy = None
     try:
-        # subset label download: a full 40 MB d2h has crashed this
-        # relay's TPU worker before (CLAUDE.md); 1M labels = 4 MB
-        sub = np.asarray(labels_dev[:1_000_000])
-        accuracy = float((sub == labels[:1_000_000]).mean())
+        # HELD-OUT accuracy: fit saw only the FIRST 1M points; score the
+        # LAST 1M, which fit never touched.  Subset label download: a
+        # full 40 MB d2h has crashed this relay's TPU worker before
+        # (CLAUDE.md); 1M labels = 4 MB
+        sub = np.asarray(labels_dev[-1_000_000:])
+        accuracy = float((sub == labels[-1_000_000:]).mean())
     except Exception:
         pass
 
@@ -87,13 +89,24 @@ def main():
         "trace": trace_stats,
         "overflow_counters": diag,
         "counters_all_zero": all(v == 0 for v in diag.values()),
-        "train_accuracy_1m_subset":
+        "holdout_accuracy_last_1m":
             None if accuracy is None else round(accuracy, 4),
         "prep_fit_compile_sec": round(t_prep, 1),
     }
     if "window_ms_per_step" in trace_stats:
         result["points_per_sec_device"] = round(
             N_LARGE / (trace_stats["window_ms_per_step"] / 1e3), 1)
+    try:
+        from nimrud_tpu.utils.workload import (roofline_payload,
+                                               roofline_rates)
+        payload = roofline_payload(model, staged)
+        if "window_ms_per_step" in trace_stats:
+            payload = roofline_rates(
+                payload, trace_stats["window_ms_per_step"],
+                str(jax.devices()[0]))
+        result["roofline"] = payload
+    except Exception as error:                 # pragma: no cover
+        result["roofline"] = {"error": str(error)[:120]}
     print(json.dumps(result))
 
 
