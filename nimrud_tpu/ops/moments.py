@@ -75,23 +75,32 @@ def chunk_moments(query_chunk, search, search_valid, radii,
         attr_mean: (Q, R, A) masked attribute means (if attributes given)
         sazo:   (Q, R)      signed max z offset (if with_sazo)
     """
-    # recenter on the chunk midpoint: all squared terms stay O(chunk span)
+    # recenter on the chunk midpoint for the MOMENT sums only: all
+    # squared terms stay O(chunk span)
     center = (jnp.max(query_chunk, axis=0) + jnp.min(query_chunk, axis=0)) \
         * 0.5
-    q = query_chunk - center
     s = search - center
 
+    # DISTANCES (and sazo offsets) come from the RAW global coordinates:
+    # a single f32 subtraction of nearby values is exact (Sterbenz) and,
+    # crucially, PARTITION-INVARIANT -- the same (query, search) pair
+    # gets bit-identical d2 no matter which chunk, shard, or halo group
+    # it appears in, so ball membership (the counts) is deterministic
+    # across the dense, mesh, and chunked paths.  The old chunk-frame
+    # diff ((q-c)-(s-c)) rounded differently per chunk and flipped
+    # shell points between the single-chip and multi-chip programs.
     if metric == "euclidean":
         # elementwise on the VPU: per-axis squared differences have no
         # cancellation (better than the |q|^2+|s|^2-2qs expansion) and
         # a K=3 matmul would waste >95% of the MXU anyway
         d2 = 0.0
         for axis in range(3):
-            diff = q[:, None, axis] - s[None, :, axis]
+            diff = query_chunk[:, None, axis] - search[None, :, axis]
             d2 = d2 + diff * diff
     elif metric == "chebyshev":
         cheby = jnp.max(
-            jnp.abs(q[:, None, :] - s[None, :, :]), axis=-1)
+            jnp.abs(query_chunk[:, None, :] - search[None, :, :]),
+            axis=-1)
         d2 = cheby * cheby
     else:
         raise ValueError(f"unknown metric {metric!r}")
@@ -103,7 +112,7 @@ def chunk_moments(query_chunk, search, search_valid, radii,
     aug = _augment(s, attributes)
     n_attr = 0 if attributes is None else attributes.shape[1]
     if with_sazo:
-        dz = s[None, :, 2] - q[:, None, 2]          # (Q, S), frame-free
+        dz = search[None, :, 2] - query_chunk[:, None, 2]   # frame-free
         big = jnp.float32(1e30)
 
     counts, means, covs, attr_means, sazos = [], [], [], [], []

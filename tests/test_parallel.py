@@ -47,22 +47,14 @@ def test_shard_cloud_roundtrip():
 
 
 def test_sharded_extract_matches_single_device():
-    # the halo-correctness test the reference never had: after dropping
-    # points numerically on a radius shell (where fp32 fma differences
-    # between compiled programs can legitimately flip membership), the
-    # multi-chip extraction must equal the single-device dense
-    # computation with EXACT population agreement (same tightened
-    # contract as the 2-D mesh tests)
-    from helpers import drop_ambiguous_points
+    # the halo-correctness test the reference never had: the multi-chip
+    # extraction must equal the single-device dense computation with
+    # EXACT population agreement on EVERY point, shell points included
+    # -- distances come from raw global coordinates (ops.moments), so
+    # ball membership is partition-invariant and no ambiguous-point
+    # dropping is needed (round-4 VERDICT item 4)
     points = (RNG.random((2000, 3)) * [16, 4, 4]).astype(np.float32)
     radii = (0.5, 0.25)
-    for _ in range(3):
-        before = len(points)
-        points = drop_ambiguous_points(
-            points, balls=[(points, r) for r in radii], tol=5e-4
-        ).astype(np.float32)
-        if len(points) == before:
-            break
 
     single = extract_scaleset(
         points, points, [(0.0, radii)], kind="minimal", method="dense")
@@ -214,19 +206,13 @@ def test_shard_cloud_2d_roundtrip():
 
 
 def test_2d_mesh_matches_single_device_exactly():
-    # the tightened contract (VERDICT round 1): ambiguous points near
-    # any radius shell are DROPPED, then the 2-D mesh extraction must
-    # agree with the single-device dense path bit-for-bit on populations
-    from helpers import drop_ambiguous_points
+    # deterministic boundary ownership (round-4 VERDICT item 4): NO
+    # ambiguous-point dropping -- the 2-D mesh extraction must agree
+    # with the single-device dense path bit-for-bit on populations for
+    # ALL points, because per-pair distances are computed from raw
+    # global coordinates and are therefore partition-invariant
     radii = (0.5, 0.25)
     points = (RNG.random((4000, 3)) * [12, 6, 3]).astype(np.float32)
-    for _ in range(3):
-        before = len(points)
-        points = drop_ambiguous_points(
-            points, balls=[(points, r) for r in radii], tol=5e-4
-        ).astype(np.float32)
-        if len(points) == before:
-            break
 
     single = extract_scaleset(
         points, points, [(0.0, radii)], kind="minimal", method="dense")
@@ -244,17 +230,10 @@ def test_2d_mesh_matches_single_device_exactly():
 
 def test_2d_mesh_sazo_combines_across_halos():
     # the sazo statistic is max-combined, not summed: check the 2-D path
-    # agrees with the dense single-device extraction
-    from helpers import drop_ambiguous_points
+    # agrees with the dense single-device extraction (no shell dropping:
+    # raw-coordinate dz and d2 are partition-invariant)
     radii = (0.6,)
     points = (RNG.random((2500, 3)) * [10, 5, 4]).astype(np.float32)
-    for _ in range(3):
-        before = len(points)
-        points = drop_ambiguous_points(
-            points, balls=[(points, radii[0])], tol=5e-4
-        ).astype(np.float32)
-        if len(points) == before:
-            break
     single = extract_scaleset(
         points, points, [(0.0, radii)], kind="sazo", method="dense")
     multi = pmesh.extract_multichip_2d(
