@@ -238,8 +238,28 @@ class RPTEnsemble:
         depth = int(min(depth, 15))
         rng = np.random.RandomState(self.seed)
 
-        index = np.arange(labels.shape[0])
-        per_class = [index[labels == c] for c in range(self.numlabs)]
+        row_sets, imps = self._plan_subsets(labels, rng)
+        rows = jnp.asarray(row_sets.astype(np.int32))
+        imps = jnp.asarray(imps)
+        key = jax.random.PRNGKey(
+            rng.randint(0, 2 ** 31 - 1) if self.seed is None
+            else self.seed)
+
+        tables = _fit_forest_device(
+            features, jnp.asarray(labels.astype(np.int32)), rows, imps,
+            key, self.numlabs, depth, float(self.min_obs))
+        self.max_depth_ = depth
+        self._tables = tables
+        self.trees_ = None              # host rule dicts not built
+        return self
+
+    def _plan_subsets(self, labels_flat, rng):
+        """Class-balanced disjoint per-tree row sets (host bookkeeping,
+        shared verbatim by fit_device and fit_device_mesh so both pick
+        the SAME rows given the same seed)."""
+        index = np.arange(labels_flat.shape[0])
+        per_class = [index[labels_flat == c]
+                     for c in range(self.numlabs)]
         for rows in per_class:
             rng.shuffle(rows)
         min_pop = min(rows.size for rows in per_class)
@@ -259,18 +279,125 @@ class RPTEnsemble:
                             - rng.rand() * min(self.impurity))
             else:
                 imps.append(float(self.impurity))
-        rows = jnp.asarray(np.stack(row_sets).astype(np.int32))
-        imps = jnp.asarray(np.asarray(imps, np.float32))
+        return np.stack(row_sets), np.asarray(imps, np.float32)
+
+    def fit_device_mesh(self, feats, valid, labels, mesh, axis=None,
+                        n_classes=None, depth=14):
+        """
+        Fit the forest ACROSS a device mesh: per-device feature shards
+        never leave their devices whole -- each tree's class-balanced
+        subset is assembled by disjoint scatter + ``psum`` (exact: every
+        subset row is contributed by exactly one shard, zeros
+        elsewhere), each device grows its slice of the forest with the
+        same per-tree keys the single-device fit uses, and the dense
+        node tables gather back along the tree axis.  BIT-IDENTICAL to
+        :meth:`fit_device` on the device-major flattening of the valid
+        rows, given the same seed (same subset plan, same
+        :func:`_grow_tree_device` arithmetic per tree).
+
+        Args:
+          feats:  (n_devices, rows, dim) float32 per-device features
+                  (e.g. from parallel.mesh.sharded_extract).
+          valid:  (n_devices, rows) bool HOST array.
+          labels: (n_devices, rows) int HOST array (class-balanced
+                  subset selection is host index bookkeeping, exactly
+                  like fit_device's labels).
+          mesh:   a 1-axis jax Mesh over the sharded dimension.
+
+        Reference: nimrud/prototypes/ml.py:110 (RPT_ensemble.fit); the
+        reference trains single-GPU only -- this realizes the "train
+        where it serves" story for the flagship classifier.
+        """
+        from jax import shard_map
+        from jax.sharding import PartitionSpec
+        import math
+
+        axis = mesh.axis_names[0] if axis is None else axis
+        n_dev = int(math.prod(mesh.devices.shape))
+        valid = np.asarray(valid, bool)
+        labels_h = np.asarray(labels).astype(np.int64)
+        labels_flat = labels_h[valid]
+        self.numlabs = int(labels_flat.max() + 1) if n_classes is None \
+            else int(n_classes)
+        self.dim = int(feats.shape[-1])
+        depth = int(min(depth, 15))
+        rng = np.random.RandomState(self.seed)
+
+        row_sets, imps = self._plan_subsets(labels_flat, rng)
+        n_trees, s_t = row_sets.shape
         key = jax.random.PRNGKey(
             rng.randint(0, 2 ** 31 - 1) if self.seed is None
             else self.seed)
+        keys = jax.random.split(key, n_trees)
 
-        tables = _fit_forest_device(
-            features, jnp.asarray(labels.astype(np.int32)), rows, imps,
-            key, self.numlabs, depth, float(self.min_obs))
+        # flat valid index -> (device, row); np.nonzero is device-major,
+        # matching labels[valid]'s flattening
+        dev_idx, row_idx = np.nonzero(valid)
+        sel = row_sets.reshape(-1)                    # (T * S_t,)
+        sel_dev = dev_idx[sel].astype(np.int32)
+        sel_row = row_idx[sel].astype(np.int32)
+        labs_sub = labels_flat[sel].astype(np.int32)
+
+        # pad the forest to a multiple of the device count (pad trees
+        # recompute tree 0 and are dropped)
+        t_per = -(-n_trees // n_dev)
+        pad = t_per * n_dev - n_trees
+        if pad:
+            imps = np.concatenate([imps, np.repeat(imps[:1], pad)])
+            keys = jnp.concatenate([keys, jnp.repeat(keys[:1], pad, 0)])
+        imps_d = jnp.asarray(imps).reshape(n_dev, t_per)
+        keys_d = keys.reshape(n_dev, t_per, -1)
+        labs_d = jnp.asarray(labs_sub).reshape(n_trees, s_t)
+
+        sel_dev_j = jnp.asarray(sel_dev)
+        sel_row_j = jnp.asarray(sel_row)
+        rows_cap = int(feats.shape[1])
+        numlabs, min_obs = self.numlabs, float(self.min_obs)
+
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(PartitionSpec(axis), PartitionSpec(axis),
+                      PartitionSpec(axis)),
+            out_specs=(PartitionSpec(axis),) * 4,
+            check_vma=False)
+        def run(feat_d, imps_dd, keys_dd):
+            f = feat_d[0]                             # (rows, dim)
+            mine = sel_dev_j == jax.lax.axis_index(axis)
+            contrib = jnp.where(
+                mine[:, None],
+                f[jnp.clip(sel_row_j, 0, rows_cap - 1)], 0.0)
+            subset = jax.lax.psum(contrib, axis)      # (T*S_t, dim)
+            blocks = subset.reshape(n_trees, s_t, -1)
+            base = jax.lax.axis_index(axis) * t_per
+            my_blocks = jax.lax.dynamic_slice_in_dim(
+                jnp.concatenate(                      # tree padding
+                    [blocks, jnp.repeat(blocks[:1], pad, 0)])
+                if pad else blocks, base, t_per)
+            my_labs = jax.lax.dynamic_slice_in_dim(
+                jnp.concatenate(
+                    [labs_d, jnp.repeat(labs_d[:1], pad, 0)])
+                if pad else labs_d, base, t_per)
+            out = jax.vmap(
+                lambda d, lb, imp, k: _grow_tree_device(
+                    d, lb, imp, k, numlabs, depth, min_obs))(
+                my_blocks, my_labs, imps_dd[0], keys_dd[0])
+            return tuple(o[None] for o in out)
+
+        dsplits, dvecs, dginis, dprops = run(
+            jnp.asarray(feats, jnp.float32), imps_d, keys_d)
         self.max_depth_ = depth
-        self._tables = tables
-        self.trees_ = None              # host rule dicts not built
+        self._tables = {
+            "dense_splits": dsplits.reshape(
+                (-1,) + dsplits.shape[2:])[:n_trees],
+            "dense_vecs": dvecs.reshape(
+                (-1,) + dvecs.shape[2:])[:n_trees],
+            "dense_ginis": dginis.reshape(
+                (-1,) + dginis.shape[2:])[:n_trees],
+            "dense_props": dprops.reshape(
+                (-1,) + dprops.shape[2:])[:n_trees],
+        }
+        self.trees_ = None
         return self
 
     # -- inference (device) ---------------------------------------------------
@@ -330,141 +457,144 @@ def _prune_terminal_chains(rules, dim):
             rules[code] = (_LEAF, np.zeros(dim), gini, prop)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("numlabs", "depth"))
-def _fit_forest_device(features, labels, rows, impurities, key,
-                       numlabs, depth, min_obs):
-    """
-    Grow the whole forest on device, level-synchronously: at each level
-    every live sample carries its branch code, per-node class counts /
-    medians / cell diameters come from one scatter + one two-key sort,
-    and the dense direct-index tables are written in place.  vmapped
-    over trees.
-
-    Returns the dense table dict of :meth:`RPTEnsemble._flatten`.
-    """
+def _grow_tree_device(data, labs, impurity, tree_key, numlabs, depth,
+                      min_obs):
+    """Grow ONE tree on device, level-synchronously: at each level every
+    live sample carries its branch code, per-node class counts / medians
+    / cell diameters come from one scatter + one two-key sort, and the
+    dense direct-index tables are written in place.  Shared verbatim by
+    the single-device forest fit (:func:`_fit_forest_device`) and the
+    mesh fit (:meth:`RPTEnsemble.fit_device_mesh`) so the two are
+    bit-identical per tree by construction."""
     size = 1 << (depth + 2)
-    dim = features.shape[1]
+    dim = data.shape[1]
     # ~the host's 30-attempt budget: retries consume iterations without
     # deepening codes, so the loop runs longer than the depth cap
     attempts = 2 * depth + 4
     # node level by branch code (host constant; exact for these ints)
     lvl_of = jnp.asarray(np.floor(np.log2(np.maximum(
         np.arange(size), 1))).astype(np.int32))
+    n = data.shape[0]
 
-    def one_tree(tree_rows, impurity, tree_key):
-        data = features[tree_rows]                  # (n, dim)
-        labs = labels[tree_rows]                    # (n,)
-        n = data.shape[0]
+    splits0 = jnp.full((size,), jnp.inf, jnp.float32)
+    vecs0 = jnp.zeros((size, dim), jnp.float32)
+    ginis0 = jnp.zeros((size,), jnp.float32)
+    props0 = jnp.zeros((size, numlabs), jnp.float32)
+    written0 = jnp.zeros((size,), bool)
+    code0 = jnp.ones((n,), jnp.int32)
+    done0 = jnp.zeros((n,), bool)
 
-        splits0 = jnp.full((size,), jnp.inf, jnp.float32)
-        vecs0 = jnp.zeros((size, dim), jnp.float32)
-        ginis0 = jnp.zeros((size,), jnp.float32)
-        props0 = jnp.zeros((size, numlabs), jnp.float32)
-        written0 = jnp.zeros((size,), bool)
-        code0 = jnp.ones((n,), jnp.int32)
-        done0 = jnp.zeros((n,), bool)
+    def level(lvl, carry):
+        code, done, splits, vecs, ginis, props, written = carry
+        live = ~done
+        safe = jnp.where(live, code, size)       # OOB drops
+        counts = jnp.zeros((size, numlabs), jnp.float32).at[
+            safe, labs].add(1.0, mode="drop")
+        tot = counts.sum(axis=1)
+        occ = tot > 0
+        denom = jnp.maximum(tot, 1.0)
+        prop_d = counts / denom[:, None]
+        gini_d = 1.0 - jnp.sum(prop_d * prop_d, axis=1)
+        ginis = jnp.where(occ, gini_d, ginis)
+        props = jnp.where(occ[:, None], prop_d, props)
+        written = written | occ
 
-        def level(lvl, carry):
-            code, done, splits, vecs, ginis, props, written = carry
-            live = ~done
-            safe = jnp.where(live, code, size)       # OOB drops
-            counts = jnp.zeros((size, numlabs), jnp.float32).at[
-                safe, labs].add(1.0, mode="drop")
-            tot = counts.sum(axis=1)
-            occ = tot > 0
-            denom = jnp.maximum(tot, 1.0)
-            prop_d = counts / denom[:, None]
-            gini_d = 1.0 - jnp.sum(prop_d * prop_d, axis=1)
-            ginis = jnp.where(occ, gini_d, ginis)
-            props = jnp.where(occ[:, None], prop_d, props)
-            written = written | occ
+        leaf_d = occ & ((gini_d <= impurity) | (tot <= min_obs)
+                        | (lvl >= attempts - 1) | (lvl_of >= depth))
 
-            leaf_d = occ & ((gini_d <= impurity) | (tot <= min_obs)
-                            | (lvl >= attempts - 1) | (lvl_of >= depth))
+        # one random unit projection per (potential) node
+        kv, kj = jax.random.split(jax.random.fold_in(tree_key, lvl))
+        vec_d = jax.random.uniform(kv, (size, dim), jnp.float32)
+        vec_d = vec_d / jnp.linalg.norm(vec_d, axis=1, keepdims=True)
+        proj = jnp.sum(data * vec_d[jnp.clip(code, 0, size - 1)],
+                       axis=1)                   # (n,)
 
-            # one random unit projection per (potential) node
-            kv, kj = jax.random.split(jax.random.fold_in(tree_key, lvl))
-            vec_d = jax.random.uniform(kv, (size, dim), jnp.float32)
-            vec_d = vec_d / jnp.linalg.norm(vec_d, axis=1, keepdims=True)
-            proj = jnp.sum(data * vec_d[jnp.clip(code, 0, size - 1)],
-                           axis=1)                   # (n,)
+        # per-node median + first-sample anchor via one 2-key sort
+        order = jnp.arange(n, dtype=jnp.int32)
+        s_code, s_proj, s_row = jax.lax.sort(
+            (safe, proj, order), num_keys=2)
+        head = jnp.concatenate(
+            [jnp.ones((1,), bool), s_code[1:] != s_code[:-1]])
+        starts = jnp.zeros((size,), jnp.int32).at[
+            jnp.where(head, s_code, size)].set(order, mode="drop")
+        mid_lo = starts + (tot.astype(jnp.int32) - 1) // 2
+        mid_hi = starts + tot.astype(jnp.int32) // 2
+        s_proj_ext = jnp.concatenate(
+            [s_proj, jnp.zeros((1,), s_proj.dtype)])
+        median = 0.5 * (
+            s_proj_ext[jnp.clip(mid_lo, 0, n - 1)]
+            + s_proj_ext[jnp.clip(mid_hi, 0, n - 1)])  # (size,)
 
-            # per-node median + first-sample anchor via one 2-key sort
-            order = jnp.arange(n, dtype=jnp.int32)
-            s_code, s_proj, s_row = jax.lax.sort(
-                (safe, proj, order), num_keys=2)
-            head = jnp.concatenate(
-                [jnp.ones((1,), bool), s_code[1:] != s_code[:-1]])
-            starts = jnp.zeros((size,), jnp.int32).at[
-                jnp.where(head, s_code, size)].set(order, mode="drop")
-            mid_lo = starts + (tot.astype(jnp.int32) - 1) // 2
-            mid_hi = starts + tot.astype(jnp.int32) // 2
-            s_proj_ext = jnp.concatenate(
-                [s_proj, jnp.zeros((1,), s_proj.dtype)])
-            median = 0.5 * (
-                s_proj_ext[jnp.clip(mid_lo, 0, n - 1)]
-                + s_proj_ext[jnp.clip(mid_hi, 0, n - 1)])  # (size,)
+        # Dasgupta-Freund jitter: +-6 * diameter / sqrt(dim), the
+        # anchor being the cell's min-projection sample (a point of
+        # the cell; the host fit draws it uniformly)
+        anchor_row = s_row[jnp.clip(starts, 0, n - 1)]   # (size,)
+        anchor = data[jnp.clip(anchor_row[
+            jnp.clip(code, 0, size - 1)], 0, n - 1)]     # (n, dim)
+        dist = jnp.linalg.norm(data - anchor, axis=1)
+        diam = jnp.zeros((size,), jnp.float32).at[safe].max(
+            dist, mode="drop")
+        u = jax.random.uniform(kj, (size,), jnp.float32)
+        split_d = median + (u - 0.5) * 12.0 * diam \
+            / jnp.sqrt(jnp.float32(dim))
 
-            # Dasgupta-Freund jitter: +-6 * diameter / sqrt(dim), the
-            # anchor being the cell's min-projection sample (a point of
-            # the cell; the host fit draws it uniformly)
-            anchor_row = s_row[jnp.clip(starts, 0, n - 1)]   # (size,)
-            anchor = data[jnp.clip(anchor_row[
-                jnp.clip(code, 0, size - 1)], 0, n - 1)]     # (n, dim)
-            dist = jnp.linalg.norm(data - anchor, axis=1)
-            diam = jnp.zeros((size,), jnp.float32).at[safe].max(
-                dist, mode="drop")
-            u = jax.random.uniform(kj, (size,), jnp.float32)
-            split_d = median + (u - 0.5) * 12.0 * diam \
-                / jnp.sqrt(jnp.float32(dim))
+        # RETRY-IN-PLACE: the Dasgupta-Freund jitter frequently
+        # lands the split outside the cell (one child empty).  The
+        # host fit recurses anyway, producing degenerate chains it
+        # later prunes; here a non-separating draw simply leaves
+        # the node pending, and the next level redraws a fresh
+        # projection for it -- chain-pruned semantics with no code
+        # space growth, so the level budget buys real splits.
+        go_left = proj <= split_d[jnp.clip(code, 0, size - 1)]
+        lcnt = jnp.zeros((size,), jnp.float32).at[safe].add(
+            go_left.astype(jnp.float32), mode="drop")
+        sep = (lcnt > 0) & (lcnt < tot)
+        grow = occ & ~leaf_d & sep
+        splits = jnp.where(grow, split_d, splits)
+        vecs = jnp.where(grow[:, None], vec_d, vecs)
 
-            # RETRY-IN-PLACE: the Dasgupta-Freund jitter frequently
-            # lands the split outside the cell (one child empty).  The
-            # host fit recurses anyway, producing degenerate chains it
-            # later prunes; here a non-separating draw simply leaves
-            # the node pending, and the next level redraws a fresh
-            # projection for it -- chain-pruned semantics with no code
-            # space growth, so the level budget buys real splits.
-            go_left = proj <= split_d[jnp.clip(code, 0, size - 1)]
-            lcnt = jnp.zeros((size,), jnp.float32).at[safe].add(
-                go_left.astype(jnp.float32), mode="drop")
-            sep = (lcnt > 0) & (lcnt < tot)
-            grow = occ & ~leaf_d & sep
-            splits = jnp.where(grow, split_d, splits)
-            vecs = jnp.where(grow[:, None], vec_d, vecs)
+        # advance only samples whose node actually split; samples
+        # whose node went leaf stop
+        node_code = jnp.clip(code, 0, size - 1)
+        done = done | (live & leaf_d[node_code])
+        nxt = (code << 1) | (~go_left).astype(jnp.int32)
+        advance = (~done) & grow[node_code]
+        code = jnp.where(advance, nxt, code)
+        return code, done, splits, vecs, ginis, props, written
 
-            # advance only samples whose node actually split; samples
-            # whose node went leaf stop
-            node_code = jnp.clip(code, 0, size - 1)
-            done = done | (live & leaf_d[node_code])
-            nxt = (code << 1) | (~go_left).astype(jnp.int32)
-            advance = (~done) & grow[node_code]
-            code = jnp.where(advance, nxt, code)
-            return code, done, splits, vecs, ginis, props, written
+    _, _, splits, vecs, ginis, props, written = jax.lax.fori_loop(
+        0, attempts, level,
+        (code0, done0, splits0, vecs0, ginis0, props0, written0))
 
-        _, _, splits, vecs, ginis, props, written = jax.lax.fori_loop(
-            0, attempts, level,
-            (code0, done0, splits0, vecs0, ginis0, props0, written0))
+    # dead-branch backoff: unvisited cells inherit the parent's
+    # statistics as leaves (reference ml.py:369-380 semantics; same
+    # fill as the host _flatten dense pack)
+    for lvl in range(1, depth + 2):
+        lo, hi = 1 << lvl, min(1 << (lvl + 1), size)
+        miss = ~written[lo:hi]
+        pg = jnp.repeat(ginis[lo >> 1:hi >> 1], 2)
+        pp = jnp.repeat(props[lo >> 1:hi >> 1], 2, axis=0)
+        ginis = ginis.at[lo:hi].set(
+            jnp.where(miss, pg, ginis[lo:hi]))
+        props = props.at[lo:hi].set(
+            jnp.where(miss[:, None], pp, props[lo:hi]))
+        written = written.at[lo:hi].set(True)
+    return splits, vecs, ginis, props
 
-        # dead-branch backoff: unvisited cells inherit the parent's
-        # statistics as leaves (reference ml.py:369-380 semantics; same
-        # fill as the host _flatten dense pack)
-        for lvl in range(1, depth + 2):
-            lo, hi = 1 << lvl, min(1 << (lvl + 1), size)
-            miss = ~written[lo:hi]
-            pg = jnp.repeat(ginis[lo >> 1:hi >> 1], 2)
-            pp = jnp.repeat(props[lo >> 1:hi >> 1], 2, axis=0)
-            ginis = ginis.at[lo:hi].set(
-                jnp.where(miss, pg, ginis[lo:hi]))
-            props = props.at[lo:hi].set(
-                jnp.where(miss[:, None], pp, props[lo:hi]))
-            written = written.at[lo:hi].set(True)
-        return splits, vecs, ginis, props
+@functools.partial(
+    jax.jit, static_argnames=("numlabs", "depth"))
+def _fit_forest_device(features, labels, rows, impurities, key,
+                       numlabs, depth, min_obs):
+    """Grow the whole forest on one device: vmap of
+    :func:`_grow_tree_device` over the per-tree row sets.
 
+    Returns the dense table dict of :meth:`RPTEnsemble._flatten`.
+    """
     keys = jax.random.split(key, rows.shape[0])
-    dsplits, dvecs, dginis, dprops = jax.vmap(one_tree)(
-        rows, impurities, keys)
+    dsplits, dvecs, dginis, dprops = jax.vmap(
+        lambda r, imp, k: _grow_tree_device(
+            features[r], labels[r], imp, k, numlabs, depth, min_obs)
+    )(rows, impurities, keys)
     return {
         "dense_splits": dsplits, "dense_vecs": dvecs,
         "dense_ginis": dginis, "dense_props": dprops,

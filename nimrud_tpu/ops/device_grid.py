@@ -494,6 +494,9 @@ def _pack_plan(query, q_valid, spec):
         "start": start, "entry": entry,
         "tx_lo": tx_lo, "tx_hi": tx_hi, "ty": ty, "tz": tz,
         "coarse_edge": float(spec.m) * float(spec.tile_edge),
+        # sorted coordinate columns for the q-DMA kernel path (jit
+        # dead-code-eliminates whichever of q_t / these goes unused)
+        "qs_cols": (qsx, qsy, qsz),
         # unsort pieces
         "sorted_qids": sorted_qids, "q_order": q_order,
         "q_iota": q_iota,
@@ -985,11 +988,28 @@ def _pack_candidates(band, c_cap):
     return src3, sorted3, dropped
 
 
+def _q_dma_src(plan, n_query, q_cap):
+    """(3, n_query + q_cap) sorted query coordinates for the q-DMA
+    packed kernel: q_cap zero columns of tail padding make every
+    per-entry DMA window [start, start + q_cap) in-bounds without
+    clipping (clipped starts would shift live slots)."""
+    qsx, qsy, qsz = plan["qs_cols"]
+    return jnp.concatenate(
+        [jnp.stack([qsx, qsy, qsz]),
+         jnp.zeros((3, q_cap), jnp.float32)], axis=1)
+
+
 def _packed_slabs(q_t, centers, src3, sorted3, radii, exclude_radius,
                   interpret, entry_batch, precision, with_sazo,
-                  n_attr=0):
+                  n_attr=0, q_src=None, q_cap=None):
     """Gather packed candidates and run the packed moment kernel,
     CHUNKED over entries for large problems.
+
+    With ``q_src`` (the (3, n_pad) sorted cloud from :func:`_q_dma_src`)
+    ``q_t`` is instead the per-entry SORTED-RANK STARTS (E',) and the
+    kernel DMAs its own query blocks (packed_kernel.packed_moments_qdma)
+    -- the (E, q_cap) query gather disappears and slab rows 12-14 carry
+    the entry-local queries.
 
     LAYOUT HAZARD: XLA canonicalizes every gather to batch-major
     (N, 3) before any transpose, and a MATERIALIZED f32[N, 3] is
@@ -1008,6 +1028,13 @@ def _packed_slabs(q_t, centers, src3, sorted3, radii, exclude_radius,
 
     def piece(sl):
         cand_t = sorted3[src3[sl].reshape(-1)].T
+        if q_src is not None:
+            if n_attr:
+                raise ValueError("q-DMA path carries no attributes")
+            return packed_kernel.packed_moments_qdma.__wrapped__(
+                q_src, q_t[sl], cand_t, centers[sl], q_cap, radii,
+                exclude_radius, interpret, entry_batch, precision,
+                with_sazo=with_sazo)
         return packed_kernel.packed_moments.__wrapped__(
             q_t[sl], cand_t, centers[sl], radii, exclude_radius,
             interpret, entry_batch, precision, with_sazo=with_sazo,
@@ -1084,7 +1111,7 @@ def fused_extract_ragged(query, q_valid, search, s_valid, spec, radii,
     static_argnames=("pack_spec", "band_specs", "radii_bands", "kind",
                      "exclude_radius", "n_out", "c_caps", "interpret",
                      "entry_batch", "precision", "with_stats", "order",
-                     "entry_chunk", "reduce_fn", "presorted"))
+                     "entry_chunk", "reduce_fn", "presorted", "q_dma"))
 def fused_extract_packed_multi(query, q_valid, searches, s_valids,
                                pack_spec, band_specs, radii_bands, kind,
                                exclude_radius, n_out, c_caps,
@@ -1092,7 +1119,8 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
                                precision="highest", with_stats=False,
                                order="caller", attributes=None,
                                entry_chunk=None, reduce_fn=None,
-                               reduce_args=None, presorted=False):
+                               reduce_args=None, presorted=False,
+                               q_dma=False):
     """
     ALL bands of a scaleset in one program over ONE shared query plan.
 
@@ -1162,6 +1190,22 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
     sazo = layouts.needs_sazo(kind)
     attributes = attributes or (None,) * len(band_specs)
 
+    # q-DMA mode: the kernel streams its own query blocks from the
+    # sorted cloud (per-entry async DMA, hidden under the moment sweep)
+    # instead of the (E, q_cap) XLA gather; the layouts then consume
+    # the entry-LOCAL mean/query the slabs carry (translation-invariant)
+    if q_dma:
+        if kind == "vector":
+            raise ValueError("q_dma does not support kind='vector' "
+                             "(attributes claim the Q_ROW slab rows)")
+        if any(isinstance(c, RaggedCaps) for c in c_caps):
+            raise ValueError("q_dma does not support the ragged backend")
+        q_src = _q_dma_src(plan, query.shape[0], q_cap)
+        q_entry = plan["start"]
+    else:
+        q_src = None
+        q_entry = None
+
     # per-band span tables against the shared plan (global sorts; the
     # heavy per-slot work below consumes these chunk by chunk)
     band_data = []
@@ -1190,6 +1234,10 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
         before the layouts, so positions and downstream order never
         see the sort.  ``bounds`` past a short (ragged last) chunk
         clip to the chunk and empty buckets drop out statically.
+
+        ``q_t_c`` is the (E', 3, q_cap) gathered query block, or the
+        (E',) per-entry sorted-rank STARTS in q-DMA mode (the bucket
+        argsort slices both identically).
         """
         if isinstance(c_cap, RaggedCaps):
             slabs, drop = _ragged_slabs(
@@ -1216,7 +1264,7 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
                 parts.append(_packed_slabs(
                     q_t_c[idx], centers_c[idx], src3, sorted3, radii,
                     exclude_radius, interpret, entry_batch, precision,
-                    sazo, n_attr=n_attr))
+                    sazo, n_attr=n_attr, q_src=q_src, q_cap=q_cap))
                 drop = drop + dr
             slabs = jnp.concatenate(parts)[inv]
         else:
@@ -1224,19 +1272,29 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
                                    sorted3.shape[0] - 1)
             slabs = _packed_slabs(
                 q_t_c, centers_c, src3, sorted3, radii, exclude_radius,
-                interpret, entry_batch, precision, sazo, n_attr=n_attr)
+                interpret, entry_batch, precision, sazo, n_attr=n_attr,
+                q_src=q_src, q_cap=q_cap)
         per_radius = multiscale_kernel.moments_from_slabs(
-            slabs, centers_c, radii, with_sazo=sazo, n_attr=n_attr)
-        q_pts_c = jnp.swapaxes(q_t_c, 1, 2)
+            slabs, centers_c, radii, with_sazo=sazo, n_attr=n_attr,
+            with_q=q_dma)
+        q_pts_c = None if q_dma else jnp.swapaxes(q_t_c, 1, 2)
         blocks = []
         for p, radius in zip(per_radius, radii):
             if kind == "vector":
                 blocks.append(p["attr_mean"])
                 continue
-            blocks.append(layouts.build_block(
-                kind, p["count"],
-                p["mean_local"] + centers_c[:, None, :],
-                p["cov"], q_pts_c, radius, sazo=p.get("sazo")))
+            if q_dma:
+                # entry-local mean/query: the layouts only ever use
+                # (mean - query), so the frame cancels mathematically;
+                # staying local also keeps the subtraction fp-healthy
+                blocks.append(layouts.build_block(
+                    kind, p["count"], p["mean_local"], p["cov"],
+                    p["q_local"], radius, sazo=p.get("sazo")))
+            else:
+                blocks.append(layouts.build_block(
+                    kind, p["count"],
+                    p["mean_local"] + centers_c[:, None, :],
+                    p["cov"], q_pts_c, radius, sazo=p.get("sazo")))
         return blocks, drop
 
     if kind == "vector":
@@ -1258,7 +1316,8 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
                 [a, jnp.zeros((pad_e,) + a.shape[1:], a.dtype)])
 
         xs = {
-            "q_t": pad_entries(plan["q_t"]).reshape(
+            "q_t": pad_entries(q_entry).reshape(n_chunks, entry_chunk)
+            if q_dma else pad_entries(plan["q_t"]).reshape(
                 n_chunks, entry_chunk, 3, q_cap),
             "centers": pad_entries(plan["centers"]).reshape(
                 n_chunks, entry_chunk, 3),
@@ -1321,7 +1380,8 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
         blocks = []
         dropped = jnp.zeros((), jnp.int32)
         for starts, lens, sorted3, c_cap, radii, n_attr in band_data:
-            bl, dr = band_blocks(plan["q_t"], plan["centers"], starts,
+            bl, dr = band_blocks(q_entry if q_dma else plan["q_t"],
+                                 plan["centers"], starts,
                                  lens, sorted3, c_cap, radii, n_attr)
             blocks.extend(bl)
             dropped = dropped + dr

@@ -60,6 +60,13 @@ def _round_up(n, m):
 BIG = 1.0e30           # sazo fold identity (f32 max is ~3.4e38)
 
 
+Q_ROW = 12             # slab row where the q-DMA kernel stashes the
+                       # entry-local query coordinates (rows 12-14 of
+                       # radius block 0; free unless a vector layout
+                       # carries >2 attributes, which the q-DMA path
+                       # therefore excludes)
+
+
 def _packed_body(radii, c_cap, exclude_radius, batch, precision,
                  with_sazo=False, n_attr=0):
     """One grid step = ``batch`` entries.  All addressing is static:
@@ -112,79 +119,9 @@ def _packed_body(radii, c_cap, exclude_radius, batch, precision,
             qx = q[:, 0:1] - cx                        # (q_cap, 1)
             qy = q[:, 1:2] - cy
             qz = q[:, 2:3] - cz
-            acc = None
-            if with_sazo:
-                sazo_max = [jnp.full((q_cap,), -BIG, jnp.float32)
-                            for _ in radii]
-                sazo_min = [jnp.full((q_cap,), BIG, jnp.float32)
-                            for _ in radii]
-            for start in range(0, c_cap, cw):
-                w = min(cw, c_cap - start)
-                lane0 = e * c_cap + start
-                x = cand_ref[0, lane0:lane0 + w] - cx  # (w,)
-                y = cand_ref[1, lane0:lane0 + w] - cy
-                z = cand_ref[2, lane0:lane0 + w] - cz
-
-                # squared distances elementwise on the VPU: no
-                # cancellation (exact f32 boundary decisions) and no
-                # K=3 matmul waste
-                dx = qx - x[None, :]                   # (q_cap, cw)
-                dy = qy - y[None, :]
-                dz = qz - z[None, :]
-                d2 = dx * dx + dy * dy + dz * dz
-
-                attrs = [cand_ref[3 + i, lane0:lane0 + w]
-                         for i in range(n_attr)]       # global values
-                aug = jnp.stack(
-                    [jnp.ones_like(x), x, y, z,
-                     x * x, x * y, x * z, y * y, y * z, z * z]
-                    + attrs
-                    + [jnp.zeros_like(x)] * (MOMENT_PAD - 10 - n_attr),
-                    axis=0)                            # (16, cw)
-
-                if exclude_radius is not None:
-                    base_mask = d2 >= exclude_radius * exclude_radius
-                    masks = [base_mask & (d2 <= radius * radius)
-                             for radius in radii]
-                else:
-                    masks = [d2 <= radius * radius for radius in radii]
-                mask_all = jnp.concatenate(
-                    masks, axis=0)                     # (n_r*q_cap, cw)
-
-                if with_sazo:
-                    # signed z offset s - q, frame-free; fold masked
-                    # max/min per radius (reference SAZO statistic)
-                    for ri, mk in enumerate(masks):
-                        sazo_max[ri] = jnp.maximum(
-                            sazo_max[ri],
-                            jnp.max(jnp.where(mk, -dz, -BIG), axis=1))
-                        sazo_min[ri] = jnp.minimum(
-                            sazo_min[ri],
-                            jnp.min(jnp.where(mk, -dz, BIG), axis=1))
-
-                # ONE dot over all radii per precision pass (the
-                # per-radius masks concatenate along the output axis)
-                if precision == "bf16x2":
-                    # three DEFAULT passes instead of HIGHEST's six:
-                    # aug splits into bf16 hi + mid + lo; the 0/1 mask
-                    # is exact in bf16, so counts stay exact
-                    hi = aug.astype(jnp.bfloat16)
-                    rem = aug - hi.astype(jnp.float32)
-                    mid = rem.astype(jnp.bfloat16)
-                    lo = (rem - mid.astype(jnp.float32)
-                          ).astype(jnp.bfloat16)
-                    m16 = mask_all.astype(jnp.bfloat16)
-                    mom = sum(jax.lax.dot_general(
-                        part, m16, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ) for part in (hi, mid, lo))
-                else:
-                    mom = jax.lax.dot_general(
-                        aug, mask_all.astype(jnp.float32),
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=precision)           # (16, n_r*q_cap)
-                acc = mom if acc is None else acc + mom
+            acc, sazo_max, sazo_min = _entry_sweep(
+                radii, c_cap, exclude_radius, cw, precision, with_sazo,
+                n_attr, cand_ref, e, cx, cy, cz, qx, qy, qz)
 
             for ri in range(len(radii)):
                 out_ref[0, e, ri * MOMENT_PAD:(ri + 1) * MOMENT_PAD, :] \
@@ -195,6 +132,234 @@ def _packed_body(radii, c_cap, exclude_radius, batch, precision,
                     out_ref[0, e, ri * MOMENT_PAD + 11, :] = sazo_min[ri]
 
     return body
+
+
+def _entry_sweep(radii, c_cap, exclude_radius, cw, precision, with_sazo,
+                 n_attr, cand_ref, e, cx, cy, cz, qx, qy, qz):
+    """One entry's chunked candidate sweep (shared by the gather-fed and
+    the q-DMA packed bodies -- ONE copy of the math keeps the two paths
+    bit-identical by construction).  ``qx/qy/qz`` are the (q_cap, 1)
+    ENTRY-LOCAL query columns; returns (acc, sazo_max, sazo_min)."""
+    q_cap = qx.shape[0]
+    acc = None
+    sazo_max = sazo_min = None
+    if with_sazo:
+        sazo_max = [jnp.full((q_cap,), -BIG, jnp.float32)
+                    for _ in radii]
+        sazo_min = [jnp.full((q_cap,), BIG, jnp.float32)
+                    for _ in radii]
+    for start in range(0, c_cap, cw):
+        w = min(cw, c_cap - start)
+        lane0 = e * c_cap + start
+        x = cand_ref[0, lane0:lane0 + w] - cx          # (w,)
+        y = cand_ref[1, lane0:lane0 + w] - cy
+        z = cand_ref[2, lane0:lane0 + w] - cz
+
+        # squared distances elementwise on the VPU: no
+        # cancellation (exact f32 boundary decisions) and no
+        # K=3 matmul waste
+        dx = qx - x[None, :]                           # (q_cap, cw)
+        dy = qy - y[None, :]
+        dz = qz - z[None, :]
+        d2 = dx * dx + dy * dy + dz * dz
+
+        attrs = [cand_ref[3 + i, lane0:lane0 + w]
+                 for i in range(n_attr)]               # global values
+        aug = jnp.stack(
+            [jnp.ones_like(x), x, y, z,
+             x * x, x * y, x * z, y * y, y * z, z * z]
+            + attrs
+            + [jnp.zeros_like(x)] * (MOMENT_PAD - 10 - n_attr),
+            axis=0)                                    # (16, cw)
+
+        if exclude_radius is not None:
+            base_mask = d2 >= exclude_radius * exclude_radius
+            masks = [base_mask & (d2 <= radius * radius)
+                     for radius in radii]
+        else:
+            masks = [d2 <= radius * radius for radius in radii]
+        mask_all = jnp.concatenate(
+            masks, axis=0)                             # (n_r*q_cap, cw)
+
+        if with_sazo:
+            # signed z offset s - q, frame-free; fold masked
+            # max/min per radius (reference SAZO statistic)
+            for ri, mk in enumerate(masks):
+                sazo_max[ri] = jnp.maximum(
+                    sazo_max[ri],
+                    jnp.max(jnp.where(mk, -dz, -BIG), axis=1))
+                sazo_min[ri] = jnp.minimum(
+                    sazo_min[ri],
+                    jnp.min(jnp.where(mk, -dz, BIG), axis=1))
+
+        # ONE dot over all radii per precision pass (the
+        # per-radius masks concatenate along the output axis)
+        if precision == "bf16x2":
+            # three DEFAULT passes instead of HIGHEST's six:
+            # aug splits into bf16 hi + mid + lo; the 0/1 mask
+            # is exact in bf16, so counts stay exact
+            hi = aug.astype(jnp.bfloat16)
+            rem = aug - hi.astype(jnp.float32)
+            mid = rem.astype(jnp.bfloat16)
+            lo = (rem - mid.astype(jnp.float32)
+                  ).astype(jnp.bfloat16)
+            m16 = mask_all.astype(jnp.bfloat16)
+            mom = sum(jax.lax.dot_general(
+                part, m16, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) for part in (hi, mid, lo))
+        else:
+            mom = jax.lax.dot_general(
+                aug, mask_all.astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)                   # (16, n_r*q_cap)
+        acc = mom if acc is None else acc + mom
+    return acc, sazo_max, sazo_min
+
+
+def _packed_qdma_body(radii, c_cap, q_cap, exclude_radius, batch,
+                      n_steps, precision, with_sazo=False):
+    """q-DMA packed body: queries stream from the (3, n_pad) SORTED
+    cloud by per-entry async DMA instead of the XLA (E, q_cap) gather
+    (measured ~6 ms/step of the 1M serving trace).  Entry e's queries
+    are CONSECUTIVE sorted ranks [start_e, start_e + q_cap); the DMAs
+    for step g+1 issue before step g's compute, so the ~1.4 us/DMA of
+    scalar issue cost hides under the moment sweep.  The entry-LOCAL
+    query coordinates are stashed in slab rows 12-14 of radius block 0
+    (Q_ROW) so no caller ever needs the gathered q_t -- the layouts are
+    translation-invariant and consume local mean/query directly."""
+    width = len(radii) * MOMENT_PAD
+    cw = min(PACK_CW, c_cap)
+
+    def body(starts_ref, center_ref, cand_ref, q_hbm, out_ref,
+             qbuf, sems):
+        # starts_ref: (E_pad,) int32 scalar-prefetch, sorted-rank start
+        #             per entry (clipped so start + q_cap <= n_pad)
+        # q_hbm:      (3, n_pad) f32 sorted queries, ANY/HBM space
+        # qbuf:       (2, batch, 3, q_cap) VMEM double buffer
+        # sems:       (2, batch) DMA semaphores
+        g = pl.program_id(0)
+
+        def dma(step, slot, e):
+            return pltpu.make_async_copy(
+                q_hbm.at[:, pl.ds(starts_ref[step * batch + e], q_cap)],
+                qbuf.at[slot, e],
+                sems.at[slot, e])
+
+        @pl.when(g == 0)
+        def _():
+            for e in range(batch):
+                dma(0, 0, e).start()
+
+        @pl.when(g + 1 < n_steps)
+        def _():
+            nxt = (g + 1) % 2
+            for e in range(batch):
+                dma(g + 1, nxt, e).start()
+
+        slot = g % 2
+        for e in range(batch):
+            dma(g, slot, e).wait()
+            cx = center_ref[0, e, 0]
+            cy = center_ref[0, e, 1]
+            cz = center_ref[0, e, 2]
+            q = qbuf[slot, e].T                        # (q_cap, 3)
+            qx = q[:, 0:1] - cx                        # (q_cap, 1)
+            qy = q[:, 1:2] - cy
+            qz = q[:, 2:3] - cz
+            acc, sazo_max, sazo_min = _entry_sweep(
+                radii, c_cap, exclude_radius, cw, precision, with_sazo,
+                0, cand_ref, e, cx, cy, cz, qx, qy, qz)
+
+            for ri in range(len(radii)):
+                out_ref[0, e, ri * MOMENT_PAD:(ri + 1) * MOMENT_PAD, :] \
+                    = acc[:, ri * q_cap:(ri + 1) * q_cap]
+            if with_sazo:
+                for ri in range(len(radii)):
+                    out_ref[0, e, ri * MOMENT_PAD + 10, :] = sazo_max[ri]
+                    out_ref[0, e, ri * MOMENT_PAD + 11, :] = sazo_min[ri]
+            # entry-local queries for the translation-invariant layouts
+            out_ref[0, e, Q_ROW, :] = qx[:, 0]
+            out_ref[0, e, Q_ROW + 1, :] = qy[:, 0]
+            out_ref[0, e, Q_ROW + 2, :] = qz[:, 0]
+
+    return body
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("q_cap", "radii", "exclude_radius", "interpret",
+                     "entries_per_step", "precision", "with_sazo"))
+def packed_moments_qdma(q_sorted, starts, cand_t, centers, q_cap, radii,
+                        exclude_radius=None, interpret=False,
+                        entries_per_step=8, precision="highest",
+                        with_sazo=False):
+    """
+    :func:`packed_moments` with in-kernel query DMA: queries come from
+    the (3, n_pad) SORTED cloud via ``starts`` (per-entry sorted-rank
+    offsets) instead of a pre-gathered (E, 3, q_cap) block.  Slab rows
+    12-14 of radius block 0 additionally carry the ENTRY-LOCAL query
+    coordinates (see Q_ROW); pass ``with_q=True`` to
+    ``moments_from_slabs``.  Attributes are not supported (their slab
+    rows collide with Q_ROW) -- the vector kind stays on the gather
+    path.
+    """
+    if cand_t.shape[0] != 3:
+        raise ValueError("q-DMA packed kernel carries no attributes")
+    n_entries = starts.shape[0]
+    c_cap = cand_t.shape[1] // n_entries
+    if c_cap * n_entries != cand_t.shape[1]:
+        raise ValueError("cand_t lane count must be E * c_cap")
+    if c_cap % LANES:
+        raise ValueError(f"c_cap must be a multiple of {LANES}")
+    n_pad = q_sorted.shape[1]
+    width = len(radii) * MOMENT_PAD
+
+    batch = max(int(entries_per_step), 1)
+    pad_e = (-n_entries) % batch
+    if pad_e:
+        starts = jnp.concatenate(
+            [starts, jnp.zeros(pad_e, starts.dtype)])
+        cand_t = jnp.concatenate(
+            [cand_t, jnp.full((3, pad_e * c_cap), FAR, cand_t.dtype)],
+            axis=1)
+        centers = jnp.concatenate(
+            [centers, jnp.zeros((pad_e, 3), centers.dtype)])
+    n_steps = (n_entries + pad_e) // batch
+    starts = jnp.clip(starts, 0, max(n_pad - q_cap, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((1, batch, 3), lambda g, st: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, batch * c_cap), lambda g, st: (0, g)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, batch, width, q_cap),
+                               lambda g, st: (g, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, batch, 3, q_cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, batch)),
+        ],
+    )
+    out = pl.pallas_call(
+        _packed_qdma_body(tuple(float(r) for r in radii), int(c_cap),
+                          int(q_cap),
+                          None if exclude_radius is None
+                          else float(exclude_radius),
+                          batch, n_steps,
+                          {"highest": jax.lax.Precision.HIGHEST,
+                           "bf16x2": "bf16x2"}[precision], with_sazo),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_steps, batch, width, q_cap), jnp.float32),
+        interpret=interpret,
+    )(starts, centers.reshape(n_steps, batch, 3), cand_t, q_sorted)
+    return jnp.swapaxes(
+        out.reshape(-1, width, q_cap), 1, 2)[:n_entries]
 
 
 @functools.partial(

@@ -499,7 +499,7 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
                           bounds_lo, bounds_hi, rows, clf_kind,
                           clf_params, clf_static=None, *,
                           precision="highest", backend="xla",
-                          c_caps=None):
+                          c_caps=None, n_attr=0, vector_s_cap=32):
     """
     Multi-chip SERVING: the whole production inference step -- two-phase
     halo exchange, device voxelize, tile build, masked moments, feature
@@ -516,6 +516,14 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
     shard's query packing); ``backend="pallas"`` uses the streaming
     span-DMA kernel; anything else the XLA candidate-table path.
 
+    ``kind="vector"`` (the V_MSO path, reference
+    nimrud/prototypes/mso.py:12-98): blocks carry ``n_attr`` attribute
+    columns after XYZ (shard with the attributes hstacked so the halo
+    exchange moves them with their points); each shard interpolates the
+    attributes onto its voxel centers (Chebyshev masked mean,
+    ``vector_s_cap`` points per voxel) and the packed kernel computes
+    the per-radius attribute means natively (n_attr <= 6).
+
     Returns f(blocks, valid) -> ((n_devices, rows) int32 labels,
     (n_devices,) int32 per-shard overflow counts), device-major
     (reassemble with :func:`nimrud_tpu.parallel.tiles.unshard`).
@@ -524,8 +532,11 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
     from nimrud_tpu.ops import device_grid, packing, unique
     from nimrud_tpu.pipeline import _FusedReducer, classify_features
 
-    use_packed = (backend == "packed" and kind != "vector"
-                  and c_caps is not None)
+    if kind == "vector" and not n_attr:
+        raise ValueError("kind='vector' needs n_attr attribute columns")
+    vec_packed = kind == "vector" and n_attr <= 6
+    use_packed = (backend == "packed" and c_caps is not None
+                  and (kind != "vector" or vec_packed))
     use_spans = (backend == "pallas" and kind != "vector"
                  and not layouts.needs_sazo(kind))
     specs = []
@@ -559,20 +570,40 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
         # vma inference rejects that mix (as in make_train_step)
         check_vma=False)
     def run(blocks, valid):
-        block, v = blocks[0], valid[0]
-        halo_pts, halo_valid = _halo_bands_2d(block, v, halo_x, halo_y)
-        search = jnp.concatenate([block, halo_pts], axis=0)
+        block_full, v = blocks[0], valid[0]
+        # attribute columns ride the halo exchange with their points
+        # (the band selection is row-wise, so extra columns are free)
+        halo_full, halo_valid = _halo_bands_2d(
+            block_full, v, halo_x, halo_y)
+        block = block_full[:, :3]
+        search_full = jnp.concatenate([block_full, halo_full], axis=0)
         s_valid = jnp.concatenate([v, halo_valid], axis=0)
+        search = search_full[:, :3]
+        s_attr = search_full[:, 3:] if kind == "vector" else None
         dropped = jnp.zeros((), jnp.int32)
         if use_packed:
-            centers, masks = [], []
+            centers, masks, cattrs = [], [], []
             for vox_spec, dev_spec, _ in specs:
-                # compaction sort ordered by the band's fine tile id so
-                # the extract skips its per-band search sort (same
-                # bit-identical trick as single-chip serving; see
-                # unique.unique_voxels)
-                c, _, mk = unique.unique_voxels(
-                    search, vox_spec, valid=s_valid, tile_spec=dev_spec)
+                if kind == "vector":
+                    # V_MSO: interpolate shard attributes onto the
+                    # voxel centers (attrs then ride the band sort
+                    # into the packed kernel's attribute rows)
+                    from nimrud_tpu.ops import interp
+                    c, mk, ca, ist = \
+                        interp.interp_to_voxels.__wrapped__(
+                            search, s_valid, s_attr, vox_spec,
+                            vector_s_cap, with_stats=True)
+                    dropped = dropped + ist["dropped_search"]
+                    cattrs.append(ca)
+                else:
+                    # compaction sort ordered by the band's fine tile
+                    # id so the extract skips its per-band search sort
+                    # (same bit-identical trick as single-chip serving;
+                    # see unique.unique_voxels)
+                    c, _, mk = unique.unique_voxels(
+                        search, vox_spec, valid=s_valid,
+                        tile_spec=dev_spec)
+                    cattrs.append(None)
                 centers.append(c)
                 masks.append(mk)
             # same structure as single-chip serving: classify in
@@ -588,13 +619,26 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
                     tuple(s[2] for s in specs), kind, None, rows,
                     c_caps, interpret, 8, span_prec, with_stats=True,
                     order="rank", reduce_fn=reducer,
-                    reduce_args=clf_params, presorted=True)
-            dropped = st["dropped_candidates"]
+                    reduce_args=clf_params,
+                    attributes=tuple(cattrs),
+                    presorted=kind != "vector")
+            dropped = dropped + st["dropped_candidates"]
             _, labels = jax.lax.sort_key_val(q_order, out_rank[0])
             return labels[:rows][None], dropped[None]
         else:
             bands = []
             for vox_spec, dev_spec, radii in specs:
+                if kind == "vector":
+                    from nimrud_tpu.ops import interp
+                    cs, mask, ca, ist = \
+                        interp.interp_to_voxels.__wrapped__(
+                            search, s_valid, s_attr, vox_spec,
+                            vector_s_cap, with_stats=True)
+                    dropped = dropped + ist["dropped_search"]
+                    bands.append(device_grid.fused_extract.__wrapped__(
+                        block, v, cs, mask, dev_spec, radii, kind,
+                        None, xla_prec, rows, attributes=ca))
+                    continue
                 cs, _, mask = unique.unique_voxels(
                     search, vox_spec, valid=s_valid)
                 if use_spans:

@@ -30,13 +30,13 @@ from nimrud_tpu.ops import device_grid, packing, unique
     static_argnames=("band_specs", "kind", "exclude_radius",
                      "precision", "n_query", "clf_kind", "clf_static",
                      "vector_s_cap", "backend", "interpret",
-                     "with_proba", "chunk_slots"))
+                     "with_proba", "chunk_slots", "q_dma"))
 def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                         band_specs, kind, exclude_radius, precision,
                         n_query, clf_kind="linear", clf_static=None,
                         dequant=None, attributes=None, vector_s_cap=32,
                         backend="xla", interpret=False, with_proba=True,
-                        chunk_slots=None):
+                        chunk_slots=None, q_dma=False):
     """
     ONE compiled program for the whole inference step: per band, device
     voxel downsample + tile-grid build + masked-moment features; then the
@@ -139,7 +139,9 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                 interpret, 8, span_prec, with_stats=True, order="rank",
                 attributes=tuple(cattrs), entry_chunk=entry_chunk,
                 reduce_fn=reducer, reduce_args=clf_params,
-                presorted=kind != "vector")
+                presorted=kind != "vector",
+                q_dma=q_dma and kind != "vector"
+                and backend == "packed")
         dropped_query = dropped_query + m_stats["dropped_query"]
         cand_dropped = cand_dropped + m_stats["dropped_candidates"]
         # out_rank is already rank-ordered (in-program compaction
@@ -342,7 +344,7 @@ class GeometryClassifier:
                  transfer_dtype="float32", vector_s_cap=32,
                  bounds=None, trim_entries=False, backend="auto",
                  precision="highest", serving_chunk_slots=None,
-                 tile_m=3):
+                 tile_m=3, q_dma=False):
         self.scaleset = [(float(e), tuple(float(r) for r in rs))
                          for e, rs in scaleset]
         self.kind = kind
@@ -415,6 +417,13 @@ class GeometryClassifier:
         self.tile_m = int(tile_m)
         if not 1 <= self.tile_m <= 8:
             raise ValueError("tile_m must be in [1, 8]")
+        # q-DMA serving (packed backend, non-vector kinds): the kernel
+        # streams its own query blocks from the sorted cloud by
+        # per-entry async DMA instead of the (E, q_cap) XLA gather;
+        # populations identical, features within fp tolerance (local
+        # vs global displacement frame).  Off by default until the
+        # device trace decides (round-4 probe).
+        self.q_dma = bool(q_dma)
         self._spec_cache = None
         self._stage_spec_cache = {}
         self._multichip_cache = {}
@@ -834,7 +843,7 @@ class GeometryClassifier:
             self.backend,
             jax.default_backend() not in ("tpu", "axon"),
             with_proba=with_proba,
-            chunk_slots=self.serving_chunk_slots)
+            chunk_slots=self.serving_chunk_slots, q_dma=self.q_dma)
         out = (labels,)
         if with_proba:
             out = out + (probs,)
@@ -946,7 +955,8 @@ class GeometryClassifier:
             plan=size_plan)
             for (edge, _), dev_spec in zip(self.scaleset, dev_specs))
 
-    def predict_multichip(self, cloud, mesh_shape, mesh=None):
+    def predict_multichip(self, cloud, mesh_shape, mesh=None,
+                          attributes=None):
         """
         Per-point class labels computed across a 2-D device mesh: the
         cloud is sharded into rectangular columns, each device runs the
@@ -955,7 +965,10 @@ class GeometryClassifier:
         labels are reassembled in caller order.
 
         Requires a fitted fused-path configuration (voxelized bands, a
-        device classifier, no exclude_radius) and a geometry ``kind``.
+        device classifier, no exclude_radius).  ``kind="vector"`` (the
+        V_MSO path) additionally needs per-point ``attributes`` (N, A);
+        the attribute columns shard and halo-exchange with their points
+        and each shard interpolates them onto its voxel centers.
         """
         from nimrud_tpu.parallel import mesh as pmesh
         from nimrud_tpu.parallel import tiles
@@ -965,11 +978,18 @@ class GeometryClassifier:
             raise ValueError(
                 "predict_multichip needs a fitted device classifier "
                 "(linear or rpte)")
-        if self.kind == "vector" or self.exclude_radius is not None \
+        if self.exclude_radius is not None \
                 or any(edge <= 0 for edge, _ in self.scaleset):
             raise ValueError(
-                "predict_multichip supports the fused geometry path "
-                "only (voxelized bands, no exclude_radius)")
+                "predict_multichip supports the fused path only "
+                "(voxelized bands, no exclude_radius)")
+        n_attr = 0
+        if self.kind == "vector":
+            if attributes is None:
+                raise ValueError(
+                    "kind='vector' multichip serving needs attributes")
+            attributes = np.asarray(attributes, np.float32)
+            n_attr = attributes.shape[1]
         clf_kind, clf_params, clf_static = fused
 
         cloud = np.asarray(cloud, dtype=np.float32)[:, :3]
@@ -996,7 +1016,15 @@ class GeometryClassifier:
         # away across the shard boundary
         buffer = max(max(r) for _, r in self.scaleset) \
             + max(e for e, _ in self.scaleset)
-        shards = tiles.shard_cloud_2d(cloud, mesh_shape, buffer)
+        shards = tiles.shard_cloud_2d(
+            cloud, mesh_shape, buffer,
+            extras=None if n_attr == 0 else [attributes])
+        blocks = shards["blocks"]
+        if n_attr:
+            # attributes ride as extra block COLUMNS so the device-side
+            # halo exchange carries them with their points
+            blocks = np.concatenate([blocks, shards["extras"][0]],
+                                    axis=2)
 
         # the mesh program runs the dense packed layout (the ragged
         # chunk tables are per-shard query packings the host sizing
@@ -1038,7 +1066,7 @@ class GeometryClassifier:
         key = (id(mesh), tuple(int(s) for s in mesh_shape),
                int(shards["blocks"].shape[1]),
                int(shards["halo_x"]), int(shards["halo_y"]),
-               mc_backend, c_caps)
+               mc_backend, c_caps, n_attr)
         if not hasattr(self, "_multichip_cache"):   # pre-cache pickles
             self._multichip_cache = {}
         run = self._multichip_cache.get(key)
@@ -1048,20 +1076,21 @@ class GeometryClassifier:
                 self.kind, lo, hi, shards["blocks"].shape[1],
                 clf_kind, clf_params, clf_static,
                 precision=self.precision, backend=mc_backend,
-                c_caps=c_caps)
+                c_caps=c_caps, n_attr=n_attr,
+                vector_s_cap=self.vector_s_cap)
             if len(self._multichip_cache) > 8:  # bound compiled programs
                 self._multichip_cache.clear()
             self._multichip_cache[key] = run
-        labels, dropped = run(jnp.asarray(shards["blocks"]),
+        labels, dropped = run(jnp.asarray(blocks),
                               jnp.asarray(shards["valid"]))
         n_dropped = int(np.asarray(dropped).sum())
         if n_dropped:
             import warnings
             warnings.warn(
                 f"multichip serving truncated {n_dropped} candidates "
-                "(per-shard entry packing denser than the host sizing "
-                "bound); refit or raise the capacity margin.",
-                RuntimeWarning, stacklevel=2)
+                "or interpolation rows (per-shard packing denser than "
+                "the host sizing bound); refit or raise the capacity "
+                "margin.", RuntimeWarning, stacklevel=2)
         return tiles.unshard(
             np.asarray(labels), shards["valid"], shards["order"],
             len(cloud)).astype(np.int32)

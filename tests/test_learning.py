@@ -76,6 +76,38 @@ def test_rpt_fit_device_accuracy_and_tables():
     assert np.isfinite(gin).all()
 
 
+def test_rpt_fit_device_mesh_matches_single_device():
+    # the distributed forest fit (round-4 VERDICT item 6): per-device
+    # feature shards assembled per tree by disjoint scatter + psum,
+    # each device growing its slice of the forest -- the dense tables
+    # must be BIT-identical to single-device fit_device on the
+    # device-major flattening of the valid rows, same seed
+    import jax.numpy as jnp
+    from nimrud_tpu.parallel import mesh as pmesh
+
+    rng = np.random.default_rng(4)
+    n_dev, rows, dim = 8, 100, 6
+    feats = rng.random((n_dev, rows, dim)).astype(np.float32)
+    valid = rng.random((n_dev, rows)) > 0.2
+    labels = rng.integers(0, 3, (n_dev, rows)).astype(np.int32)
+
+    single = RPTEnsemble(n_estimators=5, seed=11)
+    single.fit_device(feats[valid], labels[valid], depth=8)
+
+    mesh = pmesh.make_mesh(n_dev)
+    dist = RPTEnsemble(n_estimators=5, seed=11)
+    dist.fit_device_mesh(feats, valid, labels, mesh, depth=8)
+
+    for key in single._tables:
+        a = np.asarray(single._tables[key])
+        b = np.asarray(dist._tables[key])
+        assert a.shape == b.shape, (key, a.shape, b.shape)
+        np.testing.assert_array_equal(a, b, err_msg=key)
+    probe = rng.random((64, dim)).astype(np.float32)
+    np.testing.assert_array_equal(
+        single.predict_proba(probe), dist.predict_proba(probe))
+
+
 def test_rpt_device_walk_matches_numpy_walk():
     data, labels = _blobs(n_per_class=200)
     clf = RPTEnsemble(n_estimators=4, seed=1)

@@ -241,6 +241,28 @@ def test_predict_multichip_rejects_unsupported():
 
 
 @pytest.mark.slow
+def test_predict_multichip_vector():
+    # kind="vector" (V_MSO) under the 2-D serving mesh: attributes
+    # shard and halo-exchange with their points, each shard
+    # interpolates them onto its voxel centers, and the packed kernel
+    # computes the attribute means natively -- labels must agree with
+    # single-chip vector predict
+    cloud, labels = _scene(per=600)
+    attrs = np.stack(
+        [cloud[:, 2], np.sin(cloud[:, 0])], axis=1).astype(np.float32)
+    for backend in ("packed", "xla"):
+        model = GeometryClassifier(
+            [(0.2, (0.8, 0.4))], kind="vector", classifier="linear",
+            classifier_kwargs={"epochs": 25}, backend=backend)
+        model.fit(cloud, labels, attributes=attrs)
+        single = model.predict(cloud, attributes=attrs)
+        multi = model.predict_multichip(
+            cloud, mesh_shape=(4, 2), attributes=attrs)
+        agree = (multi == single).mean()
+        assert agree > 0.999, (backend, agree)
+
+
+@pytest.mark.slow
 def test_predict_multichip_rpte():
     # the rpte device walk (scan over a replicated carry) under the
     # serving shard_map
