@@ -317,7 +317,7 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
         # the packed kernel computes SAZO natively (masked max/min dz
         # folded into the slabs) and carries up to 6 attribute columns
         # through the moment dot (V_MSO); the span kernel does neither
-        use_packed = backend in ("packed", "ragged") and (
+        use_packed = backend == "packed" and (
             kind != "vector" or attributes.shape[1] <= 6)
         use_spans = (backend == "pallas"
                      and kind not in ("vector", "sazo"))
@@ -343,22 +343,7 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
                          "mixed": "bf16x2", "high": "bf16x2"}.get(
                 tuning.get("precision", "highest"), "highest")
             interpret = jax.default_backend() not in ("tpu", "axon")
-        if use_packed and backend == "ragged":
-            # ragged layout: lanes = measured candidate totals,
-            # 128-rounded per entry; one host-sized chunk budget
-            if tuning.get("candidate_cap"):
-                budget = tuning["candidate_cap"]
-            else:
-                from nimrud_tpu.ops import span_host
-                budget = span_host.ragged_chunk_budget(
-                    query, _host_unique_voxels(search, edge), spec)
-            bands.append(device_grid.fused_extract_ragged(
-                query_dev, q_valid, centers, center_mask, spec, radii,
-                kind,
-                None if exclude_radius is None else float(exclude_radius),
-                n_query, int(budget), interpret, span_prec,
-                attributes=center_attrs))
-        elif use_packed:
+        if use_packed:
             # candidate capacity: explicit tuning wins; otherwise size
             # it HOST-side (ops.span_host) -- a device readback here
             # would permanently degrade relay-attached processes that

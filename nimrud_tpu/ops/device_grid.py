@@ -503,18 +503,63 @@ def _pack_plan(query, q_valid, spec):
     }
 
 
-def _band_spans(plan, search, s_valid, spec, attrs=None,
-                presorted=False):
-    """Candidate x-row spans of one band's fine grid against a (possibly
-    coarser-grained) shared entry packing.  ``attrs`` (n, A) rides the
-    tile-id sort as extra payloads and comes back as
-    ``sorted_pts`` columns 3..3+A (the packed vector path).
+def _search_tables(search, s_valid, spec, attrs=None, presorted=False):
+    """QUERY-INDEPENDENT search-side tables of one band: tile-sorted
+    rows plus per-tile start/count lookup tables.  Factored out of
+    :func:`_band_spans` so designated-search serving
+    (pipeline.stage_search) can compute them ONCE per search map and
+    skip the per-cloud dedup sorts and count scatters entirely.
+
+    PRIMITIVE COSTS (trace-measured, scripts/probe_datamove.py, 1M
+    rows, v5e): sort 1.7 ms, sort w/ 3 f32 payloads 2.6 ms, (N,3) row
+    gather 5.3 ms, three (N,) flat gathers 32 ms, row scatter 86 ms,
+    scatter-add counts 6.7 ms, searchsorted ~70 ms (serial log(n)
+    while loop).  Hence: coordinates ride the sorts as payloads,
+    reorders end in one row gather, counts stay scatter-adds.
 
     ``presorted``: the search rows already arrive sorted by this spec's
     fine tile id with invalid rows last (``unique.unique_voxels`` with
     ``tile_spec`` folds that ordering into its compaction sort for
     free), so the tile-id sort here is skipped entirely.  Only valid
     with ``attrs=None``.
+    """
+    n_grid = spec.n_grid
+    s_ids = jnp.where(s_valid, _encode(search, spec, coarse=False),
+                      n_grid)
+    if presorted:
+        if attrs is not None:
+            raise ValueError("presorted search cannot carry attrs")
+        sx, sy, sz = search[:, 0], search[:, 1], search[:, 2]
+        sa = []
+    else:
+        a_cols = [] if attrs is None \
+            else [attrs[:, i] for i in range(attrs.shape[1])]
+        _, sx, sy, sz, *sa = jax.lax.sort(
+            (s_ids, search[:, 0], search[:, 1], search[:, 2], *a_cols),
+            num_keys=1)
+    s_counts = jnp.zeros(n_grid + 1, jnp.int32).at[s_ids].add(1)[:n_grid]
+    s_starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(s_counts)[:-1]])
+    return {
+        "sorted_pts": jnp.stack([sx, sy, sz, *sa], axis=-1),
+        "starts_ext": jnp.concatenate(
+            [s_starts, jnp.zeros(1, jnp.int32)]),
+        "counts_ext": jnp.concatenate(
+            [s_counts, jnp.zeros(1, jnp.int32)]),
+    }
+
+
+def _band_spans(plan, search, s_valid, spec, attrs=None,
+                presorted=False, tables=None):
+    """Candidate x-row spans of one band's fine grid against a (possibly
+    coarser-grained) shared entry packing.  ``attrs`` (n, A) rides the
+    tile-id sort as extra payloads and comes back as
+    ``sorted_pts`` columns 3..3+A (the packed vector path).
+
+    ``tables``: precomputed :func:`_search_tables` for THIS band's spec
+    (designated-search serving); ``search``/``s_valid``/``attrs`` are
+    then ignored except for the row count.  TRUST CONTRACT like
+    ``presorted``: the tables must come from the same spec object.
 
     ``plan`` comes from :func:`_pack_plan` on the PACK spec; ``spec`` is
     the band's own grid.  When the two specs coincide the arithmetic
@@ -532,34 +577,17 @@ def _band_spans(plan, search, s_valid, spec, attrs=None,
     tx_lo, tx_hi = plan["tx_lo"], plan["tx_hi"]
     ty, tz = plan["ty"], plan["tz"]
 
-    # --- sort search by fine tile id; per-tile starts/counts ------------
-    # PRIMITIVE COSTS (trace-measured, scripts/probe_datamove.py, 1M
-    # rows, v5e): sort 1.7 ms, sort w/ 3 f32 payloads 2.6 ms, (N,3) row
-    # gather 5.3 ms, three (N,) flat gathers 32 ms, row scatter 86 ms,
-    # scatter-add counts 6.7 ms, searchsorted ~70 ms (serial log(n)
-    # while loop).  Hence: coordinates ride the sorts as payloads,
-    # reorders end in one row gather, counts stay scatter-adds.
     from nimrud_tpu.ops.pallas import gather_kernel
     from nimrud_tpu.ops.pallas.gather_kernel import LANES, _round_up
-    n_search = search.shape[0]
-    s_ids = jnp.where(s_valid, _encode(search, spec, coarse=False),
-                      n_grid)
-    if presorted:
-        if attrs is not None:
-            raise ValueError("presorted search cannot carry attrs")
-        sx, sy, sz = search[:, 0], search[:, 1], search[:, 2]
-        sa = []
-    else:
-        a_cols = [] if attrs is None \
-            else [attrs[:, i] for i in range(attrs.shape[1])]
-        _, sx, sy, sz, *sa = jax.lax.sort(
-            (s_ids, search[:, 0], search[:, 1], search[:, 2], *a_cols),
-            num_keys=1)
-    s_counts = jnp.zeros(n_grid + 1, jnp.int32).at[s_ids].add(1)[:n_grid]
-    s_starts = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(s_counts)[:-1]])
-    starts_ext = jnp.concatenate([s_starts, jnp.zeros(1, jnp.int32)])
-    counts_ext = jnp.concatenate([s_counts, jnp.zeros(1, jnp.int32)])
+    if tables is None:
+        tables = _search_tables(search, s_valid, spec, attrs=attrs,
+                                presorted=presorted)
+    n_search = tables["sorted_pts"].shape[0]
+    sp = tables["sorted_pts"]
+    sx, sy, sz = sp[:, 0], sp[:, 1], sp[:, 2]
+    sa = [sp[:, 3 + i] for i in range(sp.shape[1] - 3)]
+    starts_ext = tables["starts_ext"]
+    counts_ext = tables["counts_ext"]
 
     # ratio of pack-coarse to band-fine edges; integral when the band IS
     # the pack grid (the classic case), where all index arithmetic below
@@ -635,7 +663,7 @@ def _band_spans(plan, search, s_valid, spec, attrs=None,
     # jit drops it when the caller uses sorted_pts instead)
     window = gather_kernel.span_window(span_rows)
     n_lanes = _round_up(n_search + window, LANES)
-    sorted_t = jnp.zeros((4, n_lanes), search.dtype)
+    sorted_t = jnp.zeros((4, n_lanes), sx.dtype)
     sorted_t = sorted_t.at[0, :n_search].set(sx)
     sorted_t = sorted_t.at[1, :n_search].set(sy)
     sorted_t = sorted_t.at[2, :n_search].set(sz)
@@ -643,7 +671,7 @@ def _band_spans(plan, search, s_valid, spec, attrs=None,
     return {
         "span_starts": span_starts, "span_lens": span_lens,
         "sorted_t": sorted_t,
-        "sorted_pts": jnp.stack([sx, sy, sz, *sa], axis=-1),
+        "sorted_pts": tables["sorted_pts"],
         "span_rows": span_rows,
     }
 
@@ -704,7 +732,8 @@ def _rank_positions(prob, spec, n_query, sentinel):
     return jnp.where(prob["q_iota"] < covered, pos_r, sentinel)
 
 
-def _rank_compact(red, plan, spec, n_rows, zero_row, n_query):
+def _rank_compact(red, plan, spec, n_rows, zero_row, n_query,
+                  q_slots=None, aligned=False):
     """Reduce outputs from (entry, slot) order to SORTED-RANK order
     with ONE multi-payload key-value sort.
 
@@ -719,16 +748,31 @@ def _rank_compact(red, plan, spec, n_rows, zero_row, n_query):
     sentinel-row semantics exactly -- including under entry-capacity
     overflow, where the gather path's misaligned-key shortcut would
     silently shift every later label.
+
+    ``aligned`` (the q-DMA window layout): entries carry
+    ``q_slots = q_cap + 128`` slots whose slot s holds sorted rank
+    ``(start_e rounded down to 128) + s``; live slots are
+    [prefix, prefix + count) with prefix = start - base.  The key
+    arithmetic addresses exactly the same disjoint rank ranges.
     """
     start, count = plan["start"], plan["count"]
-    n_e = n_rows // spec.q_cap
+    q_slots = spec.q_cap if q_slots is None else int(q_slots)
+    n_e = n_rows // q_slots
     if n_e > start.shape[0]:        # entry_chunk padding rows: count 0
         pad = n_e - start.shape[0]
         start = jnp.concatenate([start, jnp.zeros(pad, jnp.int32)])
         count = jnp.concatenate([count, jnp.zeros(pad, jnp.int32)])
-    scol = jnp.arange(spec.q_cap, dtype=jnp.int32)[None, :]
-    keys = jnp.where(scol < count[:, None], start[:, None] + scol,
-                     jnp.int32(2 ** 31 - 1)).reshape(-1)
+    scol = jnp.arange(q_slots, dtype=jnp.int32)[None, :]
+    if aligned:
+        base = (start // 128) * 128
+        prefix = (start - base)[:, None]
+        keys = jnp.where(
+            (scol >= prefix) & (scol < prefix + count[:, None]),
+            base[:, None] + scol,
+            jnp.int32(2 ** 31 - 1)).reshape(-1)
+    else:
+        keys = jnp.where(scol < count[:, None], start[:, None] + scol,
+                         jnp.int32(2 ** 31 - 1)).reshape(-1)
 
     leaves, treedef = jax.tree_util.tree_flatten(red)
     widths, cols = [], []
@@ -846,88 +890,6 @@ def fused_extract_packed(query, q_valid, search, s_valid, spec, radii,
     return feats_out, stats
 
 
-@dataclass(frozen=True)
-class RaggedCaps:
-    """Static chunk budget for the RAGGED packed layout
-    (ops.pallas.ragged_kernel): entry e occupies exactly
-    ceil(candidate_total_e / CHUNK_W) 128-lane chunks of one shared
-    candidate array -- no per-entry cap at all.  ``n_chunks`` bounds the
-    TOTAL chunks per entry slice (host-sized with margin,
-    span_host.ragged_chunk_budget); entries past the budget truncate
-    into the counted dropped_candidates diagnostic."""
-    n_chunks: int
-
-
-def _ragged_tables(starts, lens, n_chunks, n_search, cw):
-    """Chunk->entry map + per-lane candidate source map for the ragged
-    kernel, from one band's span tables (device arithmetic only --
-    scatter + cummax + small-table gathers; no searchsorted).
-
-    Returns (src, chunk_entry, defined, dropped):
-      src:         (n_chunks, cw) int32 gather rows into the
-                   FAR-extended sorted cloud (``n_search`` = sentinel);
-      chunk_entry: (n_chunks,) int32 non-decreasing owner entries;
-      defined:     (E,) bool -- entry's slab is defined (it got chunks,
-                   or needed none); UNDEFINED entries' kernel output is
-                   garbage VMEM and must be zeroed by the caller;
-      dropped:     int32 candidates truncated by the chunk budget.
-    """
-    n_entries = starts.shape[0]
-    totals = jnp.sum(lens, axis=1)                    # (E,)
-    need = -(-totals // cw)
-    off = jnp.cumsum(need) - need                     # first chunk of e
-    nch = jnp.clip(n_chunks - off, 0, need)           # granted chunks
-    has = nch > 0
-
-    # chunk -> entry: scatter each granted entry at its first chunk,
-    # forward-fill with a cummax (distinct offsets by construction);
-    # trailing unscattered chunks repeat the last entry -- their lanes
-    # are all-sentinel, so they accumulate exact zeros
-    e_ids = jnp.arange(n_entries, dtype=jnp.int32)
-    chunk_entry = jnp.zeros(n_chunks, jnp.int32).at[
-        jnp.where(has, off, n_chunks)].max(e_ids, mode="drop")
-    chunk_entry = jax.lax.associative_scan(jnp.maximum, chunk_entry)
-
-    # per-chunk span-table rows (small gathers: n_chunks x n_span) and
-    # the same fused select chain as _pack_src, on packed-lane offsets
-    st = starts[chunk_entry]                          # (n_chunks, n_span)
-    ln = lens[chunk_entry]
-    off_in = jnp.cumsum(ln, axis=1) - ln
-    base = (jnp.arange(n_chunks, dtype=jnp.int32)
-            - off[chunk_entry]) * cw
-    j = base[:, None] + jnp.arange(cw, dtype=jnp.int32)[None, :]
-    src = jnp.full((n_chunks, cw), n_search, jnp.int32)
-    for i in range(ln.shape[1]):
-        o = off_in[:, i:i + 1]
-        hit = (j >= o) & (j < o + ln[:, i:i + 1])
-        src = jnp.where(hit, st[:, i:i + 1] + (j - o), src)
-
-    dropped = jnp.sum(jnp.maximum(totals - nch * cw, 0)).astype(jnp.int32)
-    defined = has | (need == 0)
-    return src, chunk_entry, defined, dropped
-
-
-def _ragged_slabs(q_t, centers, starts, lens, sorted3, n_chunks, radii,
-                  exclude_radius, interpret, precision, with_sazo,
-                  n_attr=0):
-    """Moment slabs for one band via the ragged kernel: build the chunk
-    tables, gather the ragged candidate array (lanes = measured totals,
-    128-rounded per entry -- 1M bench host mirror: 1.64M lanes vs 3.6M
-    under the two-bucket split caps), run the chunk-gridded kernel, and
-    zero the slabs of entries the kernel never visited."""
-    from nimrud_tpu.ops.pallas import ragged_kernel
-
-    src, chunk_entry, defined, dropped = _ragged_tables(
-        starts, lens, n_chunks, sorted3.shape[0] - 1,
-        ragged_kernel.CHUNK_W)
-    cand_t = sorted3[src.reshape(-1)].T
-    slabs = ragged_kernel.ragged_moments.__wrapped__(
-        q_t, cand_t, centers, chunk_entry, radii, exclude_radius,
-        interpret, precision, with_sazo, n_attr)
-    slabs = jnp.where(defined[:, None, None], slabs, 0.0)
-    return slabs, dropped
-
-
 _GATHER_CHUNK = 4 * 1024 * 1024   # lanes per packing-gather piece: the
                                   # largest size where XLA reliably
                                   # fuses the gather+transpose (see the
@@ -989,14 +951,17 @@ def _pack_candidates(band, c_cap):
 
 
 def _q_dma_src(plan, n_query, q_cap):
-    """(3, n_query + q_cap) sorted query coordinates for the q-DMA
-    packed kernel: q_cap zero columns of tail padding make every
-    per-entry DMA window [start, start + q_cap) in-bounds without
-    clipping (clipped starts would shift live slots)."""
+    """(4, n_query + q_cap + 128) sorted query coordinates for the
+    q-DMA packed kernel: enough zero columns of tail padding that every
+    128-aligned per-entry DMA window [base, base + q_cap + 128) is
+    in-bounds without clipping (clipped bases would shift live slots),
+    and the fourth zero ROW aligns the source to the (4, 128) f32
+    tiling Mosaic requires."""
+    from nimrud_tpu.ops.pallas.packed_kernel import LANES
     qsx, qsy, qsz = plan["qs_cols"]
     return jnp.concatenate(
-        [jnp.stack([qsx, qsy, qsz]),
-         jnp.zeros((3, q_cap), jnp.float32)], axis=1)
+        [jnp.stack([qsx, qsy, qsz, jnp.zeros_like(qsx)]),
+         jnp.zeros((4, q_cap + LANES), jnp.float32)], axis=1)
 
 
 def _packed_slabs(q_t, centers, src3, sorted3, radii, exclude_radius,
@@ -1051,63 +1016,6 @@ def _packed_slabs(q_t, centers, src3, sorted3, radii, exclude_radius,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "radii", "kind", "exclude_radius",
-                     "n_out", "n_chunks", "interpret", "precision",
-                     "with_stats"))
-def fused_extract_ragged(query, q_valid, search, s_valid, spec, radii,
-                         kind, exclude_radius, n_out, n_chunks,
-                         interpret=False, precision="highest",
-                         with_stats=False, attributes=None):
-    """
-    Raw padded clouds -> feature block via the RAGGED packed-candidate
-    Pallas kernel (nimrud_tpu.ops.pallas.ragged_kernel): same span plan
-    as :func:`fused_extract_packed`, but the candidate array holds
-    exactly each entry's measured candidate total (128-rounded) --
-    no per-entry cap, ~2-3x fewer gather and kernel lanes than the
-    two-bucket split caps on the 1M bench host mirror.
-
-    ``n_chunks`` (static) bounds total 128-lane chunks; size it with
-    :func:`nimrud_tpu.ops.span_host.ragged_chunk_budget`.  Entries past
-    the budget truncate into the counted ``dropped_candidates`` stat.
-    """
-    from nimrud_tpu.features import layouts
-    from nimrud_tpu.ops.pallas import multiscale_kernel
-
-    n_attr = 0 if attributes is None else attributes.shape[1]
-    prob = _span_problem(query, q_valid, search, s_valid, spec,
-                         attrs=attributes)
-    sazo = layouts.needs_sazo(kind)
-    slabs, dropped = _ragged_slabs(
-        prob["q_t"], prob["centers"], prob["span_starts"],
-        prob["span_lens"], _far_extended(prob["sorted_pts"]), n_chunks,
-        radii, exclude_radius, interpret, precision, sazo,
-        n_attr=n_attr)
-    per_radius = multiscale_kernel.moments_from_slabs(
-        slabs, prob["centers"], radii, with_sazo=sazo, n_attr=n_attr)
-
-    blocks = []
-    for p, radius in zip(per_radius, radii):
-        if kind == "vector":
-            blocks.append(p["attr_mean"])
-            continue
-        blocks.append(layouts.build_block(
-            kind, p["count"], p["mean_local"] + prob["centers"][:, None, :],
-            p["cov"], prob["q_pts"], radius, sazo=p.get("sazo")))
-    feats = jnp.concatenate(blocks, axis=-1)
-    feats_out = _unsort_features(feats, prob, spec, query.shape[0], n_out)
-    if not with_stats:
-        return feats_out
-    stats = {
-        "dropped_query": (
-            jnp.sum(q_valid.astype(jnp.int32)) - jnp.sum(prob["count"])
-        ).astype(jnp.int32),
-        "dropped_candidates": dropped,
-    }
-    return feats_out, stats
-
-
-@functools.partial(
-    jax.jit,
     static_argnames=("pack_spec", "band_specs", "radii_bands", "kind",
                      "exclude_radius", "n_out", "c_caps", "interpret",
                      "entry_batch", "precision", "with_stats", "order",
@@ -1120,7 +1028,7 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
                                order="caller", attributes=None,
                                entry_chunk=None, reduce_fn=None,
                                reduce_args=None, presorted=False,
-                               q_dma=False):
+                               q_dma=False, search_tables=None):
     """
     ALL bands of a scaleset in one program over ONE shared query plan.
 
@@ -1198,23 +1106,34 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
         if kind == "vector":
             raise ValueError("q_dma does not support kind='vector' "
                              "(attributes claim the Q_ROW slab rows)")
-        if any(isinstance(c, RaggedCaps) for c in c_caps):
-            raise ValueError("q_dma does not support the ragged backend")
+        if order != "rank" or reduce_fn is None:
+            raise ValueError(
+                "q_dma needs order='rank' with a reduce_fn (the "
+                "aligned-window slot layout is resolved by the "
+                "rank-compaction keys)")
         q_src = _q_dma_src(plan, query.shape[0], q_cap)
         q_entry = plan["start"]
     else:
         q_src = None
         q_entry = None
+    # q-DMA windows carry q_cap + 128 slots per entry (128-aligned DMA)
+    q_eff = q_cap + 128 if q_dma else q_cap
 
     # per-band span tables against the shared plan (global sorts; the
-    # heavy per-slot work below consumes these chunk by chunk)
+    # heavy per-slot work below consumes these chunk by chunk).
+    # ``search_tables`` (designated-search serving) replaces each
+    # band's dedup sort + count scatter with precomputed tables.
+    search_tables = search_tables or (None,) * len(band_specs)
     band_data = []
-    for search, s_valid, spec, radii, c_cap, attrs in zip(
+    for search, s_valid, spec, radii, c_cap, attrs, stab in zip(
             searches, s_valids, band_specs, radii_bands, c_caps,
-            attributes):
+            attributes, search_tables):
         n_attr = 0 if attrs is None else attrs.shape[1]
+        if stab is not None:
+            n_attr = stab["sorted_pts"].shape[1] - 3
         band = _band_spans(plan, search, s_valid, spec, attrs=attrs,
-                           presorted=presorted and attrs is None)
+                           presorted=presorted and attrs is None,
+                           tables=stab)
         band_data.append((band["span_starts"], band["span_lens"],
                           _far_extended(band["sorted_pts"]), c_cap,
                           radii, n_attr))
@@ -1239,12 +1158,7 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
         (E',) per-entry sorted-rank STARTS in q-DMA mode (the bucket
         argsort slices both identically).
         """
-        if isinstance(c_cap, RaggedCaps):
-            slabs, drop = _ragged_slabs(
-                q_t_c, centers_c, starts_c, lens_c, sorted3,
-                c_cap.n_chunks, radii, exclude_radius, interpret,
-                precision, sazo, n_attr=n_attr)
-        elif isinstance(c_cap, tuple):
+        if isinstance(c_cap, tuple):
             caps, bounds = c_cap
             totals = jnp.sum(lens_c, axis=1)
             order = jnp.argsort(-totals)
@@ -1355,7 +1269,7 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
             drops = jnp.stack([s[1] for s in stacked])
         else:
             outs, drops = jax.lax.map(chunk_body, xs)
-        n_rows = n_chunks * entry_chunk * q_cap
+        n_rows = n_chunks * entry_chunk * q_eff
         zero_row = reduce_fn(
             reduce_args, jnp.zeros((1, width_total), jnp.float32))
         if order == "rank":
@@ -1365,7 +1279,8 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
             red = jax.tree_util.tree_map(
                 lambda a: a.reshape((n_rows,) + a.shape[2:]), outs)
             out = (_rank_compact(red, plan, pack_spec, n_rows,
-                                 zero_row, query.shape[0]),
+                                 zero_row, query.shape[0],
+                                 q_slots=q_eff, aligned=q_dma),
                    plan["q_order"])
         else:
             out_flat = jax.tree_util.tree_map(
@@ -1396,7 +1311,9 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
                 if order == "rank":
                     out = (_rank_compact(red, plan, pack_spec,
                                          flat.shape[0], zero_row,
-                                         query.shape[0]),
+                                         query.shape[0],
+                                         q_slots=q_eff,
+                                         aligned=q_dma),
                            plan["q_order"])
                 else:
                     out_flat = jax.tree_util.tree_map(

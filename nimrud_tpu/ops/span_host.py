@@ -211,32 +211,6 @@ def _round_cap(cap):
     return max(-(-int(cap) // 128) * 128, 128)
 
 
-def ragged_chunk_budget(query, search, spec, s_valid=None, margin=1.25,
-                        pack_spec=None, entry_chunk=None, plan=None,
-                        cw=128):
-    """Static chunk budget for the RAGGED packed layout
-    (device_grid.RaggedCaps): the measured sum of per-entry
-    ceil(candidate_total / cw) over the worst entry slice (the chunked
-    serving path re-derives its tables per ``entry_chunk`` entries),
-    with headroom for denser serving clouds.  Backed by the counted
-    dropped_candidates diagnostic, same contract as the dense caps."""
-    search = np.asarray(search, np.float32)
-    if s_valid is None:
-        s_valid = np.ones(search.shape[0], bool)
-    if plan is None:
-        q = np.asarray(query, np.float32)
-        pk = pack_spec if pack_spec is not None else spec
-        plan = pack_plan_np(q, np.ones(q.shape[0], bool), pk)
-    lens = band_span_lens(plan, search, s_valid, spec)
-    totals = lens.sum(axis=1)
-    need = -(-totals // cw)
-    e_cap = need.shape[0]
-    chunk = e_cap if entry_chunk is None else int(entry_chunk)
-    worst = max((int(need[s:s + chunk].sum())
-                 for s in range(0, e_cap, chunk)), default=0)
-    return max(int(np.ceil(worst * margin)) + 2, 8)
-
-
 def candidate_caps_split(query, search, spec, s_valid=None, margin=1.25,
                          pack_spec=None, entry_chunk=None, plan=None,
                          max_buckets=4):

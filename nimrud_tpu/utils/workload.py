@@ -60,11 +60,6 @@ def _packed_lane_total(c_cap, e_cap, entry_chunk):
     every entry slot (live or dead -- dead slots fetch the FAR sentinel
     row) costs its rank bucket's capacity.  Mirrors the bucket-edge
     arithmetic of span_host.candidate_caps_split / the device band_blocks."""
-    from nimrud_tpu.ops.device_grid import RaggedCaps
-    if isinstance(c_cap, RaggedCaps):
-        chunk = e_cap if entry_chunk is None else int(entry_chunk)
-        n_chunks = -(-e_cap // chunk)
-        return int(c_cap.n_chunks) * 128 * n_chunks
     if isinstance(c_cap, tuple):
         caps, bounds = c_cap
     else:

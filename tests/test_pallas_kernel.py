@@ -359,16 +359,30 @@ def test_packed_qdma_matches_gather():
     split = span_host.candidate_caps_split(pts, host_centers, spec)
     interp = jax.default_backend() not in ("tpu", "axon")
 
+    # q_dma runs the rank+reduce serving form (the aligned-window slot
+    # layout is resolved by the rank-compaction keys); an IDENTITY
+    # reduce recovers the feature rows exactly (f @ I is fp-exact)
+    from nimrud_tpu.features.layouts import LAYOUT_WIDTHS
+
+    def caller_feats(red, order_arr):
+        return np.asarray(red[0])[np.argsort(np.asarray(order_arr),
+                                             kind="stable")][:6000]
+
     for kind in ("minimal", "sazo"):
-        kw = dict(interpret=interp, with_stats=True)
+        width = LAYOUT_WIDTHS[kind] * len(radii)
+        eye = jnp.eye(width, dtype=jnp.float32)
+        kw = dict(interpret=interp, with_stats=True, order="rank",
+                  reduce_fn=_dot_reduce, reduce_args=eye)
         args = (q, qv, (centers,), (mask,), spec, (spec,), (radii,),
                 kind, None, 6000, (split,))
-        f_g, st_g = device_grid.fused_extract_packed_multi(*args, **kw)
-        f_d, st_d = device_grid.fused_extract_packed_multi(
+        (red_g, ord_g), st_g = device_grid.fused_extract_packed_multi(
+            *args, **kw)
+        (red_d, ord_d), st_d = device_grid.fused_extract_packed_multi(
             *args, q_dma=True, **kw)
         assert int(st_g["dropped_candidates"]) == 0
         assert int(st_d["dropped_candidates"]) == 0
-        a, b = np.asarray(f_g), np.asarray(f_d)
+        a = caller_feats(red_g, ord_g)
+        b = caller_feats(red_d, ord_d)
         # population and sazo columns: exact integer / exact max
         np.testing.assert_array_equal(a[:, 0], b[:, 0])
         if kind == "sazo":
@@ -376,7 +390,6 @@ def test_packed_qdma_matches_gather():
         assert np.allclose(a, b, atol=2e-4), np.abs(a - b).max()
 
     # entry-chunked + reduce path under q_dma
-    from nimrud_tpu.features.layouts import LAYOUT_WIDTHS
     width = LAYOUT_WIDTHS["minimal"] * len(radii)
     w = jnp.asarray(rng.standard_normal((width, 3)).astype(np.float32))
     kw = dict(interpret=interp, with_stats=True, order="rank",
@@ -415,137 +428,6 @@ def test_packed_sazo_matches_xla():
     assert np.array_equal(packed[pop][:, 4], xla[pop][:, 4])
     assert np.array_equal(packed[pop][:, 9], xla[pop][:, 9])
     assert np.allclose(packed[pop], xla[pop], atol=1e-3)
-
-
-def test_ragged_backend_matches_packed():
-    # the ragged layout gathers exactly the same candidate rows per
-    # entry as the dense caps (same span plan, packed contiguously);
-    # populations must agree exactly, features to f32
-    # accumulation-order tolerance (the 128-lane chunk boundaries group
-    # the moment sums differently than the 512-lane packed sweep)
-    from nimrud_tpu.features.multiscale import extract_scaleset
-    rng = np.random.default_rng(41)
-    search = (rng.random((12000, 3)) * [16, 16, 4]).astype(np.float32)
-    query = search[:2048]
-    scaleset = [(0.4, (1.2, 0.6))]
-    for kind in ("minimal", "sazo"):
-        packed = np.asarray(extract_scaleset(
-            query, search, scaleset, kind=kind, method="fused",
-            tuning={"backend": "packed"}))
-        ragged = np.asarray(extract_scaleset(
-            query, search, scaleset, kind=kind, method="fused",
-            tuning={"backend": "ragged"}))
-        assert ragged.shape == packed.shape
-        assert np.array_equal(ragged[:, 0], packed[:, 0]), kind
-        assert np.allclose(ragged, packed, atol=1e-3), \
-            (kind, np.abs(ragged - packed).max())
-
-
-def test_ragged_multi_matches_split_caps():
-    # fused_extract_packed_multi with RaggedCaps against the two-bucket
-    # split caps: same candidate sets, exact populations, and the
-    # chunked (entry_chunk) ragged path agrees with itself un-chunked
-    import jax
-    from nimrud_tpu.features.multiscale import _host_unique_voxels
-    from nimrud_tpu.ops import device_grid, packing, span_host, unique
-    rng = np.random.default_rng(42)
-    pts = (rng.random((6000, 3)) * [12, 12, 3]).astype(np.float32)
-    lo, hi = pts.min(0), pts.max(0)
-    edge, radii = 0.25, (0.8, 0.4)
-    spec = device_grid.make_spec(lo, hi, max(radii), n_query=8192,
-                                 voxel_edge=edge, q_cap=64, x_seg=4)
-    vox = packing.GridSpec.fit_bounds(lo, hi, edge)
-    q = jnp.asarray(np.vstack([pts, np.zeros((8192 - 6000, 3),
-                                             np.float32)]))
-    qv = jnp.arange(8192) < 6000
-    centers, _, mask = unique.unique_voxels(q, vox, valid=qv)
-    host_centers = _host_unique_voxels(pts, edge)
-    dense = span_host.candidate_cap(pts, host_centers, spec)
-    budget = span_host.ragged_chunk_budget(pts, host_centers, spec)
-    interp = jax.default_backend() not in ("tpu", "axon")
-    kw = dict(interpret=interp, with_stats=True)
-    args = (q, qv, (centers,), (mask,), spec, (spec,), (radii,),
-            "minimal", None, 6000)
-    f_dense, st_dense = device_grid.fused_extract_packed_multi(
-        *args, (dense,), **kw)
-    f_rag, st_rag = device_grid.fused_extract_packed_multi(
-        *args, (device_grid.RaggedCaps(budget),), **kw)
-    assert int(st_dense["dropped_candidates"]) == 0
-    assert int(st_rag["dropped_candidates"]) == 0
-    a, b = np.asarray(f_dense), np.asarray(f_rag)
-    np.testing.assert_array_equal(a[:, 0], b[:, 0])
-    np.testing.assert_array_equal(a[:, 4], b[:, 4])
-    assert np.allclose(a, b, atol=1e-3), np.abs(a - b).max()
-
-    # chunked ragged = unchunked ragged, through the serving reduce
-    width = a.shape[1]
-    w = jnp.asarray(rng.standard_normal((width, 3)).astype(np.float32))
-    kw2 = dict(interpret=interp, with_stats=True, order="plan",
-               reduce_fn=_dot_reduce, reduce_args=w)
-    (fl_a, pos_a), _ = device_grid.fused_extract_packed_multi(
-        *args, (device_grid.RaggedCaps(budget),), **kw2)
-    budget_c = span_host.ragged_chunk_budget(pts, host_centers, spec,
-                                             entry_chunk=96)
-    (fl_b, pos_b), _ = device_grid.fused_extract_packed_multi(
-        *args, (device_grid.RaggedCaps(budget_c),), entry_chunk=96,
-        **kw2)
-    ra = np.asarray(fl_a[0])[np.asarray(pos_a)]
-    rb = np.asarray(fl_b[0])[np.asarray(pos_b)]
-    np.testing.assert_array_equal(ra, rb)
-
-
-def test_ragged_budget_overflow_counted_and_zeroed():
-    # a chunk budget below the measured need must surface in
-    # dropped_candidates, and entries past the budget must yield
-    # DEFINED (zero) features, never uninitialized kernel output
-    import jax
-    from nimrud_tpu.features.multiscale import _host_unique_voxels
-    from nimrud_tpu.ops import device_grid, packing, span_host, unique
-    rng = np.random.default_rng(43)
-    pts = (rng.random((4000, 3)) * 6).astype(np.float32)
-    lo, hi = pts.min(0), pts.max(0)
-    spec = device_grid.make_spec(lo, hi, 0.8, n_query=4096,
-                                 voxel_edge=0.2, q_cap=64, x_seg=4)
-    vox = packing.GridSpec.fit_bounds(lo, hi, 0.2)
-    q = jnp.asarray(np.vstack([pts, np.zeros((96, 3), np.float32)]))
-    qv = jnp.arange(4096) < 4000
-    centers, _, mask = unique.unique_voxels(q, vox, valid=qv)
-    host_centers = _host_unique_voxels(pts, 0.2)
-    budget = span_host.ragged_chunk_budget(pts, host_centers, spec)
-    interp = jax.default_backend() not in ("tpu", "axon")
-    full, st_full = device_grid.fused_extract_ragged(
-        q, qv, centers, mask, spec, (0.8,), "minimal", None, 4096,
-        budget, interpret=interp, with_stats=True)
-    assert int(st_full["dropped_candidates"]) == 0
-    tight, st = device_grid.fused_extract_ragged(
-        q, qv, centers, mask, spec, (0.8,), "minimal", None, 4096,
-        max(budget // 8, 1), interpret=interp, with_stats=True)
-    assert int(st["dropped_candidates"]) > 0
-    t = np.asarray(tight)
-    assert np.all(np.isfinite(t))
-    # truncated-entry queries: fewer or equal populations, never more
-    assert np.all(t[:, 0] <= np.asarray(full)[:, 0] + 1e-6)
-
-
-def test_ragged_vector_attributes():
-    # kind="vector" through the ragged kernel: attribute sums ride the
-    # moment dot rows; means must match the packed backend exactly on
-    # populations and to tolerance on values
-    from nimrud_tpu.features.multiscale import extract_scaleset
-    rng = np.random.default_rng(44)
-    search = (rng.random((6000, 3)) * [10, 10, 3]).astype(np.float32)
-    attrs = rng.standard_normal((6000, 2)).astype(np.float32)
-    query = search[:1024]
-    scaleset = [(0.4, (1.0,))]
-    packed = np.asarray(extract_scaleset(
-        query, search, scaleset, kind="vector", attributes=attrs,
-        method="fused", tuning={"backend": "packed"}))
-    ragged = np.asarray(extract_scaleset(
-        query, search, scaleset, kind="vector", attributes=attrs,
-        method="fused", tuning={"backend": "ragged"}))
-    assert ragged.shape == packed.shape
-    assert np.allclose(ragged, packed, atol=1e-4), \
-        np.abs(ragged - packed).max()
 
 
 def test_rank_order_unsort_matches_plan_order():

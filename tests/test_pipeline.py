@@ -240,6 +240,84 @@ def test_predict_multichip_rejects_unsupported():
         dense_band.predict_multichip(cloud, mesh_shape=(2, 2))
 
 
+def test_staged_search_matches_per_cloud():
+    # designated-search serving (round-4 VERDICT item 2): stage_search
+    # precomputes the per-band dedup + span count tables ONCE; clouds
+    # streamed against the map must classify BIT-identically to the
+    # per-cloud path (same tile-sorted rows, same tables, same kernel
+    # sweep), for geometry AND vector kinds
+    cloud, labels = _scene(per=500)
+    rng = np.random.default_rng(9)
+    # a designated search map distinct from the query clouds
+    search = (cloud + rng.normal(0, 0.03, cloud.shape)).astype(
+        np.float32)
+    lo = np.minimum(cloud.min(0), search.min(0)) - 0.5
+    hi = np.maximum(cloud.max(0), search.max(0)) + 0.5
+
+    model = GeometryClassifier(
+        [(0.2, (0.8, 0.4))], kind="minimal", classifier="linear",
+        classifier_kwargs={"epochs": 20}, backend="packed",
+        bounds=(lo, hi))
+    model.fit(cloud, labels, search=search)
+
+    handle = model.stage_search(search)
+
+    # op-level bit-identity: the staged tables must drive the multi
+    # program to EXACTLY the per-cloud features (same sorted rows, same
+    # spans, same sweep); the full predict program only adds the
+    # classifier matmul, whose reassociation can differ between two
+    # separately compiled programs
+    import jax.numpy as jnp
+    from nimrud_tpu.features import multiscale
+    from nimrud_tpu.ops import device_grid, unique
+    band = model._fused_band_specs(cloud, search)[0]
+    q_bucket = multiscale._pow2_bucket(cloud.shape[0])
+    q_dev = jnp.asarray(multiscale._pad_rows_f32(cloud, q_bucket))
+    q_valid = jnp.arange(q_bucket) < cloud.shape[0]
+    s_bucket = multiscale._pow2_bucket(search.shape[0])
+    s_dev = jnp.asarray(multiscale._pad_rows_f32(search, s_bucket))
+    s_valid = jnp.arange(s_bucket) < search.shape[0]
+    centers, _, mask = unique.unique_voxels(
+        s_dev, band[0], valid=s_valid, tile_spec=band[1])
+    kw = dict(interpret=True, with_stats=True)
+    f_inline, _ = device_grid.fused_extract_packed_multi(
+        q_dev, q_valid, (centers,), (mask,), band[1], (band[1],),
+        (band[2],), "minimal", None, cloud.shape[0], (band[5],),
+        presorted=True, **kw)
+    f_staged, _ = device_grid.fused_extract_packed_multi(
+        q_dev, q_valid, (q_dev[:1],), (jnp.ones(1, bool),), band[1],
+        (band[1],), (band[2],), "minimal", None, cloud.shape[0],
+        (band[5],), search_tables=handle["tables"], **kw)
+    np.testing.assert_array_equal(np.asarray(f_inline),
+                                  np.asarray(f_staged))
+
+    jitter = (cloud + rng.normal(0, 0.01, cloud.shape)).astype(
+        np.float32)
+    for q in (cloud, jitter):
+        a = model.predict_staged(model.stage(q, search=search),
+                                 with_proba=True)
+        b = model.predict_staged(model.stage(q, staged_search=handle),
+                                 with_proba=True)
+        np.testing.assert_array_equal(np.asarray(a[0]),
+                                      np.asarray(b[0]))
+        assert np.allclose(np.asarray(a[1]), np.asarray(b[1]),
+                           atol=1e-3)
+
+    # vector kind: attributes belong to the handle
+    attrs = np.stack([search[:, 2], np.sin(search[:, 0])],
+                     axis=1).astype(np.float32)
+    vec = GeometryClassifier(
+        [(0.2, (0.8, 0.4))], kind="vector", classifier="linear",
+        classifier_kwargs={"epochs": 20}, backend="packed",
+        bounds=(lo, hi))
+    vec.fit(cloud, labels, search=search, attributes=attrs)
+    vh = vec.stage_search(search, attributes=attrs)
+    a = vec.predict_staged(
+        vec.stage(cloud, search=search, attributes=attrs))
+    b = vec.predict_staged(vec.stage(cloud, staged_search=vh))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.slow
 def test_predict_multichip_vector():
     # kind="vector" (V_MSO) under the 2-D serving mesh: attributes
