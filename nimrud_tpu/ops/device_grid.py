@@ -494,9 +494,6 @@ def _pack_plan(query, q_valid, spec):
         "start": start, "entry": entry,
         "tx_lo": tx_lo, "tx_hi": tx_hi, "ty": ty, "tz": tz,
         "coarse_edge": float(spec.m) * float(spec.tile_edge),
-        # sorted coordinate columns for the q-DMA kernel path (jit
-        # dead-code-eliminates whichever of q_t / these goes unused)
-        "qs_cols": (qsx, qsy, qsz),
         # unsort pieces
         "sorted_qids": sorted_qids, "q_order": q_order,
         "q_iota": q_iota,
@@ -732,8 +729,7 @@ def _rank_positions(prob, spec, n_query, sentinel):
     return jnp.where(prob["q_iota"] < covered, pos_r, sentinel)
 
 
-def _rank_compact(red, plan, spec, n_rows, zero_row, n_query,
-                  q_slots=None, aligned=False):
+def _rank_compact(red, plan, spec, n_rows, zero_row, n_query):
     """Reduce outputs from (entry, slot) order to SORTED-RANK order
     with ONE multi-payload key-value sort.
 
@@ -748,31 +744,17 @@ def _rank_compact(red, plan, spec, n_rows, zero_row, n_query,
     sentinel-row semantics exactly -- including under entry-capacity
     overflow, where the gather path's misaligned-key shortcut would
     silently shift every later label.
-
-    ``aligned`` (the q-DMA window layout): entries carry
-    ``q_slots = q_cap + 128`` slots whose slot s holds sorted rank
-    ``(start_e rounded down to 128) + s``; live slots are
-    [prefix, prefix + count) with prefix = start - base.  The key
-    arithmetic addresses exactly the same disjoint rank ranges.
     """
     start, count = plan["start"], plan["count"]
-    q_slots = spec.q_cap if q_slots is None else int(q_slots)
+    q_slots = spec.q_cap
     n_e = n_rows // q_slots
     if n_e > start.shape[0]:        # entry_chunk padding rows: count 0
         pad = n_e - start.shape[0]
         start = jnp.concatenate([start, jnp.zeros(pad, jnp.int32)])
         count = jnp.concatenate([count, jnp.zeros(pad, jnp.int32)])
     scol = jnp.arange(q_slots, dtype=jnp.int32)[None, :]
-    if aligned:
-        base = (start // 128) * 128
-        prefix = (start - base)[:, None]
-        keys = jnp.where(
-            (scol >= prefix) & (scol < prefix + count[:, None]),
-            base[:, None] + scol,
-            jnp.int32(2 ** 31 - 1)).reshape(-1)
-    else:
-        keys = jnp.where(scol < count[:, None], start[:, None] + scol,
-                         jnp.int32(2 ** 31 - 1)).reshape(-1)
+    keys = jnp.where(scol < count[:, None], start[:, None] + scol,
+                     jnp.int32(2 ** 31 - 1)).reshape(-1)
 
     leaves, treedef = jax.tree_util.tree_flatten(red)
     widths, cols = [], []
@@ -950,31 +932,11 @@ def _pack_candidates(band, c_cap):
     return src3, sorted3, dropped
 
 
-def _q_dma_src(plan, n_query, q_cap):
-    """(4, n_query + q_cap + 128) sorted query coordinates for the
-    q-DMA packed kernel: enough zero columns of tail padding that every
-    128-aligned per-entry DMA window [base, base + q_cap + 128) is
-    in-bounds without clipping (clipped bases would shift live slots),
-    and the fourth zero ROW aligns the source to the (4, 128) f32
-    tiling Mosaic requires."""
-    from nimrud_tpu.ops.pallas.packed_kernel import LANES
-    qsx, qsy, qsz = plan["qs_cols"]
-    return jnp.concatenate(
-        [jnp.stack([qsx, qsy, qsz, jnp.zeros_like(qsx)]),
-         jnp.zeros((4, q_cap + LANES), jnp.float32)], axis=1)
-
-
 def _packed_slabs(q_t, centers, src3, sorted3, radii, exclude_radius,
                   interpret, entry_batch, precision, with_sazo,
-                  n_attr=0, q_src=None, q_cap=None):
+                  n_attr=0):
     """Gather packed candidates and run the packed moment kernel,
     CHUNKED over entries for large problems.
-
-    With ``q_src`` (the (3, n_pad) sorted cloud from :func:`_q_dma_src`)
-    ``q_t`` is instead the per-entry SORTED-RANK STARTS (E',) and the
-    kernel DMAs its own query blocks (packed_kernel.packed_moments_qdma)
-    -- the (E, q_cap) query gather disappears and slab rows 12-14 carry
-    the entry-local queries.
 
     LAYOUT HAZARD: XLA canonicalizes every gather to batch-major
     (N, 3) before any transpose, and a MATERIALIZED f32[N, 3] is
@@ -993,13 +955,6 @@ def _packed_slabs(q_t, centers, src3, sorted3, radii, exclude_radius,
 
     def piece(sl):
         cand_t = sorted3[src3[sl].reshape(-1)].T
-        if q_src is not None:
-            if n_attr:
-                raise ValueError("q-DMA path carries no attributes")
-            return packed_kernel.packed_moments_qdma.__wrapped__(
-                q_src, q_t[sl], cand_t, centers[sl], q_cap, radii,
-                exclude_radius, interpret, entry_batch, precision,
-                with_sazo=with_sazo)
         return packed_kernel.packed_moments.__wrapped__(
             q_t[sl], cand_t, centers[sl], radii, exclude_radius,
             interpret, entry_batch, precision, with_sazo=with_sazo,
@@ -1019,7 +974,7 @@ def _packed_slabs(q_t, centers, src3, sorted3, radii, exclude_radius,
     static_argnames=("pack_spec", "band_specs", "radii_bands", "kind",
                      "exclude_radius", "n_out", "c_caps", "interpret",
                      "entry_batch", "precision", "with_stats", "order",
-                     "entry_chunk", "reduce_fn", "presorted", "q_dma"))
+                     "entry_chunk", "reduce_fn", "presorted"))
 def fused_extract_packed_multi(query, q_valid, searches, s_valids,
                                pack_spec, band_specs, radii_bands, kind,
                                exclude_radius, n_out, c_caps,
@@ -1028,7 +983,7 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
                                order="caller", attributes=None,
                                entry_chunk=None, reduce_fn=None,
                                reduce_args=None, presorted=False,
-                               q_dma=False, search_tables=None):
+                               search_tables=None):
     """
     ALL bands of a scaleset in one program over ONE shared query plan.
 
@@ -1098,27 +1053,6 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
     sazo = layouts.needs_sazo(kind)
     attributes = attributes or (None,) * len(band_specs)
 
-    # q-DMA mode: the kernel streams its own query blocks from the
-    # sorted cloud (per-entry async DMA, hidden under the moment sweep)
-    # instead of the (E, q_cap) XLA gather; the layouts then consume
-    # the entry-LOCAL mean/query the slabs carry (translation-invariant)
-    if q_dma:
-        if kind == "vector":
-            raise ValueError("q_dma does not support kind='vector' "
-                             "(attributes claim the Q_ROW slab rows)")
-        if order != "rank" or reduce_fn is None:
-            raise ValueError(
-                "q_dma needs order='rank' with a reduce_fn (the "
-                "aligned-window slot layout is resolved by the "
-                "rank-compaction keys)")
-        q_src = _q_dma_src(plan, query.shape[0], q_cap)
-        q_entry = plan["start"]
-    else:
-        q_src = None
-        q_entry = None
-    # q-DMA windows carry q_cap + 128 slots per entry (128-aligned DMA)
-    q_eff = q_cap + 128 if q_dma else q_cap
-
     # per-band span tables against the shared plan (global sorts; the
     # heavy per-slot work below consumes these chunk by chunk).
     # ``search_tables`` (designated-search serving) replaces each
@@ -1153,10 +1087,6 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
         before the layouts, so positions and downstream order never
         see the sort.  ``bounds`` past a short (ragged last) chunk
         clip to the chunk and empty buckets drop out statically.
-
-        ``q_t_c`` is the (E', 3, q_cap) gathered query block, or the
-        (E',) per-entry sorted-rank STARTS in q-DMA mode (the bucket
-        argsort slices both identically).
         """
         if isinstance(c_cap, tuple):
             caps, bounds = c_cap
@@ -1178,7 +1108,7 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
                 parts.append(_packed_slabs(
                     q_t_c[idx], centers_c[idx], src3, sorted3, radii,
                     exclude_radius, interpret, entry_batch, precision,
-                    sazo, n_attr=n_attr, q_src=q_src, q_cap=q_cap))
+                    sazo, n_attr=n_attr))
                 drop = drop + dr
             slabs = jnp.concatenate(parts)[inv]
         else:
@@ -1186,29 +1116,19 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
                                    sorted3.shape[0] - 1)
             slabs = _packed_slabs(
                 q_t_c, centers_c, src3, sorted3, radii, exclude_radius,
-                interpret, entry_batch, precision, sazo, n_attr=n_attr,
-                q_src=q_src, q_cap=q_cap)
+                interpret, entry_batch, precision, sazo, n_attr=n_attr)
         per_radius = multiscale_kernel.moments_from_slabs(
-            slabs, centers_c, radii, with_sazo=sazo, n_attr=n_attr,
-            with_q=q_dma)
-        q_pts_c = None if q_dma else jnp.swapaxes(q_t_c, 1, 2)
+            slabs, centers_c, radii, with_sazo=sazo, n_attr=n_attr)
+        q_pts_c = jnp.swapaxes(q_t_c, 1, 2)
         blocks = []
         for p, radius in zip(per_radius, radii):
             if kind == "vector":
                 blocks.append(p["attr_mean"])
                 continue
-            if q_dma:
-                # entry-local mean/query: the layouts only ever use
-                # (mean - query), so the frame cancels mathematically;
-                # staying local also keeps the subtraction fp-healthy
-                blocks.append(layouts.build_block(
-                    kind, p["count"], p["mean_local"], p["cov"],
-                    p["q_local"], radius, sazo=p.get("sazo")))
-            else:
-                blocks.append(layouts.build_block(
-                    kind, p["count"],
-                    p["mean_local"] + centers_c[:, None, :],
-                    p["cov"], q_pts_c, radius, sazo=p.get("sazo")))
+            blocks.append(layouts.build_block(
+                kind, p["count"],
+                p["mean_local"] + centers_c[:, None, :],
+                p["cov"], q_pts_c, radius, sazo=p.get("sazo")))
         return blocks, drop
 
     if kind == "vector":
@@ -1230,8 +1150,7 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
                 [a, jnp.zeros((pad_e,) + a.shape[1:], a.dtype)])
 
         xs = {
-            "q_t": pad_entries(q_entry).reshape(n_chunks, entry_chunk)
-            if q_dma else pad_entries(plan["q_t"]).reshape(
+            "q_t": pad_entries(plan["q_t"]).reshape(
                 n_chunks, entry_chunk, 3, q_cap),
             "centers": pad_entries(plan["centers"]).reshape(
                 n_chunks, entry_chunk, 3),
@@ -1269,7 +1188,7 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
             drops = jnp.stack([s[1] for s in stacked])
         else:
             outs, drops = jax.lax.map(chunk_body, xs)
-        n_rows = n_chunks * entry_chunk * q_eff
+        n_rows = n_chunks * entry_chunk * q_cap
         zero_row = reduce_fn(
             reduce_args, jnp.zeros((1, width_total), jnp.float32))
         if order == "rank":
@@ -1279,8 +1198,7 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
             red = jax.tree_util.tree_map(
                 lambda a: a.reshape((n_rows,) + a.shape[2:]), outs)
             out = (_rank_compact(red, plan, pack_spec, n_rows,
-                                 zero_row, query.shape[0],
-                                 q_slots=q_eff, aligned=q_dma),
+                                 zero_row, query.shape[0]),
                    plan["q_order"])
         else:
             out_flat = jax.tree_util.tree_map(
@@ -1295,8 +1213,7 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
         blocks = []
         dropped = jnp.zeros((), jnp.int32)
         for starts, lens, sorted3, c_cap, radii, n_attr in band_data:
-            bl, dr = band_blocks(q_entry if q_dma else plan["q_t"],
-                                 plan["centers"], starts,
+            bl, dr = band_blocks(plan["q_t"], plan["centers"], starts,
                                  lens, sorted3, c_cap, radii, n_attr)
             blocks.extend(bl)
             dropped = dropped + dr
@@ -1311,9 +1228,7 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
                 if order == "rank":
                     out = (_rank_compact(red, plan, pack_spec,
                                          flat.shape[0], zero_row,
-                                         query.shape[0],
-                                         q_slots=q_eff,
-                                         aligned=q_dma),
+                                         query.shape[0]),
                            plan["q_order"])
                 else:
                     out_flat = jax.tree_util.tree_map(

@@ -120,7 +120,7 @@ def entry_moments(q_local, s_local, s_valid, radii, interpret=False,
 
 
 def moments_from_slabs(slabs, centers, radii, with_sazo=False,
-                       n_attr=0, with_q=False):
+                       n_attr=0):
     """
     Convert raw Pallas moment slabs to the (count, mean, cov) statistics
     the feature layouts consume (same contract as grid._entry_stats).
@@ -129,11 +129,7 @@ def moments_from_slabs(slabs, centers, radii, with_sazo=False,
     kernel folds into slab rows 10/11 and resolves them to the SAZO
     statistic (the larger-magnitude extreme; 0 for empty neighborhoods
     -- same contract as ops.moments masked_moments).
-    ``with_q`` reads the ENTRY-LOCAL query coordinates the q-DMA packed
-    kernel stashes in rows 12-14 of radius block 0 (packed_kernel.Q_ROW)
-    into every radius' ``q_local``.
     """
-    q_local = slabs[:, :, 12:15] if with_q else None
     out = []
     for ri, _ in enumerate(radii):
         slab = slabs[:, :, ri * MOMENT_PAD:(ri + 1) * MOMENT_PAD]
@@ -159,7 +155,5 @@ def moments_from_slabs(slabs, centers, radii, with_sazo=False,
             # attribute SUMS ride slab rows 10..10+A (packed kernel);
             # masked mean = sum / count (V_MSO contract)
             stats["attr_mean"] = slab[..., 10:10 + n_attr] / denom
-        if with_q:
-            stats["q_local"] = q_local
         out.append(stats)
     return out

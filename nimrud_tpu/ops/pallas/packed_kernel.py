@@ -60,13 +60,6 @@ def _round_up(n, m):
 BIG = 1.0e30           # sazo fold identity (f32 max is ~3.4e38)
 
 
-Q_ROW = 12             # slab row where the q-DMA kernel stashes the
-                       # entry-local query coordinates (rows 12-14 of
-                       # radius block 0; free unless a vector layout
-                       # carries >2 attributes, which the q-DMA path
-                       # therefore excludes)
-
-
 def _packed_body(radii, c_cap, exclude_radius, batch, precision,
                  with_sazo=False, n_attr=0):
     """One grid step = ``batch`` entries.  All addressing is static:
@@ -136,10 +129,9 @@ def _packed_body(radii, c_cap, exclude_radius, batch, precision,
 
 def _entry_sweep(radii, c_cap, exclude_radius, cw, precision, with_sazo,
                  n_attr, cand_ref, e, cx, cy, cz, qx, qy, qz):
-    """One entry's chunked candidate sweep (shared by the gather-fed and
-    the q-DMA packed bodies -- ONE copy of the math keeps the two paths
-    bit-identical by construction).  ``qx/qy/qz`` are the (q_cap, 1)
-    ENTRY-LOCAL query columns; returns (acc, sazo_max, sazo_min)."""
+    """One entry's chunked candidate sweep.  ``qx/qy/qz`` are the
+    (q_cap, 1) ENTRY-LOCAL query columns; returns
+    (acc, sazo_max, sazo_min)."""
     q_cap = qx.shape[0]
     acc = None
     sazo_max = sazo_min = None
@@ -216,173 +208,6 @@ def _entry_sweep(radii, c_cap, exclude_radius, cw, precision, with_sazo,
                 precision=precision)                   # (16, n_r*q_cap)
         acc = mom if acc is None else acc + mom
     return acc, sazo_max, sazo_min
-
-
-def _packed_qdma_body(radii, c_cap, q_win, exclude_radius, batch,
-                      n_steps, precision, with_sazo=False):
-    """q-DMA packed body: queries stream from the (4, n_pad) SORTED
-    cloud by per-entry async DMA instead of the XLA (E, q_cap) gather
-    (measured ~6 ms/step of the 1M serving trace).  Entry e's queries
-    are CONSECUTIVE sorted ranks; Mosaic only allows 128-lane-ALIGNED
-    DMA slices (both HBM and VMEM sources were probed and refused
-    unaligned starts), so the caller aligns each start DOWN to 128 and
-    the kernel sweeps a q_win = q_cap + 128 lane WINDOW -- the entry's
-    live slots are [prefix, prefix + count) of the window, and the
-    rank-compaction keys (device_grid._rank_compact) address them as
-    aligned_base + slot.  The DMAs for step g+1 issue before step g's
-    compute, so the ~1.4 us/DMA scalar issue cost hides under the
-    moment sweep.  The entry-LOCAL window coordinates are stashed in
-    slab rows 12-14 of radius block 0 (Q_ROW) -- the layouts are
-    translation-invariant and consume local mean/query directly."""
-    width = len(radii) * MOMENT_PAD
-    cw = min(PACK_CW, c_cap)
-
-    def body(starts_ref, center_ref, cand_ref, q_hbm, out_ref,
-             qbuf, sems):
-        # starts_ref: (E_pad,) int32 scalar-prefetch, 128-ALIGNED
-        #             sorted-rank window base per entry (clipped so
-        #             base + q_win <= n_pad)
-        # q_hbm:      (4, n_pad) f32 sorted queries (rows x/y/z + one
-        #             zero pad row: DMA slices must align to the
-        #             (4, 128) f32 tiling in BOTH dims)
-        # qbuf:       (2, batch, 4, q_win) VMEM double buffer
-        # sems:       (2, batch) DMA semaphores
-        g = pl.program_id(0)
-
-        def dma(step, slot, e):
-            return pltpu.make_async_copy(
-                q_hbm.at[:, pl.ds(
-                    pl.multiple_of(starts_ref[step * batch + e],
-                                   LANES), q_win)],
-                qbuf.at[slot, e],
-                sems.at[slot, e])
-
-        @pl.when(g == 0)
-        def _():
-            for e in range(batch):
-                dma(0, 0, e).start()
-
-        @pl.when(g + 1 < n_steps)
-        def _():
-            nxt = (g + 1) % 2
-            for e in range(batch):
-                dma(g + 1, nxt, e).start()
-
-        slot = g % 2
-        for e in range(batch):
-            dma(g, slot, e).wait()
-            cx = center_ref[0, e, 0]
-            cy = center_ref[0, e, 1]
-            cz = center_ref[0, e, 2]
-            q = qbuf[slot, e, 0:3].T                   # (q_win, 3)
-            qx = q[:, 0:1] - cx                        # (q_win, 1)
-            qy = q[:, 1:2] - cy
-            qz = q[:, 2:3] - cz
-            acc, sazo_max, sazo_min = _entry_sweep(
-                radii, c_cap, exclude_radius, cw, precision, with_sazo,
-                0, cand_ref, e, cx, cy, cz, qx, qy, qz)
-
-            for ri in range(len(radii)):
-                out_ref[0, e, ri * MOMENT_PAD:(ri + 1) * MOMENT_PAD, :] \
-                    = acc[:, ri * q_win:(ri + 1) * q_win]
-            if with_sazo:
-                for ri in range(len(radii)):
-                    out_ref[0, e, ri * MOMENT_PAD + 10, :] = sazo_max[ri]
-                    out_ref[0, e, ri * MOMENT_PAD + 11, :] = sazo_min[ri]
-            # entry-local queries for the translation-invariant layouts
-            out_ref[0, e, Q_ROW, :] = qx[:, 0]
-            out_ref[0, e, Q_ROW + 1, :] = qy[:, 0]
-            out_ref[0, e, Q_ROW + 2, :] = qz[:, 0]
-
-    return body
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("q_cap", "radii", "exclude_radius", "interpret",
-                     "entries_per_step", "precision", "with_sazo"))
-def packed_moments_qdma(q_sorted, starts, cand_t, centers, q_cap, radii,
-                        exclude_radius=None, interpret=False,
-                        entries_per_step=8, precision="highest",
-                        with_sazo=False):
-    """
-    :func:`packed_moments` with in-kernel query DMA: queries come from
-    the (4, n_pad) SORTED cloud (x/y/z rows + one zero pad row for the
-    (4, 128) DMA tiling) via ``starts`` (per-entry sorted-rank offsets,
-    aligned DOWN to 128 lanes here -- Mosaic refuses unaligned DMA
-    slices from both HBM and VMEM sources, probed on v5e) instead of a
-    pre-gathered (E, 3, q_cap) block.  The output therefore carries
-    q_win = q_cap + 128 slots per entry: window slot s of entry e holds
-    sorted rank base_e + s with base_e = start_e rounded down to 128;
-    the live slots are [start_e - base_e, start_e - base_e + count_e).
-    Slab rows 12-14 of radius block 0 carry the ENTRY-LOCAL window
-    coordinates (Q_ROW); pass ``with_q=True`` to ``moments_from_slabs``.
-    Attributes are not supported (their slab rows collide with Q_ROW)
-    -- the vector kind stays on the gather path.
-
-    Returns (E, q_win, width) slabs.
-    """
-    if cand_t.shape[0] != 3:
-        raise ValueError("q-DMA packed kernel carries no attributes")
-    if q_sorted.shape[0] != 4:
-        raise ValueError("q_sorted must be (4, n_pad): x/y/z + pad row")
-    n_entries = starts.shape[0]
-    c_cap = cand_t.shape[1] // n_entries
-    if c_cap * n_entries != cand_t.shape[1]:
-        raise ValueError("cand_t lane count must be E * c_cap")
-    if c_cap % LANES:
-        raise ValueError(f"c_cap must be a multiple of {LANES}")
-    n_pad = q_sorted.shape[1]
-    q_win = int(q_cap) + LANES
-    width = len(radii) * MOMENT_PAD
-
-    batch = max(int(entries_per_step), 1)
-    pad_e = (-n_entries) % batch
-    if pad_e:
-        starts = jnp.concatenate(
-            [starts, jnp.zeros(pad_e, starts.dtype)])
-        cand_t = jnp.concatenate(
-            [cand_t, jnp.full((3, pad_e * c_cap), FAR, cand_t.dtype)],
-            axis=1)
-        centers = jnp.concatenate(
-            [centers, jnp.zeros((pad_e, 3), centers.dtype)])
-    n_steps = (n_entries + pad_e) // batch
-    # 128-aligned window bases, clipped in-bounds (the caller's tail
-    # padding guarantees n_pad >= q_win)
-    starts = jnp.clip((starts // LANES) * LANES, 0,
-                      max(n_pad - q_win, 0))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((1, batch, 3), lambda g, st: (g, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, batch * c_cap), lambda g, st: (0, g)),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=pl.BlockSpec((1, batch, width, q_win),
-                               lambda g, st: (g, 0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, batch, 4, q_win), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, batch)),
-        ],
-    )
-    out = pl.pallas_call(
-        _packed_qdma_body(tuple(float(r) for r in radii), int(c_cap),
-                          q_win,
-                          None if exclude_radius is None
-                          else float(exclude_radius),
-                          batch, n_steps,
-                          {"highest": jax.lax.Precision.HIGHEST,
-                           "bf16x2": "bf16x2"}[precision], with_sazo),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_steps, batch, width, q_win), jnp.float32),
-        interpret=interpret,
-    )(starts, centers.reshape(n_steps, batch, 3), cand_t, q_sorted)
-    return jnp.swapaxes(
-        out.reshape(-1, width, q_win), 1, 2)[:n_entries]
 
 
 @functools.partial(

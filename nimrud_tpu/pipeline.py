@@ -30,14 +30,13 @@ from nimrud_tpu.ops import device_grid, packing, unique
     static_argnames=("band_specs", "kind", "exclude_radius",
                      "precision", "n_query", "clf_kind", "clf_static",
                      "vector_s_cap", "backend", "interpret",
-                     "with_proba", "chunk_slots", "q_dma"))
+                     "with_proba", "chunk_slots"))
 def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                         band_specs, kind, exclude_radius, precision,
                         n_query, clf_kind="linear", clf_static=None,
                         dequant=None, attributes=None, vector_s_cap=32,
                         backend="xla", interpret=False, with_proba=True,
-                        chunk_slots=None, q_dma=False,
-                        search_tables=None):
+                        chunk_slots=None, search_tables=None):
     """
     ONE compiled program for the whole inference step: per band, device
     voxel downsample + tile-grid build + masked-moment features; then the
@@ -151,8 +150,6 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                 attributes=tuple(cattrs), entry_chunk=entry_chunk,
                 reduce_fn=reducer, reduce_args=clf_params,
                 presorted=kind != "vector",
-                q_dma=q_dma and kind != "vector"
-                and backend == "packed",
                 search_tables=search_tables)
         dropped_query = dropped_query + m_stats["dropped_query"]
         cand_dropped = cand_dropped + m_stats["dropped_candidates"]
@@ -356,7 +353,7 @@ class GeometryClassifier:
                  transfer_dtype="float32", vector_s_cap=32,
                  bounds=None, trim_entries=False, backend="auto",
                  precision="highest", serving_chunk_slots=None,
-                 tile_m=3, q_dma=False):
+                 tile_m=3):
         self.scaleset = [(float(e), tuple(float(r) for r in rs))
                          for e, rs in scaleset]
         self.kind = kind
@@ -428,13 +425,6 @@ class GeometryClassifier:
         self.tile_m = int(tile_m)
         if not 1 <= self.tile_m <= 8:
             raise ValueError("tile_m must be in [1, 8]")
-        # q-DMA serving (packed backend, non-vector kinds): the kernel
-        # streams its own query blocks from the sorted cloud by
-        # per-entry async DMA instead of the (E, q_cap) XLA gather;
-        # populations identical, features within fp tolerance (local
-        # vs global displacement frame).  Off by default until the
-        # device trace decides (round-4 probe).
-        self.q_dma = bool(q_dma)
         self._spec_cache = None
         self._stage_spec_cache = {}
         self._multichip_cache = {}
@@ -984,7 +974,7 @@ class GeometryClassifier:
             self.backend,
             jax.default_backend() not in ("tpu", "axon"),
             with_proba=with_proba,
-            chunk_slots=self.serving_chunk_slots, q_dma=self.q_dma,
+            chunk_slots=self.serving_chunk_slots,
             search_tables=staged.get("search_tables"))
         if "staged_vox_dropped" in staged:
             # designated-search overflow was counted once at

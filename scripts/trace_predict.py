@@ -34,11 +34,10 @@ def main():
     backend = sys.argv[2] if len(sys.argv) > 2 else "pallas"
     precision = sys.argv[3] if len(sys.argv) > 3 else "highest"
     tile_m = int(sys.argv[4]) if len(sys.argv) > 4 else 3
-    q_dma = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
     cloud, labels = make_bench_cloud()
     model = make_bench_model(cloud, backend=backend,
                              precision=precision, epochs=3,
-                             tile_m=tile_m, q_dma=q_dma)
+                             tile_m=tile_m)
     model.fit(cloud, labels, sample=20_000)
 
     staged = model.stage(cloud)
@@ -78,7 +77,6 @@ def main():
         "repeats": repeats,
         "backend": backend,
         "precision": precision,
-        "q_dma": q_dma,
         "n_points": N_POINTS,
         "window_ms_total": round(window_us / 1e3, 3),
         "window_ms_per_predict": round(window_us / 1e3 / repeats, 3),

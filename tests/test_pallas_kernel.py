@@ -333,80 +333,6 @@ def test_packed_entry_chunked_matches_unchunked():
     np.testing.assert_array_equal(a, b)
 
 
-def test_packed_qdma_matches_gather():
-    # q_dma=True streams query blocks into the kernel by per-entry DMA
-    # (no (E, q_cap) gather) and the layouts consume entry-LOCAL
-    # mean/query.  Same candidate sets and kernel sweep, so populations
-    # and sazo are BIT-identical; displacement features differ only in
-    # the (mean+c)-q vs mean-(q-c) rounding -- tight fp tolerance.
-    import jax
-    from nimrud_tpu.features.multiscale import _host_unique_voxels
-    from nimrud_tpu.ops import device_grid, packing, span_host, unique
-    rng = np.random.default_rng(36)
-    sparse = (rng.random((3000, 3)) * [12, 12, 3]).astype(np.float32)
-    dense = rng.normal([6, 6, 1.5], 0.12, (3000, 3)).astype(np.float32)
-    pts = np.vstack([sparse, dense]).astype(np.float32)
-    lo, hi = pts.min(0), pts.max(0)
-    edge, radii = 0.2, (0.8, 0.4)
-    spec = device_grid.make_spec(lo, hi, max(radii), n_query=8192,
-                                 voxel_edge=edge, q_cap=64, x_seg=4)
-    vox = packing.GridSpec.fit_bounds(lo, hi, edge)
-    q = jnp.asarray(np.vstack([pts, np.zeros((8192 - 6000, 3),
-                                             np.float32)]))
-    qv = jnp.arange(8192) < 6000
-    centers, _, mask = unique.unique_voxels(q, vox, valid=qv)
-    host_centers = _host_unique_voxels(pts, edge)
-    split = span_host.candidate_caps_split(pts, host_centers, spec)
-    interp = jax.default_backend() not in ("tpu", "axon")
-
-    # q_dma runs the rank+reduce serving form (the aligned-window slot
-    # layout is resolved by the rank-compaction keys); an IDENTITY
-    # reduce recovers the feature rows exactly (f @ I is fp-exact)
-    from nimrud_tpu.features.layouts import LAYOUT_WIDTHS
-
-    def caller_feats(red, order_arr):
-        return np.asarray(red[0])[np.argsort(np.asarray(order_arr),
-                                             kind="stable")][:6000]
-
-    for kind in ("minimal", "sazo"):
-        width = LAYOUT_WIDTHS[kind] * len(radii)
-        eye = jnp.eye(width, dtype=jnp.float32)
-        kw = dict(interpret=interp, with_stats=True, order="rank",
-                  reduce_fn=_dot_reduce, reduce_args=eye)
-        args = (q, qv, (centers,), (mask,), spec, (spec,), (radii,),
-                kind, None, 6000, (split,))
-        (red_g, ord_g), st_g = device_grid.fused_extract_packed_multi(
-            *args, **kw)
-        (red_d, ord_d), st_d = device_grid.fused_extract_packed_multi(
-            *args, q_dma=True, **kw)
-        assert int(st_g["dropped_candidates"]) == 0
-        assert int(st_d["dropped_candidates"]) == 0
-        a = caller_feats(red_g, ord_g)
-        b = caller_feats(red_d, ord_d)
-        # population and sazo columns: exact integer / exact max
-        np.testing.assert_array_equal(a[:, 0], b[:, 0])
-        if kind == "sazo":
-            np.testing.assert_array_equal(a[:, 4], b[:, 4])
-        assert np.allclose(a, b, atol=2e-4), np.abs(a - b).max()
-
-    # entry-chunked + reduce path under q_dma
-    width = LAYOUT_WIDTHS["minimal"] * len(radii)
-    w = jnp.asarray(rng.standard_normal((width, 3)).astype(np.float32))
-    kw = dict(interpret=interp, with_stats=True, order="rank",
-              reduce_fn=_dot_reduce, reduce_args=w, q_dma=True)
-    args = (q, qv, (centers,), (mask,), spec, (spec,), (radii,),
-            "minimal", None, 6000, (split,))
-    (red_a, ord_a), _ = device_grid.fused_extract_packed_multi(
-        *args, **kw)
-    (red_b, ord_b), _ = device_grid.fused_extract_packed_multi(
-        *args, entry_chunk=96, **kw)
-    a = np.asarray(red_a[0])[np.argsort(np.asarray(ord_a),
-                                        kind="stable")]
-    b = np.asarray(red_b[0])[np.argsort(np.asarray(ord_b),
-                                        kind="stable")]
-    np.testing.assert_array_equal(a, b)
-
-
 def test_packed_sazo_matches_xla():
     # the packed kernel computes SAZO natively (masked max/min dz in
     # slab rows 10/11); the statistic itself is exact arithmetic, so it
