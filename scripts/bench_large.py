@@ -43,8 +43,12 @@ def main():
     # staging the 10M cloud misses the fit-sized spec cache by bucket,
     # so serving capacities are re-sized host-side from the 10M cloud
     # itself -- fitting on all 10M would only add ~10x extract/compile
-    # time to what is a SERVING benchmark
-    model.fit(cloud[:1_000_000], labels[:1_000_000], sample=100_000)
+    # time to what is a SERVING benchmark.  The subset is a STRIDE over
+    # the first 9M points: make_bench_cloud stacks classes contiguously
+    # (5M ground first), so a prefix slice would be single-class, and
+    # the stride stays disjoint from the held-out last 1M
+    model.fit(cloud[:9_000_000:9], labels[:9_000_000:9],
+              sample=100_000)
     note("fit done")
     staged = model.stage(cloud)
     note("staged")
@@ -75,10 +79,12 @@ def main():
     accuracy = None
     try:
         # HELD-OUT accuracy: fit saw only the FIRST 1M points; score the
-        # LAST 1M, which fit never touched.  Subset label download: a
-        # full 40 MB d2h has crashed this relay's TPU worker before
-        # (CLAUDE.md); 1M labels = 4 MB
-        sub = np.asarray(labels_dev[-1_000_000:])
+        # LAST 1M, which fit never touched.  labels_dev is q_bucket
+        # rows (bucket-padded past N_LARGE); slice the REAL tail, not
+        # the padding.  Subset label download: a full 40 MB d2h has
+        # crashed this relay's TPU worker before (CLAUDE.md); 1M
+        # labels = 4 MB
+        sub = np.asarray(labels_dev[N_LARGE - 1_000_000:N_LARGE])
         accuracy = float((sub == labels[-1_000_000:]).mean())
     except Exception:
         pass
