@@ -73,26 +73,44 @@ def _effective_chunk(chunk_size, n_search_padded):
 HOST_VOXEL_THRESHOLD = 200_000
 
 
-def _host_unique_voxels(search, edge):
+def _host_unique_voxels(search, edge, bounds=None):
     """Host voxel downsample: faster than shipping a large cloud to a
     remote device and the deduped centers back.  Native C++ when
-    available, NumPy VoxelFilter otherwise."""
+    available, NumPy VoxelFilter otherwise.
+
+    ``bounds``: explicit (lo, hi) grid anchor.  Default anchors at the
+    search cloud's own bounds (VoxelFilter convention); models with
+    fixed site ``bounds=`` pass theirs so fit-time voxelization matches
+    the serving grid EXACTLY (a different anchor is a different voxel
+    set, i.e. different features)."""
     from nimrud_tpu import native
     s64 = search.astype(np.float64)
-    origin = s64.min(0) - edge / 2
-    span = (s64.max(0) + edge / 2) - origin
+    if bounds is None:
+        b_lo, b_hi = s64.min(0), s64.max(0)
+    else:
+        b_lo = np.asarray(bounds[0], np.float64)
+        b_hi = np.asarray(bounds[1], np.float64)
+    origin = b_lo - edge / 2
+    span = (b_hi + edge / 2) - origin
     dims = np.maximum(np.ceil(span / edge).astype(np.int64), 1)
     centers = native.voxel_unique(search, origin, edge, dims)
     if centers is not None:
         return centers
-    vf = VoxelFilter(s64, edge)
-    addresses = vf.coordinate_to_address(s64)
-    return vf.address_to_coordinate(
-        np.unique(addresses)).astype(np.float32)
+    # NumPy fallback mirrors the native kernel's clipped grid math
+    cell = np.clip(np.floor((s64 - origin) / edge).astype(np.int64),
+                   0, dims - 1)
+    addr = (cell[:, 0] + cell[:, 1] * dims[0]
+            + cell[:, 2] * dims[0] * dims[1])
+    cell = np.unique(addr)
+    cx = cell % dims[0]
+    cy = (cell // dims[0]) % dims[1]
+    cz = cell // (dims[0] * dims[1])
+    return (origin[None, :] + (np.stack([cx, cy, cz], axis=1) + 0.5)
+            * edge).astype(np.float32)
 
 
 def voxel_downsample(search, edge, attributes=None,
-                     interp_metric="chebyshev"):
+                     interp_metric="chebyshev", bounds=None):
     """
     Voxel-downsample a search cloud at ``edge``, optionally interpolating
     per-point attributes onto the voxel centers (masked mean within
@@ -102,13 +120,22 @@ def voxel_downsample(search, edge, attributes=None,
     Returns ``(centers, attrs)`` as NumPy arrays (attrs None if not given).
     Uses the int32 device path when the grid fits the 30-bit key budget,
     else the host 64-bit VoxelFilter.
+
+    ``bounds``: explicit (lo, hi) voxel-grid anchor (default: the search
+    cloud's bounds).  Fixed-``bounds`` models pass theirs so every
+    extraction voxelizes on the SERVING grid.
     """
     search = np.asarray(search, dtype=np.float32)
     if search.shape[0] >= HOST_VOXEL_THRESHOLD:
         spec = None
     else:
         try:
-            spec = packing.GridSpec.fit(search, edge)
+            if bounds is None:
+                spec = packing.GridSpec.fit(search, edge)
+            else:
+                spec = packing.GridSpec.fit_bounds(
+                    np.asarray(bounds[0], np.float64),
+                    np.asarray(bounds[1], np.float64), edge)
         except ValueError:
             spec = None
 
@@ -120,7 +147,7 @@ def voxel_downsample(search, edge, attributes=None,
             jnp.asarray(padded), spec, valid=jnp.asarray(valid))
         centers = np.asarray(centers)[:int(count)]
     else:
-        centers = _host_unique_voxels(search, edge)
+        centers = _host_unique_voxels(search, edge, bounds=bounds)
 
     if attributes is None:
         return centers, None
@@ -156,13 +183,15 @@ def voxel_downsample(search, edge, attributes=None,
 
 def _band_features(query_padded, n_query, search, kind, edge, radii,
                    attributes, exclude_radius, chunk_size, method,
-                   tuning):
+                   tuning, bounds=None):
     """Features for one (edge, radii) band.  Query already padded/sorted."""
     if edge and edge > 0:
         if kind == "vector":
-            centers, attrs = voxel_downsample(search, edge, attributes)
+            centers, attrs = voxel_downsample(search, edge, attributes,
+                                              bounds=bounds)
         else:
-            centers, attrs = voxel_downsample(search, edge)
+            centers, attrs = voxel_downsample(search, edge,
+                                              bounds=bounds)
     else:
         centers = np.asarray(search, dtype=np.float32)
         attrs = None if attributes is None \
@@ -229,7 +258,7 @@ def _voxel_occupancy_cap(search, spec):
 
 def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
                            attributes=None, exclude_radius=None,
-                           tuning=None):
+                           tuning=None, bounds=None):
     """
     Fully device-resident extraction: voxel downsample, tile-grid build,
     masked moments, layout and scatter all happen in jitted XLA -- the
@@ -257,12 +286,20 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
         raise ValueError("fused path requires voxel edges > 0")
 
     n_query = query.shape[0]
-    lo = np.minimum(query.min(0), search.min(0)).astype(np.float64)
-    hi = np.maximum(query.max(0), search.max(0)).astype(np.float64)
-    # the voxel grid anchors at the SEARCH bounds (VoxelFilter
-    # convention) so every method voxelizes identically
-    s_lo = search.min(0).astype(np.float64)
-    s_hi = search.max(0).astype(np.float64)
+    if bounds is not None:
+        # explicit site bounds govern EVERY grid (exactly like the
+        # fixed-bounds serving path: out-of-bounds points clip); fit
+        # features extracted this way match serving bit-for-bit
+        lo = np.asarray(bounds[0], np.float64)
+        hi = np.asarray(bounds[1], np.float64)
+        s_lo, s_hi = lo, hi
+    else:
+        lo = np.minimum(query.min(0), search.min(0)).astype(np.float64)
+        hi = np.maximum(query.max(0), search.max(0)).astype(np.float64)
+        # the voxel grid anchors at the SEARCH bounds (VoxelFilter
+        # convention) so every method voxelizes identically
+        s_lo = search.min(0).astype(np.float64)
+        s_hi = search.max(0).astype(np.float64)
 
     q_bucket = _pow2_bucket(n_query)
     s_bucket = _pow2_bucket(search.shape[0])
@@ -314,6 +351,14 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
             import jax
             backend = "packed" \
                 if jax.default_backend() in ("tpu", "axon") else "xla"
+        if backend not in ("xla", "pallas", "packed"):
+            # reject, don't silently fall back: "ragged" was a valid
+            # value until round 4 and a typo'd backend quietly taking
+            # the ~30x-slower XLA path would be a perf trap
+            raise ValueError(
+                f"unknown backend {backend!r}: must be 'xla', "
+                "'pallas' or 'packed' (the ragged backend was removed "
+                "-- see ROADMAP.md's probe ledger)")
         # the packed kernel computes SAZO natively (masked max/min dz
         # folded into the slabs) and carries up to 6 attribute columns
         # through the moment dot (V_MSO); the span kernel does neither
@@ -353,7 +398,9 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
             else:
                 from nimrud_tpu.ops import span_host
                 cap = span_host.candidate_cap(
-                    query, _host_unique_voxels(search, edge), spec)
+                    query,
+                    _host_unique_voxels(search, edge, bounds=bounds),
+                    spec)
             bands.append(device_grid.fused_extract_packed(
                 query_dev, q_valid, centers, center_mask, spec, radii,
                 kind,
@@ -463,7 +510,7 @@ def plan_report(query, search, scaleset, *, method="tiled", tuning=None):
 def extract_scaleset(query, search, scaleset, kind="geometric", *,
                      attributes=None, exclude_radius=None,
                      chunk_size=1024, sort_queries=True, method="auto",
-                     tuning=None):
+                     tuning=None, bounds=None):
     """
     Multiscale features for every query point.
 
@@ -496,14 +543,18 @@ def extract_scaleset(query, search, scaleset, kind="geometric", *,
         query, search, scaleset, kind,
         attributes=attributes, exclude_radius=exclude_radius,
         chunk_size=chunk_size, sort_queries=sort_queries, method=method,
-        tuning=tuning))
+        tuning=tuning, bounds=bounds))
 
 
 def extract_scaleset_device(query, search, scaleset, kind="geometric", *,
                             attributes=None, exclude_radius=None,
                             chunk_size=1024, sort_queries=True,
-                            method="auto", tuning=None):
+                            method="auto", tuning=None, bounds=None):
     """As :func:`extract_scaleset`, but returns a device array.
+
+    ``bounds``: explicit (lo, hi) grid anchor for voxelization and the
+    fused grids -- fixed-``bounds`` models pass theirs so TRAINING
+    features are extracted on exactly the serving grids.
 
     ``tuning`` optionally overrides tiled-path parameters:
     query_tile_factor, query_capacity, entry_batch, precision
@@ -528,7 +579,7 @@ def extract_scaleset_device(query, search, scaleset, kind="geometric", *,
             return extract_scaleset_fused(
                 query, search, scaleset, kind,
                 attributes=attributes, exclude_radius=exclude_radius,
-                tuning=tuning)
+                tuning=tuning, bounds=bounds)
         except ValueError:
             if method == "fused":
                 raise
@@ -563,7 +614,7 @@ def extract_scaleset_device(query, search, scaleset, kind="geometric", *,
     bands = [
         _band_features(query_padded, n_query, search, kind, edge, radii,
                        attributes, exclude_radius, chunk_size, method,
-                       tuning)
+                       tuning, bounds=bounds)
         for edge, radii in scaleset
     ]
     features = bands[0] if len(bands) == 1 \

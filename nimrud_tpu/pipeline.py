@@ -284,6 +284,27 @@ def _serving_entry_chunk(e_cap, q_cap, chunk_slots):
     return max(max_slots // q_cap // 256, 1) * 256
 
 
+def _quantize_upload(cloud, c_lo, c_hi, q_bucket):
+    """uint16-quantized query upload: ONE copy of the quantization
+    contract (65000 divisor, 1e-6 span floor, clip-to-65535 numpy
+    fallback) shared by stage() and _stage_with_search so the two
+    staging paths can never de-synchronize.  Returns
+    (device uint16 (q_bucket, 3), dequant f32 (4,) [lo_xyz, step])."""
+    from nimrud_tpu import native
+
+    lo = np.asarray(c_lo, np.float64)
+    span = float((np.asarray(c_hi, np.float64) - lo).max())
+    step = max(span, 1e-6) / 65000.0
+    quant = native.quantize_u16(cloud, lo, step, pad_to=q_bucket)
+    if quant is None:
+        padded = multiscale._pad_rows_f32(cloud, q_bucket)
+        quant = np.clip(np.round(
+            (padded.astype(np.float64) - lo) / step),
+            0, 65535).astype(np.uint16)
+    return (jnp.asarray(quant),
+            jnp.asarray(np.append(lo, step).astype(np.float32)))
+
+
 class _FusedReducer:
     """Hashable (jit-static) per-chunk classifier reduce for
     device_grid.fused_extract_packed_multi: feature rows -> labels
@@ -441,7 +462,14 @@ class GeometryClassifier:
     # -- features -------------------------------------------------------------
 
     def extract_device(self, cloud, search=None, attributes=None):
-        """Multiscale features for every point, left on device."""
+        """Multiscale features for every point, left on device.
+
+        With fixed site ``bounds=`` every grid (voxel anchor included)
+        is the SERVING grid: the features fit() trains on are the
+        features predict() serves.  A search-anchored voxel grid is a
+        different downsample of the search map -- training on one and
+        serving the other silently degrades the classifier whenever the
+        model bounds differ from the search cloud's own bounds."""
         if search is None:
             search = cloud
         return extract_scaleset_device(
@@ -450,7 +478,8 @@ class GeometryClassifier:
             exclude_radius=self.exclude_radius, method=self.method,
             chunk_size=self.chunk_size,
             tuning={"vector_s_cap": self.vector_s_cap}
-            if self.kind == "vector" else None)
+            if self.kind == "vector" else None,
+            bounds=self.bounds)
 
     def extract(self, cloud, search=None, attributes=None):
         return np.asarray(self.extract_device(cloud, search, attributes))
@@ -531,8 +560,8 @@ class GeometryClassifier:
                     v_cap = band[4] if len(band) > 4 else None
                     if v_cap is None and self.kind != "vector" \
                             and edge > 0:
-                        n_vox = len(
-                            multiscale._host_unique_voxels(arr, edge))
+                        n_vox = len(multiscale._host_unique_voxels(
+                            arr, edge, bounds=self.bounds))
                         v_cap = n_vox + n_vox // 4 + 4096
                         v_cap = -(-v_cap // 16384) * 16384
                     trimmed.append((vox, dev, rr, interp, v_cap, c_cap))
@@ -692,8 +721,12 @@ class GeometryClassifier:
                     # cloud overflow into the counted dropped_candidates
                     # diagnostic
                     from nimrud_tpu.ops import span_host
+                    # anchor at the grid bounds the serving program's
+                    # device dedup uses (the model bounds when fixed),
+                    # so capacities measure the ACTUAL voxel set served
                     host_centers = multiscale._host_unique_voxels(
-                        np.asarray(search, np.float32)[:, :3], edge)
+                        np.asarray(search, np.float32)[:, :3], edge,
+                        bounds=(s_lo, s_hi))
                     entry_chunk = _serving_entry_chunk(
                         pack_spec.e_cap, pack_spec.q_cap,
                         self.serving_chunk_slots)
@@ -820,11 +853,36 @@ class GeometryClassifier:
             "attr_width": attr_width,
             "vox_dropped": vox_dropped,
             "interp_dropped": interp_dropped,
+            "config_key": self._search_handle_key(),
         }
+
+    def _search_handle_key(self):
+        """Everything the stage_search tables depend on: a handle built
+        under one configuration must not silently serve another (the
+        tables encode per-fine-tile counts on grids derived from these
+        values, and a mismatch produces garbage labels with zero
+        diagnostics)."""
+        lo, hi = self.bounds
+        return (tuple(self.scaleset), self.kind, self.exclude_radius,
+                lo.tobytes(), hi.tobytes(), self.tile_m,
+                self.vector_s_cap, self.trim_entries)
 
     def _stage_with_search(self, cloud, handle):
         """stage() against a stage_search handle: upload the query
         cloud only; the search side rides the precomputed tables."""
+        if self.bounds is None:
+            raise ValueError(
+                "staged_search serving needs fixed bounds= (the handle "
+                "was built against one grid)")
+        if self.backend != "packed":
+            raise ValueError(
+                "staged_search serving supports the packed backend only")
+        if handle.get("config_key") != self._search_handle_key():
+            raise ValueError(
+                "stage_search handle was built under a different model "
+                "configuration (scaleset / kind / bounds / tile_m / "
+                "capacities); rebuild it with this model's "
+                "stage_search()")
         cloud = np.asarray(cloud, dtype=np.float32)[:, :3]
         specs = self._fused_band_specs(
             cloud, handle["search_host"],
@@ -834,24 +892,13 @@ class GeometryClassifier:
         n_query = cloud.shape[0]
         q_bucket = multiscale._pow2_bucket(n_query)
         c_lo, c_hi = self.bounds
-        dequant = None
         if self.transfer_dtype == "uint16":
-            from nimrud_tpu import native
-            lo = np.asarray(c_lo, np.float64)
-            span = float((np.asarray(c_hi, np.float64) - lo).max())
-            step = max(span, 1e-6) / 65000.0
-            quant = native.quantize_u16(cloud, lo, step, pad_to=q_bucket)
-            if quant is None:
-                padded = multiscale._pad_rows_f32(cloud, q_bucket)
-                quant = np.clip(np.round(
-                    (padded.astype(np.float64) - lo) / step),
-                    0, 65535).astype(np.uint16)
-            query_dev = jnp.asarray(quant)
-            dequant = jnp.asarray(
-                np.append(lo, step).astype(np.float32))
+            query_dev, dequant = _quantize_upload(
+                cloud, c_lo, c_hi, q_bucket)
         else:
             query_dev = jnp.asarray(
                 multiscale._pad_rows_f32(cloud, q_bucket))
+            dequant = None
         # the search argument of the step is a 1-row dummy: every
         # search-side consumer reads the staged tables instead
         return {
@@ -913,20 +960,9 @@ class GeometryClassifier:
         dequant = None
         if self.transfer_dtype == "uint16" and search_arr is cloud \
                 and s_bucket == q_bucket:
-            from nimrud_tpu import native
-            lo = np.asarray(c_lo, np.float64)
-            span = float((np.asarray(c_hi, np.float64) - lo).max())
-            step = max(span, 1e-6) / 65000.0
-            quant = native.quantize_u16(cloud, lo, step, pad_to=q_bucket)
-            if quant is None:
-                padded = multiscale._pad_rows_f32(cloud, q_bucket)
-                quant = np.clip(np.round(
-                    (padded.astype(np.float64) - lo) / step),
-                    0, 65535).astype(np.uint16)
-            query_dev = jnp.asarray(quant)
+            query_dev, dequant = _quantize_upload(
+                cloud, c_lo, c_hi, q_bucket)
             search_dev = query_dev
-            dequant = jnp.asarray(
-                np.append(lo, step).astype(np.float32))
         else:
             query_dev = jnp.asarray(
                 multiscale._pad_rows_f32(cloud, q_bucket))
@@ -1090,7 +1126,9 @@ class GeometryClassifier:
         size_plan = span_host.pack_plan_np(
             cloud, np.ones(len(cloud), bool), size_pack)
         return tuple(span_host.candidate_cap(
-            cloud, multiscale._host_unique_voxels(cloud, edge),
+            cloud,
+            multiscale._host_unique_voxels(cloud, edge,
+                                           bounds=(lo, hi)),
             dev_spec, pack_spec=size_pack, segment_wide=True,
             plan=size_plan)
             for (edge, _), dev_spec in zip(self.scaleset, dev_specs))

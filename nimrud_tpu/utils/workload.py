@@ -98,6 +98,14 @@ def roofline_payload(model, staged):
     rows["span_tables"] = 0
     cand_lanes = 0
     qt_lanes = 0
+    # the packed multi program runs EVERY band's span tables and
+    # candidate gather over the SHARED pack plan (the finest band's
+    # grid -- pipeline._fused_predict_step) -- the same basis the
+    # multi-bucket caps/bounds were sized against, so lane counts must
+    # use the pack spec's e_cap / entry chunk, not each band's own
+    pack = min((s[1] for s in specs), key=lambda d: d.tile_edge)
+    chunk = pipeline._serving_entry_chunk(
+        pack.e_cap, pack.q_cap, model.serving_chunk_slots)
     for vox_spec, dev, radii, interp, v_cap, c_cap in specs:
         # per-band voxel dedup: key sort + (tile-id, key) compaction sort
         rows["unique_sorts"] += 2 * n_s * 4 + 2 * n_s * (4 + 4)
@@ -105,10 +113,8 @@ def roofline_payload(model, staged):
         # span starts/lens scans + counts scatter over the band's search
         rows["span_tables"] += 2 * sv * 4 * 2
         if c_cap is not None:
-            chunk = pipeline._serving_entry_chunk(
-                dev.e_cap, dev.q_cap, model.serving_chunk_slots)
-            cand_lanes += _packed_lane_total(c_cap, dev.e_cap, chunk)
-            qt_lanes = max(qt_lanes, dev.e_cap * dev.q_cap)
+            cand_lanes += _packed_lane_total(c_cap, pack.e_cap, chunk)
+            qt_lanes = max(qt_lanes, pack.e_cap * pack.q_cap)
     # candidate pack gather: 4 B index read + 12 B row read + 12 B write
     rows["candidate_gather"] = cand_lanes * (4 + 12 + 12)
     # the kernel re-reads the packed block and the query block from HBM

@@ -78,8 +78,10 @@ def main():
 
     accuracy = None
     try:
-        # HELD-OUT accuracy: fit saw only the FIRST 1M points; score the
-        # LAST 1M, which fit never touched.  labels_dev is q_bucket
+        # HELD-OUT accuracy: fit saw only a stride over the first 9M
+        # points; score the LAST 1M, which fit never touched (and which
+        # is all-canopy -- make_bench_cloud stacks classes contiguously
+        # -- so this is canopy recall).  labels_dev is q_bucket
         # rows (bucket-padded past N_LARGE); slice the REAL tail, not
         # the padding.  Subset label download: a full 40 MB d2h has
         # crashed this relay's TPU worker before (CLAUDE.md); 1M

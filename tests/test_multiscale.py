@@ -260,6 +260,11 @@ def test_fused_method_rejects_unsupported():
     with pytest.raises(ValueError):  # vector requires attributes
         extract_scaleset(q, q, [(0.2, (0.5,))], kind="vector",
                          method="fused")
+    # removed/typo'd backends must raise, not silently fall back to
+    # the ~30x-slower XLA path ("ragged" was valid until round 4)
+    with pytest.raises(ValueError, match="unknown backend"):
+        extract_scaleset(q, q, [(0.2, (0.5,))], kind="minimal",
+                         method="fused", tuning={"backend": "ragged"})
 
 
 def test_fused_vector_matches_tiled():

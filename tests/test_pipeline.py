@@ -240,6 +240,34 @@ def test_predict_multichip_rejects_unsupported():
         dense_band.predict_multichip(cloud, mesh_shape=(2, 2))
 
 
+def test_fit_features_match_serving_under_fixed_bounds():
+    # REGRESSION (round 4): with fixed site bounds= the serving grids
+    # anchor at the MODEL bounds, but extract_device used to anchor the
+    # voxel downsample at the SEARCH cloud's own bounds -- a different
+    # voxel set, so fit() trained on systematically different features
+    # than predict() served (anti-predictive models whenever the bounds
+    # padding wasn't an integer multiple of the voxel edge).  Fit
+    # features and fused-serving decisions must now agree exactly.
+    import jax.numpy as jnp
+    cloud, labels = _scene(per=900)
+    jitter = RNG.normal(0, 0.02, cloud.shape).astype(np.float32)
+    search = (cloud + jitter).astype(np.float32)
+    # bounds padding deliberately NOT a multiple of the 0.2 voxel edge
+    lo = np.minimum(cloud.min(0), search.min(0)) - 0.5
+    hi = np.maximum(cloud.max(0), search.max(0)) + 0.5
+    model = GeometryClassifier(
+        [(0.2, (0.8, 0.4))], kind="minimal", classifier="linear",
+        classifier_kwargs={"epochs": 15, "seed": 0},
+        backend="packed", bounds=(lo, hi))
+    model.fit(cloud, labels, search=search)
+    feats = model.extract_device(cloud, search)
+    from_fit = np.asarray(
+        model.classifier.proba_device(jnp.asarray(feats))).argmax(1)
+    served = np.asarray(
+        model.predict_staged(model.stage(cloud, search=search)))
+    np.testing.assert_array_equal(from_fit, served[:cloud.shape[0]])
+
+
 def test_staged_search_matches_per_cloud():
     # designated-search serving (round-4 VERDICT item 2): stage_search
     # precomputes the per-band dedup + span count tables ONCE; clouds
@@ -316,6 +344,20 @@ def test_staged_search_matches_per_cloud():
         vec.stage(cloud, search=search, attributes=attrs))
     b = vec.predict_staged(vec.stage(cloud, staged_search=vh))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a handle must not silently serve a DIFFERENT configuration: the
+    # tables encode grids derived from scaleset/kind/bounds, and a
+    # mismatch would produce garbage labels with zero diagnostics
+    other = GeometryClassifier(
+        [(0.25, (0.8, 0.4))], kind="minimal", classifier="linear",
+        backend="packed", bounds=(lo, hi))
+    with pytest.raises(ValueError, match="different model"):
+        other.stage(cloud, staged_search=handle)
+    unbounded = GeometryClassifier(
+        [(0.2, (0.8, 0.4))], kind="minimal", classifier="linear",
+        backend="packed")
+    with pytest.raises(ValueError, match="bounds"):
+        unbounded.stage(cloud, staged_search=handle)
 
 
 @pytest.mark.slow
