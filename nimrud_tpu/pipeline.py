@@ -1027,7 +1027,7 @@ class GeometryClassifier:
             out = out + (diag,)
         return out if len(out) > 1 else labels
 
-    def predict_stream(self, clouds):
+    def predict_stream(self, clouds, staged_search=None):
         """
         Classify a stream of clouds, overlapping each cloud's host prep +
         upload with the previous cloud's work: staging runs one cloud
@@ -1035,6 +1035,11 @@ class GeometryClassifier:
         async dispatch alone is not enough).  Yields per-point label
         DEVICE arrays in order; batch the host reads after the stream
         drains (transfer discipline).
+
+        ``staged_search``: a :meth:`stage_search` handle -- every cloud
+        in the stream classifies against that designated search map and
+        the per-cloud step skips all search-side work (the reference's
+        designated-search serving, nimrud/prototypes/apc.py:2357-2529).
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -1042,13 +1047,21 @@ class GeometryClassifier:
             cloud, future = item
             staged = future.result()
             if staged is None:
+                if staged_search is not None:
+                    # never silently swap the designated map for
+                    # self-search: that serves DIFFERENT features
+                    raise ValueError(
+                        "designated-search streaming requires the "
+                        "fused packed path; this configuration does "
+                        "not support it")
                 return self.predict_device(cloud)
             return self.predict_staged(staged)
 
         with ThreadPoolExecutor(max_workers=1) as pool:
             pending = None
             for cloud in clouds:
-                nxt = (cloud, pool.submit(self.stage, cloud))
+                nxt = (cloud, pool.submit(
+                    self.stage, cloud, staged_search=staged_search))
                 if pending is not None:
                     yield finish(pending)
                 pending = nxt

@@ -1,0 +1,104 @@
+"""
+Designated-search streamed serving: the bench workload served against a
+staged search map (`GeometryClassifier.stage_search`), the production
+mode matching the reference's designated-search workflows (reference
+nimrud/prototypes/apc.py:2357-2529 -- vmso_APC builds a search asset
+once and streams clouds against it).  The per-cloud step skips ALL
+search-side work (per-band voxel dedup, v_cap trim, span count tables);
+this measures what remains.
+
+Runs standalone in its OWN process (bench.py spawns it before touching
+the TPU): the relay degrades a process after its first device->host
+read, so the trace needs fresh relay state.
+
+Prints ONE JSON line.
+"""
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np  # noqa: F401
+
+TRACE_RUNS = 2
+
+
+def main():
+    import jax
+
+    from nimrud_tpu.utils.profiling import device_track_stats
+    from nimrud_tpu.utils.workload import (
+        BENCH_N_POINTS as N_POINTS, make_bench_cloud, make_bench_model)
+
+    def note(msg):
+        print(f"[bench_ds +{time.perf_counter() - t0:.0f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    t0 = time.perf_counter()
+    cloud, labels = make_bench_cloud()
+    model = make_bench_model(cloud, backend="packed")
+    model.fit(cloud, labels, sample=100_000)
+    note("fit done")
+
+    t_handle = time.perf_counter()
+    handle = model.stage_search(cloud)
+    jax.block_until_ready(handle["tables"])
+    t_handle = time.perf_counter() - t_handle
+    staged = model.stage(cloud, staged_search=handle)
+    assert staged is not None, "designated-search fused path missing"
+    out = model.predict_staged(staged, with_diag=True)
+    jax.block_until_ready(out)                 # compile + settle
+    note("predict compiled")
+    t_prep = time.perf_counter() - t0
+
+    trace_stats = {}
+    try:
+        trace_dir = tempfile.mkdtemp(prefix="nimrud_bench_ds_trace_")
+        with jax.profiler.trace(trace_dir):
+            labels_dev = None
+            for _ in range(TRACE_RUNS):
+                labels_dev, diag = model.predict_staged(
+                    staged, with_diag=True)
+            jax.block_until_ready((labels_dev, diag))
+            int(labels_dev[0])                 # force real completion
+        busy_us, window_us = device_track_stats(trace_dir)
+        shutil.rmtree(trace_dir, ignore_errors=True)
+        trace_stats = {
+            "window_ms_per_step": round(window_us / 1e3 / TRACE_RUNS, 3),
+            "busy_ms_per_step": round(busy_us / 1e3 / TRACE_RUNS, 3),
+            "traced_steps": TRACE_RUNS,
+        }
+    except Exception as error:                 # pragma: no cover
+        labels_dev, diag = model.predict_staged(staged, with_diag=True)
+        trace_stats = {"trace_error": str(error)[:160]}
+
+    diag = {k: int(v) for k, v in jax.device_get(diag).items()}
+    accuracy = None
+    try:
+        predicted = np.asarray(labels_dev)[:N_POINTS]
+        accuracy = float((predicted == labels).mean())
+    except Exception:
+        pass
+
+    result = {
+        "mode": "designated_search_stream",
+        "n_points": N_POINTS,
+        "scales": 3,
+        "trace": trace_stats,
+        "overflow_counters": diag,
+        "counters_all_zero": all(v == 0 for v in diag.values()),
+        "train_accuracy":
+            None if accuracy is None else round(accuracy, 4),
+        "stage_search_once_sec": round(t_handle, 3),
+        "prep_fit_compile_sec": round(t_prep, 1),
+    }
+    if "window_ms_per_step" in trace_stats:
+        result["points_per_sec_device"] = round(
+            N_POINTS / (trace_stats["window_ms_per_step"] / 1e3), 1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -331,6 +331,19 @@ def test_staged_search_matches_per_cloud():
         assert np.allclose(np.asarray(a[1]), np.asarray(b[1]),
                            atol=1e-3)
 
+    # streaming against the handle: same program, same labels
+    streamed = list(model.predict_stream([cloud, jitter],
+                                         staged_search=handle))
+    for q, lab in zip((cloud, jitter), streamed):
+        ref = model.predict_staged(model.stage(q, staged_search=handle))
+        np.testing.assert_array_equal(np.asarray(lab), np.asarray(ref))
+    # and it must refuse to silently fall back to self-search
+    unfused = GeometryClassifier(
+        [(0.2, (0.8, 0.4))], kind="minimal", classifier="linear",
+        backend="xla", bounds=(lo, hi))
+    with pytest.raises(ValueError, match="packed"):
+        list(unfused.predict_stream([cloud], staged_search=handle))
+
     # vector kind: attributes belong to the handle
     attrs = np.stack([search[:, 2], np.sin(search[:, 0])],
                      axis=1).astype(np.float32)
