@@ -74,10 +74,36 @@ def _bench_large():
         return {"error": str(error)[:200]}
 
 
+def _bench_designated():
+    """Designated-search streamed serving (the reference's production
+    mode: one staged search asset, clouds stream against it) in its OWN
+    process, before this process touches the TPU.  Set
+    NIMRUD_BENCH_SKIP_DESIGNATED=1 to skip."""
+    if os.environ.get("NIMRUD_BENCH_SKIP_DESIGNATED"):
+        return {"skipped": True}
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_designated.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__)) \
+        + os.pathsep + env.get("PYTHONPATH", "")
+    try:
+        proc = subprocess.run(
+            [sys.executable, script], capture_output=True, text=True,
+            timeout=1800, env=env)
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        return {"error": (proc.stderr or "no output")[-200:]}
+    except Exception as error:      # pragma: no cover - relay flakiness
+        return {"error": str(error)[:200]}
+
+
 def main():
     import jax
 
     large = _bench_large()
+    designated = _bench_designated()
 
     cloud, labels = make_bench_cloud()
     # production serving configuration: quantized uint16 uploads, fixed
@@ -207,6 +233,7 @@ def main():
         "detail": {
             "trace": trace_stats,
             "roofline": roofline,
+            "designated_search_stream": designated,
             "large_scale_10m": large,
             "stages_sec": stages,
             "n_points": N_POINTS,

@@ -170,4 +170,5 @@ def lower_predict(model, staged, with_proba=False):
         staged["n_query"], clf_kind, clf_static, staged["dequant"],
         staged.get("attributes"), model.vector_s_cap, model.backend,
         jax.default_backend() not in ("tpu", "axon"),
-        with_proba=with_proba, chunk_slots=model.serving_chunk_slots)
+        with_proba=with_proba, chunk_slots=model.serving_chunk_slots,
+        search_tables=staged.get("search_tables"))

@@ -28,7 +28,8 @@ import numpy as np  # noqa: F401
 
 from nimrud_tpu.utils.profiling import device_op_table, device_track_stats
 from nimrud_tpu.utils.workload import (
-    BENCH_N_POINTS as N_POINTS, make_bench_cloud, make_bench_model)
+    BENCH_N_POINTS as N_POINTS, lower_predict, make_bench_cloud,
+    make_bench_model)
 
 
 def main():
@@ -53,8 +54,25 @@ def main():
         int(out[0])                       # force real completion
 
     busy_us, window_us = device_track_stats(trace_dir)
-    table = device_op_table(trace_dir, top=40)
+    table = device_op_table(trace_dir, top=500)
     shutil.rmtree(trace_dir, ignore_errors=True)
+
+    # attribute op names to source lines via the compiled HLO (the
+    # remote compile service ignores --xla_dump_to; AOT as_text works)
+    src_of = {}
+    try:
+        import re
+        text = lower_predict(model, staged).compile().as_text()
+        pat = re.compile(
+            r"%?([\w.\-]+) = .*?source_file=\"([^\"]+)\".*?"
+            r"source_line=(\d+)")
+        for line in text.splitlines():
+            m = pat.search(line)
+            if m:
+                name, path, lineno = m.groups()
+                src_of[name] = f"{path.split('/')[-1]}:{lineno}"
+    except Exception as error:
+        print("hlo attribution failed:", str(error)[:120])
 
     print(json.dumps({
         "mode": "designated_search",
@@ -68,7 +86,17 @@ def main():
         "device": str(jax.devices()[0]),
     }))
     for ms, n, name in table[:20]:
-        print(f"{ms:10.2f} ms  n={n:6d}  {name[:60]}")
+        print(f"{ms:10.2f} ms  n={n:6d}  {name[:40]:40s} "
+              f"{src_of.get(name, '')}")
+
+    if src_of:
+        import collections
+        by_src = collections.Counter()
+        for ms, n, name in table:
+            by_src[src_of.get(name, "<unattributed>")] += ms
+        print("---- by source line ----")
+        for src, ms in by_src.most_common(24):
+            print(f"{ms:10.2f} ms  {src}")
 
 
 if __name__ == "__main__":
