@@ -537,12 +537,17 @@ def _search_tables(search, s_valid, spec, attrs=None, presorted=False):
     s_counts = jnp.zeros(n_grid + 1, jnp.int32).at[s_ids].add(1)[:n_grid]
     s_starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(s_counts)[:-1]])
+    starts_ext = jnp.concatenate([s_starts, jnp.zeros(1, jnp.int32)])
+    counts_ext = jnp.concatenate([s_counts, jnp.zeros(1, jnp.int32)])
     return {
         "sorted_pts": jnp.stack([sx, sy, sz, *sa], axis=-1),
-        "starts_ext": jnp.concatenate(
-            [s_starts, jnp.zeros(1, jnp.int32)]),
-        "counts_ext": jnp.concatenate(
-            [s_counts, jnp.zeros(1, jnp.int32)]),
+        "starts_ext": starts_ext,
+        "counts_ext": counts_ext,
+        # (start, count) pairs in one table: the span-bounds lookups
+        # become TWO row gathers instead of THREE flat gathers (TPU
+        # gathers are index-rate bound; flat 1-element gathers cost ~2x
+        # a multi-column row per index -- continuation-session probe)
+        "sc_ext": jnp.stack([starts_ext, counts_ext], axis=-1),
     }
 
 
@@ -648,9 +653,17 @@ def _band_spans(plan, search, s_valid, spec, attrs=None,
     e_rows = row.shape[0]
     first = jnp.where(ok, x0[:, None, None] + row, n_grid)
     last = jnp.where(ok, x1[:, None, None] + row, n_grid)
-    begin = starts_ext[first.reshape(e_rows, -1)]
-    end = starts_ext[last.reshape(e_rows, -1)] \
-        + counts_ext[last.reshape(e_rows, -1)]
+    # two (N, 2) pair-row gathers instead of three flat gathers: the
+    # same starts/counts values, index-rate-bound at the cheaper
+    # multi-column rate (begin only uses column 0; the wasted count
+    # column is free -- gather cost is per index, not per byte)
+    sc_ext = tables.get("sc_ext")
+    if sc_ext is None:       # tables from an older stage_search handle
+        sc_ext = jnp.stack([starts_ext, counts_ext], axis=-1)
+    g_first = sc_ext[first.reshape(e_rows, -1)]
+    g_last = sc_ext[last.reshape(e_rows, -1)]
+    begin = g_first[..., 0]
+    end = g_last[..., 0] + g_last[..., 1]
     ok2 = ok.reshape(e_rows, -1)
     span_starts = jnp.where(ok2, begin, 0).astype(jnp.int32)
     span_lens = jnp.clip(end - begin, 0, span_rows).astype(jnp.int32)
