@@ -541,8 +541,6 @@ def _search_tables(search, s_valid, spec, attrs=None, presorted=False):
     counts_ext = jnp.concatenate([s_counts, jnp.zeros(1, jnp.int32)])
     return {
         "sorted_pts": jnp.stack([sx, sy, sz, *sa], axis=-1),
-        "starts_ext": starts_ext,
-        "counts_ext": counts_ext,
         # (start, count) pairs in one table: the span-bounds lookups
         # become TWO row gathers instead of THREE flat gathers (TPU
         # gathers are index-rate bound; flat 1-element gathers cost ~2x
@@ -588,8 +586,6 @@ def _band_spans(plan, search, s_valid, spec, attrs=None,
     sp = tables["sorted_pts"]
     sx, sy, sz = sp[:, 0], sp[:, 1], sp[:, 2]
     sa = [sp[:, 3 + i] for i in range(sp.shape[1] - 3)]
-    starts_ext = tables["starts_ext"]
-    counts_ext = tables["counts_ext"]
 
     # ratio of pack-coarse to band-fine edges; integral when the band IS
     # the pack grid (the classic case), where all index arithmetic below
@@ -657,9 +653,7 @@ def _band_spans(plan, search, s_valid, spec, attrs=None,
     # same starts/counts values, index-rate-bound at the cheaper
     # multi-column rate (begin only uses column 0; the wasted count
     # column is free -- gather cost is per index, not per byte)
-    sc_ext = tables.get("sc_ext")
-    if sc_ext is None:       # tables from an older stage_search handle
-        sc_ext = jnp.stack([starts_ext, counts_ext], axis=-1)
+    sc_ext = tables["sc_ext"]
     g_first = sc_ext[first.reshape(e_rows, -1)]
     g_last = sc_ext[last.reshape(e_rows, -1)]
     begin = g_first[..., 0]

@@ -87,8 +87,6 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
             pack_spec.e_cap, pack_spec.q_cap, chunk_slots)
         searches, masks, cattrs = [], [], []
         for band in band_specs:
-            vox_spec = band[0]
-            v_cap = band[4] if len(band) > 4 else None
             if search_tables is not None:
                 # designated search map: the dedup (or interp) and the
                 # per-tile count tables were computed ONCE at
@@ -97,38 +95,12 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
                 masks.append(jnp.ones((1,), bool))
                 cattrs.append(None)
                 continue
-            if kind == "vector":
-                # the multi branch is only reachable for attr_width <= 6
-                # (the packed kernel's attribute budget), where the
-                # gather interp is the auto choice -- band[3]'s
-                # matmul-interp spec applies to the >8-column fallback
-                # path below only
-                from nimrud_tpu.ops import interp
-                centers, mask, ca, i_stats = \
-                    interp.interp_to_voxels.__wrapped__(
-                        search, s_valid, attributes, vox_spec,
-                        vector_s_cap, with_stats=True)
-                interp_dropped = interp_dropped \
-                    + i_stats["dropped_search"]
-                cattrs.append(ca)
-            else:
-                # the dedup's compaction sort orders survivors by this
-                # band's fine tile id (tile_spec), so the extract skips
-                # its per-band search tile sort (presorted=True below);
-                # intra-tile order stays voxel-key order -- features
-                # are bit-identical (see unique.unique_voxels)
-                centers, _, mask = unique.unique_voxels(
-                    search, vox_spec, valid=s_valid, tile_spec=band[1])
-                cattrs.append(None)
-                # NOTE: with tile-ordered centers the v_cap prefix drops
-                # the highest-TILE-ID voxels (not the highest keys as the
-                # pre-tile_spec code did); either way the loss is counted
-                # in vox_dropped and predict() warns on truncation
-                if v_cap is not None and v_cap < centers.shape[0]:
-                    vox_dropped = vox_dropped + jnp.sum(
-                        mask[v_cap:].astype(jnp.int32))
-                    centers = centers[:v_cap]
-                    mask = mask[:v_cap]
+            centers, mask, ca, v_inc, i_inc = _band_search_prep(
+                search, s_valid, attributes, band, kind, vector_s_cap,
+                inner_jit=True)
+            vox_dropped = vox_dropped + v_inc
+            interp_dropped = interp_dropped + i_inc
+            cattrs.append(ca)
             searches.append(centers)
             masks.append(mask)
         # classify in (entry, slot) order INSIDE the extract program
@@ -268,6 +240,55 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
 _CHUNK_SLOTS = 2 * 1024 * 1024    # entry slots above which serving
                                   # chunks the per-slot pipeline (the
                                   # 1M bench stays un-chunked)
+
+
+def _band_search_prep(search, s_valid, attributes, band, kind,
+                      vector_s_cap, inner_jit):
+    """ONE band's search-side prep: voxel dedup (tile-sorted) + v_cap
+    trim, or vector attribute interpolation.  Shared by
+    `_fused_predict_step`'s multi loop and `stage_search` so the two
+    cannot drift -- the designated-search bit-identity contract depends
+    on both paths producing the same centers/masks/attrs in the same
+    order.
+
+    ``inner_jit``: True when already inside a jit trace (use the
+    unjitted inner interp); False for the eager stage_search call.
+    Returns (centers, mask, attrs_or_None, vox_dropped, interp_dropped).
+    """
+    vox_spec = band[0]
+    v_cap = band[4] if len(band) > 4 else None
+    vox_dropped = jnp.zeros((), jnp.int32)
+    interp_dropped = jnp.zeros((), jnp.int32)
+    if kind == "vector":
+        # the multi branch is only reachable for attr_width <= 6 (the
+        # packed kernel's attribute budget), where the gather interp is
+        # the auto choice -- band[3]'s matmul-interp spec applies to
+        # the >8-column fallback path only
+        from nimrud_tpu.ops import interp
+        fn = interp.interp_to_voxels.__wrapped__ if inner_jit \
+            else interp.interp_to_voxels
+        centers, mask, ca, i_stats = fn(
+            search, s_valid, attributes, vox_spec, vector_s_cap,
+            with_stats=True)
+        return (centers, mask, ca, vox_dropped,
+                interp_dropped + i_stats["dropped_search"])
+    # the dedup's compaction sort orders survivors by this band's fine
+    # tile id (tile_spec), so the extract skips its per-band search
+    # tile sort (presorted=True downstream); intra-tile order stays
+    # voxel-key order -- features are bit-identical (see
+    # unique.unique_voxels)
+    centers, _, mask = unique.unique_voxels(
+        search, vox_spec, valid=s_valid, tile_spec=band[1])
+    # NOTE: with tile-ordered centers the v_cap prefix drops the
+    # highest-TILE-ID voxels (not the highest keys as the pre-tile_spec
+    # code did); either way the loss is counted in vox_dropped and
+    # predict() warns on truncation
+    if v_cap is not None and v_cap < centers.shape[0]:
+        vox_dropped = vox_dropped + jnp.sum(
+            mask[v_cap:].astype(jnp.int32))
+        centers = centers[:v_cap]
+        mask = mask[:v_cap]
+    return centers, mask, None, vox_dropped, interp_dropped
 
 
 def _serving_entry_chunk(e_cap, q_cap, chunk_slots):
@@ -494,6 +515,14 @@ class GeometryClassifier:
         if self._backend == "auto":
             self._backend = "packed" \
                 if jax.default_backend() in ("tpu", "axon") else "xla"
+        if self._backend not in ("xla", "pallas", "packed"):
+            # catches models pickled under a since-removed backend
+            # (e.g. round-3 "ragged"): failing loudly beats silently
+            # serving the ~30x-slower XLA fallback
+            raise ValueError(
+                f"unknown serving backend {self._backend!r} (was it "
+                "removed? set model._backend to 'packed', 'pallas' or "
+                "'xla')")
         return self._backend
 
     def fit(self, cloud, labels, search=None, sample=None, seed=0,
@@ -825,28 +854,16 @@ class GeometryClassifier:
         vox_dropped = jnp.zeros((), jnp.int32)
         interp_dropped = jnp.zeros((), jnp.int32)
         for band in specs:
-            vox_spec, dev_spec = band[0], band[1]
-            v_cap = band[4] if len(band) > 4 else None
-            if self.kind == "vector":
-                from nimrud_tpu.ops import interp
-                centers, mask, ca, i_stats = interp.interp_to_voxels(
-                    search_dev, s_valid, attrs_dev, vox_spec,
-                    self.vector_s_cap, with_stats=True)
-                interp_dropped = interp_dropped \
-                    + i_stats["dropped_search"]
-                tables.append(device_grid._search_tables(
-                    centers, mask, dev_spec, attrs=ca))
-            else:
-                centers, _, mask = unique.unique_voxels(
-                    search_dev, vox_spec, valid=s_valid,
-                    tile_spec=dev_spec)
-                if v_cap is not None and v_cap < centers.shape[0]:
-                    vox_dropped = vox_dropped + jnp.sum(
-                        mask[v_cap:].astype(jnp.int32))
-                    centers = centers[:v_cap]
-                    mask = mask[:v_cap]
-                tables.append(device_grid._search_tables(
-                    centers, mask, dev_spec, presorted=True))
+            # the SAME prep _fused_predict_step's multi loop runs per
+            # cloud (one shared helper, so the two cannot drift)
+            centers, mask, ca, v_inc, i_inc = _band_search_prep(
+                search_dev, s_valid, attrs_dev, band, self.kind,
+                self.vector_s_cap, inner_jit=False)
+            vox_dropped = vox_dropped + v_inc
+            interp_dropped = interp_dropped + i_inc
+            tables.append(device_grid._search_tables(
+                centers, mask, band[1], attrs=ca,
+                presorted=self.kind != "vector"))
         return {
             "tables": tuple(tables),
             "search_host": search,
@@ -891,21 +908,20 @@ class GeometryClassifier:
             return None
         n_query = cloud.shape[0]
         q_bucket = multiscale._pow2_bucket(n_query)
-        c_lo, c_hi = self.bounds
-        if self.transfer_dtype == "uint16":
-            query_dev, dequant = _quantize_upload(
-                cloud, c_lo, c_hi, q_bucket)
-        else:
-            query_dev = jnp.asarray(
-                multiscale._pad_rows_f32(cloud, q_bucket))
-            dequant = None
+        # ALWAYS f32 uploads here, even under transfer_dtype="uint16":
+        # quantizing the query while the handle's tables hold raw f32
+        # search rows would flip d2 boundary decisions and break the
+        # bit-identity contract with the per-cloud path (which uploads
+        # distinct-search queries as f32).  The uint16 fast upload is a
+        # SELF-search optimization, where both sides quantize together.
+        query_dev = jnp.asarray(multiscale._pad_rows_f32(cloud, q_bucket))
         # the search argument of the step is a 1-row dummy: every
         # search-side consumer reads the staged tables instead
         return {
             "query": query_dev, "search": query_dev[:1],
             "n_query": n_query, "n_search": 1,
             "q_bucket": q_bucket, "s_bucket": 1,
-            "specs": specs, "dequant": dequant, "attributes": None,
+            "specs": specs, "dequant": None, "attributes": None,
             "search_tables": handle["tables"],
             "staged_vox_dropped": handle["vox_dropped"],
             "staged_interp_dropped": handle["interp_dropped"],
@@ -1012,9 +1028,11 @@ class GeometryClassifier:
             with_proba=with_proba,
             chunk_slots=self.serving_chunk_slots,
             search_tables=staged.get("search_tables"))
-        if "staged_vox_dropped" in staged:
+        if with_diag and "staged_vox_dropped" in staged:
             # designated-search overflow was counted once at
-            # stage_search time (device scalars; no transfer here)
+            # stage_search time (device scalars; no transfer here);
+            # skipped entirely when the caller doesn't want diag --
+            # the adds would be extra per-cloud dispatches
             diag = dict(diag)
             diag["vox_dropped"] = diag["vox_dropped"] \
                 + staged["staged_vox_dropped"]
@@ -1219,7 +1237,12 @@ class GeometryClassifier:
 
         mc_backend = self.backend
         c_caps = None
-        if mc_backend == "packed":
+        if mc_backend == "packed" \
+                and (self.kind != "vector" or n_attr <= 6):
+            # (mirror of mesh.make_fused_predict_2d's use_packed gate:
+            # wide-attribute vector serving falls back to the span/XLA
+            # shard program, which never reads candidate caps -- don't
+            # spend seconds of host argsort sizing them)
             # per-band candidate capacities, sized host-side against the
             # FULL cloud with segment-wide entry extents -- each shard
             # packs its own query subset into entries the host mirror

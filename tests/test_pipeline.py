@@ -373,6 +373,42 @@ def test_staged_search_matches_per_cloud():
         unbounded.stage(cloud, staged_search=handle)
 
 
+def test_designated_staging_never_quantizes_queries():
+    # under transfer_dtype="uint16" designated staging must upload RAW
+    # f32 queries: the handle's tables hold raw f32 search rows, and a
+    # quantized query would flip d2 boundary decisions, breaking the
+    # bit-identity contract with the per-cloud path (which uploads
+    # distinct-search queries as f32).  The uint16 fast upload is a
+    # SELF-search-only optimization.
+    import jax.numpy as jnp
+    cloud, labels = _scene(per=500)
+    lo, hi = cloud.min(0) - 0.5, cloud.max(0) + 0.5
+    model = GeometryClassifier(
+        [(0.2, (0.8, 0.4))], kind="minimal", classifier="linear",
+        classifier_kwargs={"epochs": 2}, backend="packed",
+        bounds=(lo, hi), transfer_dtype="uint16")
+    model.fit(cloud, labels)
+    handle = model.stage_search(cloud)
+    staged = model.stage(cloud, staged_search=handle)
+    assert staged is not None
+    assert staged["dequant"] is None
+    assert staged["query"].dtype == jnp.float32
+    # while self-search staging still takes the quantized upload
+    st_self = model.stage(cloud)
+    assert st_self["dequant"] is not None
+
+
+def test_removed_backend_fails_loudly():
+    # a model unpickled from a version whose backend was since removed
+    # (round-3 "ragged") must raise at the first .backend read, not
+    # silently serve the ~30x-slower XLA fallback
+    model = GeometryClassifier([(0.2, (0.8, 0.4))], kind="minimal",
+                               classifier="linear", backend="packed")
+    model._backend = "ragged"
+    with pytest.raises(ValueError, match="unknown serving backend"):
+        model.backend
+
+
 @pytest.mark.slow
 def test_predict_multichip_vector():
     # kind="vector" (V_MSO) under the 2-D serving mesh: attributes
