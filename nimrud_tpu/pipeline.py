@@ -818,7 +818,13 @@ class GeometryClassifier:
 
         Requires fixed ``bounds=``, the packed backend, and a fused
         configuration.  Overflow (v_cap / interp truncation) is counted
-        into the handle and surfaces through predict's diagnostics.
+        into the handle as device scalars; check it ONCE after staging
+        with :meth:`search_overflow` (one small device read), or observe
+        it merged into ``predict_staged(..., with_diag=True)``'s
+        counters.  :meth:`predict_stream` deliberately never reads
+        diagnostics (transfer discipline: a device->host read in the
+        hot loop can be catastrophically slow on remote-attached
+        devices), so staged overflow is silent there unless you check.
         """
         if self.bounds is None:
             raise ValueError(
@@ -872,6 +878,19 @@ class GeometryClassifier:
             "interp_dropped": interp_dropped,
             "config_key": self._search_handle_key(),
         }
+
+    def search_overflow(self, handle):
+        """The overflow counters a :meth:`stage_search` handle recorded
+        (``vox_dropped``: voxels beyond the trimmed per-band search
+        capacity; ``interp_dropped``: vector-interp voxel overflow), as
+        host ints.  This is the ONE intended device->host read of the
+        designated-search setup phase -- call it after staging, before
+        the stream, so truncation of the search map never serves
+        silently.  Nonzero means the map is denser than what the
+        capacities were sized from: rebuild the handle after fitting
+        (or sizing bounds/caps) against this search cloud."""
+        return {"vox_dropped": int(handle["vox_dropped"]),
+                "interp_dropped": int(handle["interp_dropped"])}
 
     def _search_handle_key(self):
         """Everything the stage_search tables depend on: a handle built

@@ -34,15 +34,22 @@ def make_bench_cloud(n=BENCH_N_POINTS, seed=0):
 
 
 def make_bench_model(cloud, backend="packed", precision="highest",
-                     epochs=10, **kwargs):
-    """The production serving configuration measured by bench.py."""
+                     epochs=10, kind="minimal", classifier="linear",
+                     classifier_kwargs=None, **kwargs):
+    """The production serving configuration measured by bench.py.
+    ``kind``/``classifier`` default to the headline workload; the
+    variant benches (scripts/bench_rpte.py, scripts/bench_kind.py)
+    override them and keep everything else identical."""
     from nimrud_tpu.pipeline import GeometryClassifier
 
+    if classifier_kwargs is None:
+        classifier_kwargs = {"epochs": epochs, "seed": 0} \
+            if classifier == "linear" else {"seed": 0}
     scaleset = [(edge, (radius,))
                 for edge, radius in zip(BENCH_EDGES, BENCH_RADII)]
     return GeometryClassifier(
-        scaleset, kind="minimal", classifier="linear",
-        classifier_kwargs={"epochs": epochs, "seed": 0},
+        scaleset, kind=kind, classifier=classifier,
+        classifier_kwargs=classifier_kwargs,
         transfer_dtype="uint16", backend=backend, precision=precision,
         bounds=(cloud.min(0), cloud.max(0)), trim_entries=True,
         **kwargs)
@@ -53,6 +60,85 @@ _PEAK_HBM_GBPS = {
     "v5 lite": 819.0, "v5e": 819.0, "v5p": 2765.0,
     "v4": 1228.0, "v6e": 1640.0,
 }
+
+_PEAK_BF16_TFLOPS = {"v5e": 197.0, "v5p": 459.0}
+
+# Per-hotspot attribution of the 1M x 3-scale self-search serving step
+# on v5e (scripts/trace_predict.py per-source-line device attribution;
+# ROADMAP.md round-4/5 hotspot table).  Classes:
+#   index -- XLA gather at its measured index-rate floor (~3.5 ms/M
+#            indices); whether that rate tracks HBM bandwidth across
+#            generations is the projection's main unknown
+#   sort  -- bitonic sort networks (bandwidth + VPU mix)
+#   vpu   -- elementwise/kernel compute (packed moment kernel, scans)
+V5E_STEP_ATTRIBUTION = (
+    ("candidate_gather_select", 9.4, "index"),
+    ("packed_kernel", 7.8, "vpu"),
+    ("unique_dedup_sorts", 6.7, "sort"),
+    ("qt_gather", 6.25, "index"),
+    ("plan_sorts", 5.0, "sort"),
+    ("span_bounds_pair_gathers", 1.23, "index"),
+    ("label_unsort", 1.55, "sort"),
+    ("scans_and_small", 5.5, "vpu"),
+)
+V5E_ATTRIBUTION_WINDOW_MS = 56.2
+
+
+def project_v5p(window_ms, n_points=BENCH_N_POINTS,
+                attribution=V5E_STEP_ATTRIBUTION,
+                attribution_window_ms=V5E_ATTRIBUTION_WINDOW_MS):
+    """Project a measured v5e serving-step window onto v5p, per hotspot
+    class, so the 100M pts/s north star (BASELINE.json targets v5p; the
+    bench chip is v5e) is auditable on the target hardware's terms.
+
+    The measured attribution table is rescaled to THIS run's window
+    (same program, so proportional attribution), then each class is
+    divided by a published v5e->v5p ratio under three scenarios:
+
+      optimistic   -- index + sort rates scale with HBM bandwidth
+                      (2765/819 = 3.38x), vpu with bf16 FLOPs
+                      (459/197 = 2.33x)
+      conservative -- everything scales only with the FLOPs ratio
+                      (2.33x): memory-system gains don't reach the
+                      gather index rate
+      index_floor  -- gathers don't speed up at all (index-issue-rate
+                      bound, generation-invariant); sorts/vpu at 2.33x
+
+    Returns the scenario table + assumptions; the truth is bracketed by
+    optimistic/index_floor since the gather index rate on v5p is not
+    publicly documented.
+    """
+    hbm = _PEAK_HBM_GBPS["v5p"] / _PEAK_HBM_GBPS["v5e"]
+    flops = _PEAK_BF16_TFLOPS["v5p"] / _PEAK_BF16_TFLOPS["v5e"]
+    scenarios = {
+        "optimistic": {"index": hbm, "sort": hbm, "vpu": flops},
+        "conservative": {"index": flops, "sort": flops, "vpu": flops},
+        "index_floor": {"index": 1.0, "sort": flops, "vpu": flops},
+    }
+    scale = window_ms / attribution_window_ms
+    parts = [(name, ms * scale, cls) for name, ms, cls in attribution]
+    other = max(window_ms - sum(ms for _, ms, _ in parts), 0.0)
+    parts.append(("unattributed_other", other, "sort"))
+    out = {
+        "basis": {
+            "measured_v5e_window_ms": round(window_ms, 3),
+            "attribution_rescaled_from_ms": attribution_window_ms,
+            "parts_ms": {n: round(ms, 2) for n, ms, _ in parts},
+            "ratios": {"hbm_bw": round(hbm, 2),
+                       "bf16_flops": round(flops, 2)},
+        },
+        "scenarios": {},
+        "north_star_pts_per_sec": 1e8,
+    }
+    for name, ratios in scenarios.items():
+        step = sum(ms / ratios[cls] for _, ms, cls in parts)
+        rate = n_points / (step / 1e3)
+        out["scenarios"][name] = {
+            "step_ms": round(step, 2),
+            "pts_per_sec": round(rate, 1),
+            "pct_of_north_star": round(100.0 * rate / 1e8, 1),
+        }
+    return out
 
 
 def _packed_lane_total(c_cap, e_cap, entry_chunk):

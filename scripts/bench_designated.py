@@ -106,6 +106,12 @@ def main():
         result["points_per_sec_device"] = round(
             N_POINTS / (trace_stats["window_ms_per_step"] / 1e3), 1)
     print(json.dumps(result))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # hard exit: relay-attached TPU processes can hang in teardown
+    # after heavy use; the JSON is already printed
+    import os
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -116,6 +116,12 @@ def main():
     except Exception as error:                 # pragma: no cover
         result["roofline"] = {"error": str(error)[:120]}
     print(json.dumps(result))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # hard exit: relay-attached TPU processes can hang in teardown
+    # after heavy use; the JSON is already printed
+    import os
+    os._exit(0)
 
 
 if __name__ == "__main__":
