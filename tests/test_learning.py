@@ -316,6 +316,39 @@ def test_rpt_chain_pruning_is_exact():
     assert np.array_equal(a, b), np.abs(a - b).max()
 
 
+def test_rpt_folded_forest_walk_is_bit_identical():
+    # the production walk (_walk_forest_dense: tree axis folded into the
+    # gather index, splits folded into the vec rows, while-loop early
+    # exit) must reproduce the per-tree fori_loop formulation BIT
+    # exactly -- same float32 operands in the same order
+    import jax.numpy as jnp
+    from nimrud_tpu.learning import rpt
+
+    data, labels = _blobs(n_per_class=300)
+    # fit_device is the production source of dense tables (host fits
+    # can exceed the depth<=14 dense-packing bound via jitter chains)
+    clf = RPTEnsemble(n_estimators=5, seed=7)
+    clf.fit_device(jnp.asarray(data.astype(np.float32)),
+                   labels.astype(np.int32), n_classes=3, depth=9)
+    assert "dense_splits" in clf._tables
+    probe = jnp.asarray(
+        RNG.normal(size=(512, data.shape[1])).astype(np.float32) * 3)
+
+    gini_new, props_new = rpt._walk_forest_dense(
+        clf._tables, probe, clf.max_depth_)
+    t = clf._tables
+    import jax
+    gini_ref, props_ref = jax.vmap(
+        lambda sp, vc, gn, pr: rpt._walk_one_tree_dense(
+            sp, vc, gn, pr, probe, clf.max_depth_))(
+        t["dense_splits"], t["dense_vecs"],
+        t["dense_ginis"], t["dense_props"])
+    np.testing.assert_array_equal(np.asarray(gini_new),
+                                  np.asarray(gini_ref))
+    np.testing.assert_array_equal(np.asarray(props_new),
+                                  np.asarray(props_ref))
+
+
 def test_rpt_dense_walk_matches_sparse_walk():
     # the direct-index (dense) packing must reproduce the searchsorted
     # walk exactly, including dead-leaf parent backoff -- hand-built
