@@ -41,8 +41,11 @@ def save_model(model, path):
     elif isinstance(model, RPTEnsemble):
         if model._tables is None:
             raise ValueError("model is not fitted")
+        # dense_blk is DERIVED (the 3-levels-per-gather walk table,
+        # 7x the vec table's bytes); rebuild it on load instead
         arrays = {key: np.asarray(value)
-                  for key, value in model._tables.items()}
+                  for key, value in model._tables.items()
+                  if key != "dense_blk"}
         meta = {
             "kind": "rpte",
             "numlabs": int(model.numlabs),
@@ -80,11 +83,12 @@ def load_model(path):
 
     if meta["kind"] == "rpte":
         import jax.numpy as jnp
+        from nimrud_tpu.learning.rpt import add_blocked_tables
         model = RPTEnsemble(
             d_func=meta["d_func"], n_estimators=meta["n_estimators"],
             onepass=meta["onepass"])
-        model._tables = {key: jnp.asarray(value)
-                         for key, value in arrays.items()}
+        model._tables = add_blocked_tables(
+            {key: jnp.asarray(value) for key, value in arrays.items()})
         model.numlabs = meta["numlabs"]
         model.dim = meta["dim"]
         model.max_depth_ = meta["max_depth"]

@@ -207,7 +207,7 @@ class RPTEnsemble:
                 "dense_ginis": jnp.asarray(dginis),
                 "dense_props": jnp.asarray(dprops),
             })
-        return out
+        return add_blocked_tables(out)
 
     # -- fitting (device) -----------------------------------------------------
 
@@ -249,7 +249,7 @@ class RPTEnsemble:
             features, jnp.asarray(labels.astype(np.int32)), rows, imps,
             key, self.numlabs, depth, float(self.min_obs))
         self.max_depth_ = depth
-        self._tables = tables
+        self._tables = add_blocked_tables(tables)
         self.trees_ = None              # host rule dicts not built
         return self
 
@@ -387,7 +387,7 @@ class RPTEnsemble:
         dsplits, dvecs, dginis, dprops = run(
             jnp.asarray(feats, jnp.float32), imps_d, keys_d)
         self.max_depth_ = depth
-        self._tables = {
+        self._tables = add_blocked_tables({
             "dense_splits": dsplits.reshape(
                 (-1,) + dsplits.shape[2:])[:n_trees],
             "dense_vecs": dvecs.reshape(
@@ -396,7 +396,7 @@ class RPTEnsemble:
                 (-1,) + dginis.shape[2:])[:n_trees],
             "dense_props": dprops.reshape(
                 (-1,) + dprops.shape[2:])[:n_trees],
-        }
+        })
         self.trees_ = None
         return self
 
@@ -662,6 +662,120 @@ def _walk_one_tree_dense(dsplits, dvecs, dginis, dprops, data, max_depth):
     return dginis[node], dprops[node]
 
 
+# blocked-walk table policy: 3 levels per gather (the node's 7-row
+# subtree slice per table row).  Wins only while a row fits one
+# 128-lane vector register; the table is 7x dense_vecs, so cap the
+# bytes too (beyond it, fall back to the per-level walk).
+_BLK_LEVELS = 3
+_BLK_ROWS = (1 << _BLK_LEVELS) - 1
+_BLK_MAX_LANES = 128
+_BLK_MAX_BYTES = 1 << 30
+
+
+def _blocked_table(dsplits, dvecs):
+    """The 3-levels-per-gather walk table: row (t, n) holds the folded
+    (vec | split) rows of node n, its children 2n/2n+1 and its four
+    grandchildren -- 7*(W+1) lanes -- so the walk fetches THREE levels
+    of one (tree, point) pair's path with ONE gather (v5e probe:
+    2358 -> 1169 ms per 1M x 10-tree x depth-14 walk;
+    scripts/probe_rpte_walk.py k3).  Descendant codes past the table
+    (reachable only beyond the depth cap, where every update is
+    masked) clamp to row 0; their values are never consumed."""
+    n_trees, size, dim = dvecs.shape
+    base = jnp.concatenate(
+        [dvecs, dsplits[:, :, None]], axis=2).reshape(
+            n_trees * size, dim + 1)
+    flat = np.arange(n_trees * size)
+    tree, tag = flat // size, flat % size
+    cols = []
+    for d in range(_BLK_LEVELS):
+        for j in range(1 << d):
+            child = (tag << d) + j
+            src = np.where(child < size,
+                           tree * size + np.minimum(child, size - 1), 0)
+            cols.append(base[jnp.asarray(src, jnp.int32)])
+    return jnp.concatenate(cols, axis=1)
+
+
+def add_blocked_tables(tables):
+    """Attach the derived blocked-walk table when the dense packing
+    exists and the blocked row fits one vector register (W <= 17) at a
+    sane memory cost.  Idempotent; returns the same dict."""
+    if "dense_splits" not in tables or "dense_blk" in tables:
+        return tables
+    n_trees, size, dim = tables["dense_vecs"].shape
+    lanes = _BLK_ROWS * (dim + 1)
+    if lanes > _BLK_MAX_LANES:
+        return tables
+    if n_trees * size * lanes * 4 > _BLK_MAX_BYTES:
+        return tables
+    tables["dense_blk"] = _blocked_table(
+        tables["dense_splits"], tables["dense_vecs"])
+    return tables
+
+
+def _walk_forest_blocked(tables, data, max_depth):
+    """The blocked production walk: THREE levels per gather.  Each
+    fetched row carries the node's 7-row subtree slice; the two inner
+    child selections are elementwise where-chains over the already-
+    fetched lanes (no gather).  Updates at in-block levels past the
+    depth cap are masked, so outputs stay bit-identical to the
+    per-level walk (pinned by test against _walk_one_tree_dense)."""
+    blk = tables["dense_blk"]
+    n_trees, size, dim = tables["dense_vecs"].shape
+    batch = data.shape[0]
+    width = dim + 1
+    stats = jnp.concatenate(
+        [tables["dense_ginis"][:, :, None], tables["dense_props"]],
+        axis=2).reshape(n_trees * size, -1)
+    offs = (jnp.arange(n_trees, dtype=jnp.int32) * size)[:, None]
+
+    tag = jnp.ones((n_trees, batch), dtype=jnp.int32)
+    done = jnp.zeros((n_trees, batch), dtype=bool)
+    node = jnp.zeros((n_trees, batch), dtype=jnp.int32)
+
+    def cond(carry):
+        lvl, _, done, _ = carry
+        return (lvl <= max_depth) & ~jnp.all(done)
+
+    def block(carry):
+        lvl, tag, done, node = carry
+        row = blk[(offs + tag).reshape(-1)].reshape(
+            n_trees, batch, blk.shape[1])
+        sub = row[:, :, :width]
+        bits = jnp.zeros((n_trees, batch), jnp.int32)
+        for d in range(_BLK_LEVELS):
+            active = lvl + d <= max_depth
+            split = sub[:, :, dim]
+            is_leaf = jnp.isinf(split)
+            node = jnp.where(active & (~done) & is_leaf, tag, node)
+            done = jnp.where(active, done | is_leaf, done)
+            projection = jnp.sum(data[None] * sub[:, :, :dim], axis=2)
+            bit = (projection > split).astype(jnp.int32)
+            tag = jnp.where(active & ~done, (tag << 1) | bit, tag)
+            if d + 1 < _BLK_LEVELS:
+                # child select among level d+1's 2^(d+1) block rows:
+                # local index = in-block path bits, adjacent option
+                # pairs differ in the LSB, so select LSB upward.  Done
+                # pairs select garbage rows; their updates are masked.
+                bits = (bits << 1) | bit
+                start = (1 << (d + 1)) - 1
+                sel = [row[:, :, (start + j) * width:
+                           (start + j + 1) * width]
+                       for j in range(1 << (d + 1))]
+                for b in range(d + 1):
+                    bb = ((bits >> b) & 1)[:, :, None] == 1
+                    sel = [jnp.where(bb, hi, lo)
+                           for lo, hi in zip(sel[0::2], sel[1::2])]
+                sub = sel[0]
+        return lvl + _BLK_LEVELS, tag, done, node
+
+    _, _, _, node = jax.lax.while_loop(
+        cond, block, (jnp.int32(0), tag, done, node))
+    out = stats[(offs + node).reshape(-1)].reshape(n_trees, batch, -1)
+    return out[:, :, 0], out[:, :, 1:]
+
+
 def _walk_forest_dense(tables, data, max_depth):
     """The production dense forest walk: all trees walked together with
     the tree axis folded into the gather index, splits folded into the
@@ -681,13 +795,18 @@ def _walk_forest_dense(tables, data, max_depth):
         gather;
       * no vmap over trees: the (T, B) walk indexes a (T*SIZE, W+1)
         table directly (the vmapped formulation lowers to the same
-        gathers plus batching overhead).
+        gathers plus batching overhead);
+      * when the fit attached a blocked table (add_blocked_tables),
+        the walk takes THREE levels per gather instead
+        (:func:`_walk_forest_blocked`; 2.0x on v5e).
 
     Outputs are bit-identical to the :func:`_walk_one_tree_dense`
     formulation: the folded tables hold the same float32 values, the
     projection sum sees the same operands in the same order, and frozen
     (done) pairs are unchanged by extra levels.
     """
+    if "dense_blk" in tables:
+        return _walk_forest_blocked(tables, data, max_depth)
     dsplits = tables["dense_splits"]
     dvecs = tables["dense_vecs"]
     n_trees, size, dim = dvecs.shape

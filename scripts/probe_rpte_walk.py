@@ -19,6 +19,16 @@ variants:
                vmapped gather lowers badly
   foldflat  -- both
   shallow   -- current at max_depth=7 (cost-vs-levels linearity check)
+  k2 / k3   -- foldflat with 2 / 3 LEVELS PER GATHER: each table row
+               holds the node's whole 2^k-1-node subtree slice
+               ((2^k-1)*(W+1) lanes, still <= one 128-lane vreg row at
+               k=3/W=12), child selection within a block is an
+               elementwise where-chain, so the per-index gather cost
+               amortizes over k levels.  Wins iff gather cost is per-
+               INDEX, not per-byte, at these widths.
+  wide91    -- foldflat with rows padded to the k3 width (91) but still
+               ONE level per gather: isolates the width slope of the
+               gather so k2/k3 results are attributable.
 
 Timing is the device-trace window around K=2 calls.  One variant per
 PROCESS (the trace drain's d2h degrades this relay's process).
@@ -35,10 +45,14 @@ import time
 
 import numpy as np
 
-B = 1_000_000
+# NIMRUD_PROBE_SMALL=1: tiny CPU run printing an output digest, so the
+# structural variants (k2/k3/wide91) can be checked bit-identical to
+# foldflat before paying a device compile
+SMALL = bool(os.environ.get("NIMRUD_PROBE_SMALL"))
+B = 8192 if SMALL else 1_000_000
 T = 10
 W = 12
-DEPTH = 14
+DEPTH = 6 if SMALL else 14
 SIZE = 1 << (DEPTH + 2)
 C = 3
 RUNS = 2
@@ -69,6 +83,8 @@ def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "current"
 
     import jax
+    if SMALL:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from nimrud_tpu.learning import rpt
@@ -178,6 +194,94 @@ def main():
                                  + jnp.float32(np.spacing(32)))
             return jnp.sum(proportions * weights, axis=1)
 
+    elif variant in ("k2", "k3", "k4", "wide91"):
+        K = {"k2": 2, "k3": 3, "k4": 4, "wide91": 1}[variant]
+        R = (1 << K) - 1                     # subtree rows per block
+        PADW = 91 if variant == "wide91" else R * (W + 1)
+        base = np.concatenate(
+            [vecs, splits[:, :, None]], axis=2).reshape(T * SIZE, W + 1)
+        flat_idx = np.arange(T * SIZE)
+        tree, tagv = flat_idx // SIZE, flat_idx % SIZE
+        cols = []
+        for d in range(K):
+            for j in range(1 << d):
+                child = (tagv << d) + j
+                ok = child < SIZE
+                src = np.where(ok, tree * SIZE + np.minimum(
+                    child, SIZE - 1), 0)
+                # out-of-tree rows are only reachable past the depth
+                # cap, where every update is masked; content irrelevant
+                cols.append(base[src])
+        tab = np.concatenate(cols, axis=1)
+        if tab.shape[1] < PADW:
+            tab = np.pad(tab, ((0, 0), (0, PADW - tab.shape[1])))
+        tab_t = jnp.asarray(tab)
+        gin_t = jnp.asarray(ginis.reshape(T * SIZE))
+        prop_t = jnp.asarray(props.reshape(T * SIZE, C))
+        offs = jnp.asarray((np.arange(T) * SIZE)[:, None]
+                           .astype(np.int32))
+
+        @jax.jit
+        def run_t(data, tab):
+            tag = jnp.ones((T, B), jnp.int32)
+            done = jnp.zeros((T, B), bool)
+            node = jnp.zeros((T, B), jnp.int32)
+
+            def cond(carry):
+                lvl, _, done, _ = carry
+                return (lvl <= depth) & ~jnp.all(done)
+
+            def block(carry):
+                lvl, tag, done, node = carry
+                row = tab[(offs + tag).reshape(T * B)].reshape(
+                    T, B, PADW)
+                sub = row[:, :, :W + 1]
+                bits = jnp.zeros((T, B), jnp.int32)
+                for d in range(K):
+                    active = lvl + d <= depth
+                    split = sub[:, :, W]
+                    is_leaf = jnp.isinf(split)
+                    node = jnp.where(active & (~done) & is_leaf,
+                                     tag, node)
+                    done = jnp.where(active, done | is_leaf, done)
+                    proj = jnp.sum(data[None] * sub[:, :, :W], axis=2)
+                    bit = (proj > split).astype(jnp.int32)
+                    nxt = (tag << 1) | bit
+                    tag = jnp.where(active & ~done, nxt, tag)
+                    if d + 1 < K:
+                        # where-chain child select among level d+1's
+                        # 2^(d+1) block rows (elementwise, no gather);
+                        # local index = in-block path bits, so adjacent
+                        # option pairs differ in the LSB: select LSB
+                        # upward.  Done pairs select garbage rows whose
+                        # updates are all masked above.
+                        bits = (bits << 1) | bit
+                        start = (1 << (d + 1)) - 1
+                        sel = [row[:, :, (start + j) * (W + 1):
+                                   (start + j + 1) * (W + 1)]
+                               for j in range(1 << (d + 1))]
+                        for b in range(d + 1):
+                            bb = ((bits >> b) & 1)[:, :, None] == 1
+                            sel = [jnp.where(bb, hi, lo)
+                                   for lo, hi in zip(sel[0::2],
+                                                     sel[1::2])]
+                        sub = sel[0]
+                return lvl + K, tag, done, node
+
+            _, _, _, node = jax.lax.while_loop(
+                cond, block, (jnp.int32(0), tag, done, node))
+            nidx = (offs + node).reshape(T * B)
+            gini = gin_t[nidx].reshape(T, B)
+            proportions = prop_t[nidx].reshape(T, B, C)
+            weights = (1.0 - gini).T[:, :, None]
+            proportions = jnp.transpose(proportions, (1, 0, 2))
+            weights = weights / (jnp.sum(weights, 1, keepdims=True)
+                                 + jnp.float32(np.spacing(32)))
+            return jnp.sum(proportions * weights, axis=1)
+
+        def run(data):
+            return run_t(data, tab_t)
+
     else:
         raise SystemExit(f"unknown variant {variant!r}")
 
@@ -185,6 +289,18 @@ def main():
     out = run(data)
     jax.block_until_ready(out)
     note(f"compiled ({variant})")
+
+    if SMALL:
+        import hashlib
+        arr = np.asarray(out)
+        print(json.dumps({
+            "probe": "rpte_walk_small", "variant": variant,
+            "B": B, "depth": depth,
+            "digest": hashlib.sha1(arr.tobytes()).hexdigest(),
+            "sum": float(np.float64(arr).sum()),
+        }))
+        sys.stdout.flush()
+        os._exit(0)
 
     trace_dir = tempfile.mkdtemp(prefix="nimrud_probe_walk_")
     with jax.profiler.trace(trace_dir):

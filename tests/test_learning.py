@@ -334,19 +334,23 @@ def test_rpt_folded_forest_walk_is_bit_identical():
     probe = jnp.asarray(
         RNG.normal(size=(512, data.shape[1])).astype(np.float32) * 3)
 
-    gini_new, props_new = rpt._walk_forest_dense(
-        clf._tables, probe, clf.max_depth_)
     t = clf._tables
+    assert "dense_blk" in t        # dim=6 -> 49 lanes, blocked eligible
     import jax
     gini_ref, props_ref = jax.vmap(
         lambda sp, vc, gn, pr: rpt._walk_one_tree_dense(
             sp, vc, gn, pr, probe, clf.max_depth_))(
         t["dense_splits"], t["dense_vecs"],
         t["dense_ginis"], t["dense_props"])
-    np.testing.assert_array_equal(np.asarray(gini_new),
-                                  np.asarray(gini_ref))
-    np.testing.assert_array_equal(np.asarray(props_new),
-                                  np.asarray(props_ref))
+    # production dispatch (blocked: 3 levels per gather) AND the
+    # per-level fallback (wide-feature forests) must both match
+    for tables in (t, {k: v for k, v in t.items() if k != "dense_blk"}):
+        gini_new, props_new = rpt._walk_forest_dense(
+            tables, probe, clf.max_depth_)
+        np.testing.assert_array_equal(np.asarray(gini_new),
+                                      np.asarray(gini_ref))
+        np.testing.assert_array_equal(np.asarray(props_new),
+                                      np.asarray(props_ref))
 
 
 def test_rpt_dense_walk_matches_sparse_walk():
