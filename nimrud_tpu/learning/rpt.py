@@ -714,13 +714,41 @@ def add_blocked_tables(tables):
     return tables
 
 
+# the blocked walk's gather output is (T, chunk, 7*(W+1)) f32 -- at the
+# full 1M-point serving batch that transient is ~3.6 GB and OOMed the
+# rpte serving program on v5e (15.90G/15.75G); chunking the batch
+# bounds it at ~240 MB with identical per-point arithmetic
+_BLK_POINT_CHUNK = 65536
+
+
 def _walk_forest_blocked(tables, data, max_depth):
     """The blocked production walk: THREE levels per gather.  Each
     fetched row carries the node's 7-row subtree slice; the two inner
     child selections are elementwise where-chains over the already-
     fetched lanes (no gather).  Updates at in-block levels past the
     depth cap are masked, so outputs stay bit-identical to the
-    per-level walk (pinned by test against _walk_one_tree_dense)."""
+    per-level walk (pinned by test against _walk_one_tree_dense).
+
+    Batches beyond _BLK_POINT_CHUNK walk as a sequential lax.map over
+    point chunks (pad rows walk too and are sliced away), bounding the
+    gather transient."""
+    batch = data.shape[0]
+    if batch > _BLK_POINT_CHUNK:
+        chunk = _BLK_POINT_CHUNK
+        n_chunks = -(-batch // chunk)
+        pad = n_chunks * chunk - batch
+        padded = jnp.concatenate(
+            [data, jnp.zeros((pad, data.shape[1]), data.dtype)]) \
+            if pad else data
+        gini, props = jax.lax.map(
+            lambda d: _walk_forest_blocked(tables, d, max_depth),
+            padded.reshape(n_chunks, chunk, data.shape[1]))
+        # (n_chunks, T, chunk[, C]) -> (T, batch[, C])
+        gini = jnp.moveaxis(gini, 0, 1).reshape(
+            gini.shape[1], -1)[:, :batch]
+        props = jnp.moveaxis(props, 0, 1).reshape(
+            props.shape[1], n_chunks * chunk, -1)[:, :batch]
+        return gini, props
     blk = tables["dense_blk"]
     n_trees, size, dim = tables["dense_vecs"].shape
     batch = data.shape[0]

@@ -353,6 +353,31 @@ def test_rpt_folded_forest_walk_is_bit_identical():
                                       np.asarray(props_ref))
 
 
+def test_rpt_blocked_walk_chunking_is_bit_identical():
+    # the point-chunked blocked walk (bounds the (T, chunk, 7*(W+1))
+    # gather transient that OOMed the 1M rpte serving step) must equal
+    # the one-shot walk bitwise, including the non-divisible pad tail
+    import jax.numpy as jnp
+    from nimrud_tpu.learning import rpt
+
+    data, labels = _blobs(n_per_class=200)
+    clf = RPTEnsemble(n_estimators=4, seed=3)
+    clf.fit_device(jnp.asarray(data.astype(np.float32)),
+                   labels.astype(np.int32), n_classes=3, depth=8)
+    probe = jnp.asarray(
+        RNG.normal(size=(3001, data.shape[1])).astype(np.float32) * 3)
+    saved = rpt._BLK_POINT_CHUNK
+    try:
+        rpt._BLK_POINT_CHUNK = 512            # 5 full chunks + pad 71
+        g1, p1 = rpt._walk_forest_dense(clf._tables, probe,
+                                        clf.max_depth_)
+    finally:
+        rpt._BLK_POINT_CHUNK = saved
+    g2, p2 = rpt._walk_forest_dense(clf._tables, probe, clf.max_depth_)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
 def test_rpt_dense_walk_matches_sparse_walk():
     # the direct-index (dense) packing must reproduce the searchsorted
     # walk exactly, including dead-leaf parent backoff -- hand-built
