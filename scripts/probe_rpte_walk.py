@@ -29,6 +29,21 @@ variants:
   wide91    -- foldflat with rows padded to the k3 width (91) but still
                ONE level per gather: isolates the width slope of the
                gather so k2/k3 results are attributable.
+  k3c       -- k3 chunked over 65536-point blocks (sequential lax.map),
+               the PRODUCTION configuration (rpt._BLK_POINT_CHUNK) --
+               the baseline the hybrid must beat.
+  hybc      -- k3c with the first three BLOCKS (levels 0-8) fetched
+               without any gather: level 0's subtree row is a
+               broadcast (every pair sits at the root), and blocks at
+               levels 3 / 6 fetch their (2^d)-row level tables by
+               ONE-HOT MATMUL on the MXU (oh (T,B,2^d) @ (T,2^d,91))
+               instead of an 11.4M-row gather.  Exact under HIGHEST
+               precision -- each output lane is 1.0*x + zeros, and the
+               bf16x3 f32 decomposition reconstructs x exactly -- BUT
+               0 * inf = NaN, so the shallow tables carry 2^100 as the
+               leaf sentinel instead of +inf (power of two: exact in
+               every decomposition; real splits are data-scale).
+               Gather blocks (levels 9+) keep the inf tables.
 
 Timing is the device-trace window around K=2 calls.  One variant per
 PROCESS (the trace drain's d2h degrades this relay's process).
@@ -194,6 +209,138 @@ def main():
                                  + jnp.float32(np.spacing(32)))
             return jnp.sum(proportions * weights, axis=1)
 
+    elif variant in ("k3c", "hybc"):
+        K, R = 3, 7
+        PADW = R * (W + 1)
+        CHUNK = 65536 if not SMALL else 1024
+        SENT = np.float32(2.0 ** 100)
+        base = np.concatenate(
+            [vecs, splits[:, :, None]], axis=2).reshape(T * SIZE, W + 1)
+        flat_idx = np.arange(T * SIZE)
+        tree, tagv = flat_idx // SIZE, flat_idx % SIZE
+        cols = []
+        for d in range(K):
+            for j in range(1 << d):
+                child = (tagv << d) + j
+                src = np.where(child < SIZE, tree * SIZE + np.minimum(
+                    child, SIZE - 1), 0)
+                cols.append(base[src])
+        tab_h = np.concatenate(cols, axis=1)        # (T*SIZE, 91)
+        tab_t = jnp.asarray(tab_h)
+        gin_t = jnp.asarray(ginis.reshape(T * SIZE))
+        prop_t = jnp.asarray(props.reshape(T * SIZE, C))
+        offs = jnp.asarray((np.arange(T) * SIZE)[:, None]
+                           .astype(np.int32))
+        # shallow level tables for the matmul blocks: rows for codes
+        # [2^d, 2^(d+1)), split lanes sentinel-ized (0 * inf = NaN in
+        # the one-hot matmul)
+        tab3 = tab_h.reshape(T, SIZE, PADW)
+        split_lanes = np.arange(R) * (W + 1) + W
+        shallow = {}
+        for d in (0, 3, 6):
+            if d > DEPTH:
+                break
+            sub = tab3[:, (1 << d):(1 << (d + 1))].copy()
+            lanes = sub[:, :, split_lanes]
+            sub[:, :, split_lanes] = np.where(
+                np.isinf(lanes), SENT, lanes)
+            shallow[d] = jnp.asarray(sub)           # (T, 2^d, 91)
+        leaf_at = np.float32(2.0 ** 99)
+        n_mm_blocks = len(shallow)
+
+        def block_levels(lvl0, row, tag, done, node, data_c, shallow_blk):
+            """Apply the 3 in-block levels given the fetched 91-lane
+            subtree rows (identical math for gather and matmul blocks;
+            only the leaf test differs)."""
+            sub = row[:, :, :W + 1]
+            bits = jnp.zeros(tag.shape, jnp.int32)
+            for d in range(K):
+                active = lvl0 + d <= depth
+                split = sub[:, :, W]
+                is_leaf = (split >= leaf_at) if shallow_blk \
+                    else jnp.isinf(split)
+                node = jnp.where(active & (~done) & is_leaf, tag, node)
+                done = jnp.where(active, done | is_leaf, done)
+                proj = jnp.sum(data_c[None] * sub[:, :, :W], axis=2)
+                bit = (proj > split).astype(jnp.int32)
+                tag = jnp.where(active & ~done, (tag << 1) | bit, tag)
+                if d + 1 < K:
+                    bits = (bits << 1) | bit
+                    start = (1 << (d + 1)) - 1
+                    sel = [row[:, :, (start + j) * (W + 1):
+                               (start + j + 1) * (W + 1)]
+                           for j in range(1 << (d + 1))]
+                    for b in range(d + 1):
+                        bb = ((bits >> b) & 1)[:, :, None] == 1
+                        sel = [jnp.where(bb, hi, lo)
+                               for lo, hi in zip(sel[0::2], sel[1::2])]
+                    sub = sel[0]
+            return tag, done, node
+
+        hybrid = variant == "hybc"
+
+        @jax.jit
+        def run(data):
+            n = data.shape[0]
+            pad = -n % CHUNK
+            padded = jnp.concatenate(
+                [data, jnp.zeros((pad, W), data.dtype)]) if pad else data
+
+            def chunk_walk(data_c):
+                bc = data_c.shape[0]
+                tag = jnp.ones((T, bc), jnp.int32)
+                done = jnp.zeros((T, bc), bool)
+                node = jnp.zeros((T, bc), jnp.int32)
+                lvl0 = jnp.int32(0)
+                if hybrid:
+                    for d in sorted(shallow):
+                        if d == 0:
+                            # every pair is at the root: broadcast
+                            row = jnp.broadcast_to(
+                                shallow[0][:, 0][:, None, :],
+                                (T, bc, PADW))
+                        else:
+                            loc = tag - (1 << d)
+                            oh = (loc[:, :, None] == jnp.arange(
+                                1 << d, dtype=jnp.int32)).astype(
+                                    jnp.float32)
+                            row = jnp.einsum(
+                                "tbn,tnw->tbw", oh, shallow[d],
+                                precision=jax.lax.Precision.HIGHEST)
+                        tag, done, node = block_levels(
+                            jnp.int32(d), row, tag, done, node,
+                            data_c, True)
+                    lvl0 = jnp.int32(3 * n_mm_blocks)
+
+                def cond(carry):
+                    lvl, _, done, _ = carry
+                    return (lvl <= depth) & ~jnp.all(done)
+
+                def gblock(carry):
+                    lvl, tag, done, node = carry
+                    row = tab_t[(offs + tag).reshape(-1)].reshape(
+                        T, bc, PADW)
+                    tag, done, node = block_levels(
+                        lvl, row, tag, done, node, data_c, False)
+                    return lvl + K, tag, done, node
+
+                _, _, _, node = jax.lax.while_loop(
+                    cond, gblock, (lvl0, tag, done, node))
+                nidx = (offs + node).reshape(-1)
+                return gin_t[nidx].reshape(T, bc), \
+                    prop_t[nidx].reshape(T, bc, C)
+
+            gini, proportions = jax.lax.map(
+                chunk_walk, padded.reshape(-1, CHUNK, W))
+            gini = jnp.moveaxis(gini, 0, 1).reshape(T, -1)[:, :n]
+            proportions = jnp.moveaxis(proportions, 0, 1).reshape(
+                T, pad + n, C)[:, :n]
+            weights = (1.0 - gini).T[:, :, None]
+            proportions = jnp.transpose(proportions, (1, 0, 2))
+            weights = weights / (jnp.sum(weights, 1, keepdims=True)
+                                 + jnp.float32(np.spacing(32)))
+            return jnp.sum(proportions * weights, axis=1)
+
     elif variant in ("k2", "k3", "k4", "wide91"):
         K = {"k2": 2, "k3": 3, "k4": 4, "wide91": 1}[variant]
         R = (1 << K) - 1                     # subtree rows per block
@@ -311,9 +458,20 @@ def main():
     busy_us, window_us = device_track_stats(trace_dir)
     shutil.rmtree(trace_dir, ignore_errors=True)
 
+    # one end-of-process digest download (~12 MB) so structural
+    # variants can be compared BIT-identical across device runs
+    digest = None
+    try:
+        import hashlib
+        arr = np.asarray(out)
+        digest = hashlib.sha1(arr.tobytes()).hexdigest()
+    except Exception as error:           # pragma: no cover
+        digest = f"d2h failed: {str(error)[:80]}"
+
     print(json.dumps({
         "probe": "rpte_walk",
         "variant": variant,
+        "digest": digest,
         "B": B, "T": T, "W": W, "depth": depth, "table_slots": SIZE,
         "window_ms_per_call": round(window_us / 1e3 / RUNS, 2),
         "busy_ms_per_call": round(busy_us / 1e3 / RUNS, 2),
