@@ -243,6 +243,35 @@ def _band_features(query_padded, n_query, search, kind, edge, radii,
     return jnp.concatenate(blocks, axis=1)
 
 
+def _interp_packed_plan(search, vox_spec, lo, hi, s_bounds, m,
+                        host_centers=None):
+    """Host-side spec + candidate capacity for the PACKED attribute
+    interp (ops.interp.packed_interp): a voxel-edge tile grid whose
+    queries are the band's voxel centers and whose search side is the
+    RAW cloud.
+
+    s_cap must bound raw points per fine tile (the span tables clip at
+    span_rows = (x_seg*m+2)*s_cap): the tile grid anchors ~half a voxel
+    off the voxel grid, so a tile overlaps at most 8 voxels -- 8x the
+    measured max voxel occupancy is a hard bound on the sizing cloud
+    (denser serving clouds overflow into the counted interp
+    diagnostic via c_cap first)."""
+    from nimrud_tpu.ops import device_grid, span_host
+
+    edge = float(vox_spec.edge_length)
+    search = np.asarray(search, np.float32)[:, :3]
+    if host_centers is None:
+        host_centers = _host_unique_voxels(search, edge, bounds=s_bounds)
+    occ = _voxel_occupancy_cap(search, vox_spec)
+    ispec = device_grid.make_spec(
+        lo, hi, edge, n_query=_pow2_bucket(search.shape[0]),
+        q_cap=512, m=m, x_seg=32,
+        s_cap=_pow2_bucket(8 * occ, minimum=8))
+    ispec = device_grid.with_entry_estimate(ispec, host_centers)
+    icap = span_host.candidate_cap(host_centers, search, ispec)
+    return ispec, int(icap)
+
+
 def _voxel_occupancy_cap(search, spec):
     """Host upper bound on raw points per voxel (one key sort)."""
     s64 = search.astype(np.float64)
@@ -312,6 +341,24 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
         attributes = np.asarray(attributes, dtype=np.float32)
         attrs_dev = jnp.asarray(_pad_rows_f32(attributes, s_bucket))
 
+    backend = tuning.get("backend")
+    if backend is None:
+        # default to the production packed backend on real TPU
+        # (trace-measured ~13x the XLA candidate-table path on the
+        # 1M bench); XLA elsewhere -- the Pallas kernels only run
+        # interpreted off-TPU, which is for tests
+        import jax
+        backend = "packed" \
+            if jax.default_backend() in ("tpu", "axon") else "xla"
+    if backend not in ("xla", "pallas", "packed"):
+        # reject, don't silently fall back: "ragged" was a valid
+        # value until round 4 and a typo'd backend quietly taking
+        # the ~30x-slower XLA path would be a perf trap
+        raise ValueError(
+            f"unknown backend {backend!r}: must be 'xla', "
+            "'pallas' or 'packed' (the ragged backend was removed "
+            "-- see ROADMAP.md's probe ledger)")
+
     bands = []
     for edge, radii in scaleset:
         vox_spec = packing.GridSpec.fit_bounds(s_lo, s_hi, edge)
@@ -319,7 +366,8 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
             s_cap = tuning.get("vector_s_cap") or _pow2_bucket(
                 _voxel_occupancy_cap(search, vox_spec), minimum=8)
             interp_backend = tuning.get("interp_backend", "auto")
-            if interp_backend not in ("auto", "gather", "matmul"):
+            if interp_backend not in ("auto", "gather", "matmul",
+                                      "packed"):
                 raise ValueError(
                     f"unknown interp_backend {interp_backend!r}")
             if interp_backend == "matmul" or (
@@ -330,6 +378,27 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
                     interp.interp_to_voxels_matmul(
                         search_dev, s_valid, attrs_dev, vox_spec,
                         int(s_cap), s_lo, s_hi)
+            elif interp_backend == "packed" or (
+                    interp_backend == "auto" and backend == "packed"
+                    and attributes.shape[1] <= 6):
+                # (<= 6: wider blocks fall back to the XLA band path,
+                # whose serving side keeps the gather interp -- the
+                # interp choice must match serving's or fit features
+                # drift from served features)
+                # the packed backend interpolates through the packed-
+                # candidate machinery (the gather interp's 27 x s_cap
+                # lanes per center and serial searchsorted measured
+                # ~500x the packed step at 1M points on v5e, and its
+                # fused serving program crashed the TPU worker) --
+                # serving takes the SAME path (pipeline._band_search_
+                # prep), so fit features match served features
+                ispec, icap = _interp_packed_plan(
+                    search, vox_spec, lo, hi, (s_lo, s_hi),
+                    tuning.get("query_tile_factor", 3))
+                centers, center_mask, center_attrs = \
+                    interp.packed_interp(
+                        search_dev, s_valid, attrs_dev, vox_spec,
+                        ispec, icap)
             else:
                 centers, center_mask, center_attrs = \
                     interp.interp_to_voxels(
@@ -339,26 +408,6 @@ def extract_scaleset_fused(query, search, scaleset, kind="minimal", *,
             centers, _, center_mask = unique.unique_voxels(
                 search_dev, vox_spec, valid=s_valid)
             center_attrs = None
-        # q_cap by the kernel path this kind actually takes: the span/
-        # packed kernels want 256, the XLA masked-matmul fallback
-        # (vector / sazo kinds, or backend="xla") wants 128
-        backend = tuning.get("backend")
-        if backend is None:
-            # default to the production packed backend on real TPU
-            # (trace-measured ~13x the XLA candidate-table path on the
-            # 1M bench); XLA elsewhere -- the Pallas kernels only run
-            # interpreted off-TPU, which is for tests
-            import jax
-            backend = "packed" \
-                if jax.default_backend() in ("tpu", "axon") else "xla"
-        if backend not in ("xla", "pallas", "packed"):
-            # reject, don't silently fall back: "ragged" was a valid
-            # value until round 4 and a typo'd backend quietly taking
-            # the ~30x-slower XLA path would be a perf trap
-            raise ValueError(
-                f"unknown backend {backend!r}: must be 'xla', "
-                "'pallas' or 'packed' (the ragged backend was removed "
-                "-- see ROADMAP.md's probe ledger)")
         # the packed kernel computes SAZO natively (masked max/min dz
         # folded into the slabs) and carries up to 6 attribute columns
         # through the moment dot (V_MSO); the span kernel does neither

@@ -820,12 +820,12 @@ def _unsort_features(feats, prob, spec, n_query, n_out):
     jax.jit,
     static_argnames=("spec", "radii", "kind", "exclude_radius",
                      "n_out", "c_cap", "interpret", "entry_batch",
-                     "precision", "with_stats"))
+                     "precision", "with_stats", "metric"))
 def fused_extract_packed(query, q_valid, search, s_valid, spec, radii,
                          kind, exclude_radius, n_out, c_cap,
                          interpret=False, entry_batch=8,
                          precision="highest", with_stats=False,
-                         attributes=None):
+                         attributes=None, metric="euclidean"):
     """
     Raw padded clouds -> feature block via the dense packed-candidate
     Pallas kernel (nimrud_tpu.ops.pallas.packed_kernel).
@@ -855,7 +855,7 @@ def fused_extract_packed(query, q_valid, search, s_valid, spec, radii,
     slabs = _packed_slabs(
         prob["q_t"], prob["centers"], src3, sorted3, radii,
         exclude_radius, interpret, entry_batch, precision, sazo,
-        n_attr=n_attr)
+        n_attr=n_attr, metric=metric)
     per_radius = multiscale_kernel.moments_from_slabs(
         slabs, prob["centers"], radii, with_sazo=sazo, n_attr=n_attr)
 
@@ -942,7 +942,7 @@ def _pack_candidates(band, c_cap):
 
 def _packed_slabs(q_t, centers, src3, sorted3, radii, exclude_radius,
                   interpret, entry_batch, precision, with_sazo,
-                  n_attr=0):
+                  n_attr=0, metric="euclidean"):
     """Gather packed candidates and run the packed moment kernel,
     CHUNKED over entries for large problems.
 
@@ -966,7 +966,7 @@ def _packed_slabs(q_t, centers, src3, sorted3, radii, exclude_radius,
         return packed_kernel.packed_moments.__wrapped__(
             q_t[sl], cand_t, centers[sl], radii, exclude_radius,
             interpret, entry_batch, precision, with_sazo=with_sazo,
-            n_attr=n_attr)
+            n_attr=n_attr, metric=metric)
 
     if e_cap * c_cap <= _GATHER_CHUNK:
         return piece(slice(None))

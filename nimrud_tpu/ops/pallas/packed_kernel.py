@@ -61,7 +61,7 @@ BIG = 1.0e30           # sazo fold identity (f32 max is ~3.4e38)
 
 
 def _packed_body(radii, c_cap, exclude_radius, batch, precision,
-                 with_sazo=False, n_attr=0):
+                 with_sazo=False, n_attr=0, metric="euclidean"):
     """One grid step = ``batch`` entries.  All addressing is static:
     entry e's candidates live at lanes [e*c_cap, (e+1)*c_cap) of the
     step's candidate block.  ``with_sazo`` additionally folds the
@@ -70,9 +70,19 @@ def _packed_body(radii, c_cap, exclude_radius, batch, precision,
     attributes (cand rows 3..3+n_attr) ride the moment dot as aug rows
     10..10+n_attr (attribute SUMS -- the V_MSO masked mean's
     numerator).  sazo and attributes are mutually exclusive (both
-    claim the padding rows; no layout uses both)."""
+    claim the padding rows; no layout uses both).
+
+    ``metric="chebyshev"`` masks on the max-norm ball instead of the
+    euclidean d2 (the V_MSO attribute-interp contract, reference
+    nimrud/prototypes/mso.py:178-257); per-axis |d| <= r compares are
+    exact f32 decisions, same as the XLA chebyshev path."""
     if with_sazo and n_attr:
         raise ValueError("sazo and attributes both claim slab rows 10+")
+    if metric not in ("euclidean", "chebyshev"):
+        raise ValueError(f"unknown metric {metric!r}")
+    if metric == "chebyshev" and (with_sazo or exclude_radius is not None):
+        raise ValueError("chebyshev masks support neither sazo nor "
+                         "exclude_radius")
     if n_attr > MOMENT_PAD - 10:
         raise ValueError(
             f"packed kernel fits at most {MOMENT_PAD - 10} attributes")
@@ -114,7 +124,8 @@ def _packed_body(radii, c_cap, exclude_radius, batch, precision,
             qz = q[:, 2:3] - cz
             acc, sazo_max, sazo_min = _entry_sweep(
                 radii, c_cap, exclude_radius, cw, precision, with_sazo,
-                n_attr, cand_ref, e, cx, cy, cz, qx, qy, qz)
+                n_attr, cand_ref, e, cx, cy, cz, qx, qy, qz,
+                metric=metric)
 
             for ri in range(len(radii)):
                 out_ref[0, e, ri * MOMENT_PAD:(ri + 1) * MOMENT_PAD, :] \
@@ -128,7 +139,8 @@ def _packed_body(radii, c_cap, exclude_radius, batch, precision,
 
 
 def _entry_sweep(radii, c_cap, exclude_radius, cw, precision, with_sazo,
-                 n_attr, cand_ref, e, cx, cy, cz, qx, qy, qz):
+                 n_attr, cand_ref, e, cx, cy, cz, qx, qy, qz,
+                 metric="euclidean"):
     """One entry's chunked candidate sweep.  ``qx/qy/qz`` are the
     (q_cap, 1) ENTRY-LOCAL query columns; returns
     (acc, sazo_max, sazo_min)."""
@@ -153,7 +165,11 @@ def _entry_sweep(radii, c_cap, exclude_radius, cw, precision, with_sazo,
         dx = qx - x[None, :]                           # (q_cap, cw)
         dy = qy - y[None, :]
         dz = qz - z[None, :]
-        d2 = dx * dx + dy * dy + dz * dz
+        if metric == "chebyshev":
+            d2 = jnp.maximum(jnp.maximum(jnp.abs(dx), jnp.abs(dy)),
+                             jnp.abs(dz))              # max-norm |d|
+        else:
+            d2 = dx * dx + dy * dy + dz * dz
 
         attrs = [cand_ref[3 + i, lane0:lane0 + w]
                  for i in range(n_attr)]               # global values
@@ -164,7 +180,9 @@ def _entry_sweep(radii, c_cap, exclude_radius, cw, precision, with_sazo,
             + [jnp.zeros_like(x)] * (MOMENT_PAD - 10 - n_attr),
             axis=0)                                    # (16, cw)
 
-        if exclude_radius is not None:
+        if metric == "chebyshev":
+            masks = [d2 <= radius for radius in radii]
+        elif exclude_radius is not None:
             base_mask = d2 >= exclude_radius * exclude_radius
             masks = [base_mask & (d2 <= radius * radius)
                      for radius in radii]
@@ -214,10 +232,11 @@ def _entry_sweep(radii, c_cap, exclude_radius, cw, precision, with_sazo,
     jax.jit,
     static_argnames=("radii", "exclude_radius", "interpret",
                      "entries_per_step", "precision", "with_sazo",
-                     "n_attr"))
+                     "n_attr", "metric"))
 def packed_moments(q_t, cand_t, centers, radii, exclude_radius=None,
                    interpret=False, entries_per_step=8,
-                   precision="highest", with_sazo=False, n_attr=0):
+                   precision="highest", with_sazo=False, n_attr=0,
+                   metric="euclidean"):
     """
     Raw masked moment slabs over dense packed candidate blocks.
 
@@ -271,7 +290,7 @@ def packed_moments(q_t, cand_t, centers, radii, exclude_radius=None,
                      batch,
                      {"highest": jax.lax.Precision.HIGHEST,
                       "bf16x2": "bf16x2"}[precision], with_sazo,
-                     n_attr),
+                     n_attr, metric),
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((1, batch, 3), lambda g: (g, 0, 0),

@@ -260,11 +260,25 @@ def _band_search_prep(search, s_valid, attributes, band, kind,
     vox_dropped = jnp.zeros((), jnp.int32)
     interp_dropped = jnp.zeros((), jnp.int32)
     if kind == "vector":
-        # the multi branch is only reachable for attr_width <= 6 (the
-        # packed kernel's attribute budget), where the gather interp is
-        # the auto choice -- band[3]'s matmul-interp spec applies to
-        # the >8-column fallback path only
         from nimrud_tpu.ops import interp
+        icap = band[4] if len(band) > 4 else None
+        if icap is not None:
+            # packed-backend bands carry the packed-interp plan
+            # (band[3] = voxel-edge tile spec, band[4] = candidate
+            # cap): attribute means through the packed-candidate
+            # machinery.  The gather interp it replaces moves
+            # 27 x s_cap lanes per center through serial-searchsorted
+            # tables (28 s/step at 200k points on v5e; the 1M fused
+            # program crashed the TPU worker).  The fit extract takes
+            # the SAME path (multiscale interp_backend auto rule), so
+            # fit features match served features.
+            centers, mask, ca, i_stats = interp.packed_interp(
+                search, s_valid, attributes, vox_spec, band[3], icap,
+                with_stats=True, inner_jit=inner_jit)
+            return (centers, mask, ca, vox_dropped,
+                    interp_dropped + i_stats["dropped_search"])
+        # XLA-band fallback (attr_width > 6, or non-packed backends):
+        # the gather interp, matching the extract path's choice
         fn = interp.interp_to_voxels.__wrapped__ if inner_jit \
             else interp.interp_to_voxels
         centers, mask, ca, i_stats = fn(
@@ -493,14 +507,42 @@ class GeometryClassifier:
         model bounds differ from the search cloud's own bounds."""
         if search is None:
             search = cloud
-        return extract_scaleset_device(
-            cloud, search, self.scaleset, self.kind,
-            attributes=attributes,
-            exclude_radius=self.exclude_radius, method=self.method,
-            chunk_size=self.chunk_size,
-            tuning={"vector_s_cap": self.vector_s_cap}
-            if self.kind == "vector" else None,
-            bounds=self.bounds)
+        method = self.method
+        tuning = None
+        if self.kind == "vector":
+            # vector models pass their serving backend so the interp
+            # choice (packed vs gather -- different candidate orders
+            # and f32 sum orders) matches what predict will serve: fit
+            # features must BE the served features (the drive-matrix
+            # contract).  The packed interp only engages on the FUSED
+            # extractor, so packed vector models force it even for
+            # small clouds (the auto threshold would route them
+            # through the host interp, a third sum order).
+            tuning = {"vector_s_cap": self.vector_s_cap,
+                      "backend": self.backend}
+            if self.backend == "packed" and attributes is not None \
+                    and np.asarray(attributes).shape[1] <= 6 \
+                    and method == "auto":
+                method = "fused"
+        try:
+            return extract_scaleset_device(
+                cloud, search, self.scaleset, self.kind,
+                attributes=attributes,
+                exclude_radius=self.exclude_radius, method=method,
+                chunk_size=self.chunk_size, tuning=tuning,
+                bounds=self.bounds)
+        except ValueError:
+            if method == self.method:
+                raise
+            # unfusable configuration: fall back to the caller's method
+            # (serving cannot fuse these either, so predict falls back
+            # to this same extract path -- still consistent)
+            return extract_scaleset_device(
+                cloud, search, self.scaleset, self.kind,
+                attributes=attributes,
+                exclude_radius=self.exclude_radius, method=self.method,
+                chunk_size=self.chunk_size, tuning=tuning,
+                bounds=self.bounds)
 
     def extract(self, cloud, search=None, attributes=None):
         return np.asarray(self.extract_device(cloud, search, attributes))
@@ -777,6 +819,22 @@ class GeometryClassifier:
                         if v_cap >= s_bucket:
                             v_cap = None
                 if self.kind == "vector":
+                    if use_pallas and packed_like:
+                        # the packed interp (ops.interp.packed_interp):
+                        # band[3] = its voxel-edge tile spec, band[4] =
+                        # its host-sized candidate capacity.  The
+                        # gather interp it replaces moves 27 x s_cap
+                        # lanes per center through serial-searchsorted
+                        # tables -- measured 28 s/step at 200k points
+                        # on v5e, and its 1M fused program crashed the
+                        # TPU worker (ROADMAP round 5)
+                        ispec, icap = multiscale._interp_packed_plan(
+                            np.asarray(search, np.float32)[:, :3],
+                            vox_spec, lo, hi, (s_lo, s_hi),
+                            self.tile_m, host_centers=host_centers)
+                        specs.append((vox_spec, dev_spec, radii,
+                                      ispec, icap, c_cap))
+                        continue
                     # static plan for the matmul attribute interpolation
                     # (ops.interp.interp_to_voxels_matmul): a voxel-edge
                     # tile grid whose queries are the voxel centers

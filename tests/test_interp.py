@@ -117,3 +117,57 @@ def test_vector_fused_wide_attrs_auto_matmul():
                               tuning={"interp_backend": "gather"})
     assert auto.shape == gather.shape == (512, 16)
     assert np.abs(auto - gather).max() < 5e-5
+
+
+def test_packed_interp_matches_ball_oracle():
+    # the packed-candidate interp (round-5: replaces the 27-span gather
+    # interp on the packed backend -- that path measured 28 s/step at
+    # 200k points on v5e and its 1M serving program crashed the TPU
+    # worker): same centers/mask as the gather interp, exact masked
+    # means against a float64 chebyshev-ball oracle on its own centers
+    # (entry-local-frame boundary flips excepted -- knife-edge points
+    # at EXACTLY ball distance may differ; the oracle tolerance counts
+    # them)
+    from nimrud_tpu.features import multiscale
+
+    pts, attrs = _inputs(n=4000)
+    attrs = np.concatenate([np.ones((len(pts), 1), np.float32), attrs],
+                           axis=1)
+    s_lo = pts.min(0).astype(np.float64)
+    s_hi = pts.max(0).astype(np.float64)
+    spec = packing.GridSpec.fit_bounds(s_lo, s_hi, EDGE)
+    bucket = multiscale._pow2_bucket(len(pts))
+    sd = jnp.asarray(multiscale._pad_rows_f32(pts, bucket))
+    ad = jnp.asarray(multiscale._pad_rows_f32(attrs, bucket))
+    sv = jnp.arange(bucket) < len(pts)
+
+    ispec, icap = multiscale._interp_packed_plan(
+        pts, spec, s_lo, s_hi, (s_lo, s_hi), 3)
+    centers, mask, means, stats = interp.packed_interp(
+        sd, sv, ad, spec, ispec, icap, with_stats=True)
+    centers, mask, means = map(np.asarray, (centers, mask, means))
+    assert int(stats["dropped_search"]) == 0
+
+    # gather-interp agreement: same voxel set (same keys; center
+    # coordinates may differ in the last ulp across programs)
+    g_centers, g_mask, g_means = interp.interp_to_voxels(
+        sd, sv, ad, spec, 64)
+    assert np.array_equal(mask, np.asarray(g_mask))
+    assert np.allclose(centers[mask], np.asarray(g_centers)[mask],
+                       atol=1e-4)
+
+    # exact masked means on the packed path's own centers
+    live = np.where(mask)[0]
+    bad = 0
+    for i in live:
+        sel = np.abs(pts - centers[i]).max(1) <= np.float32(EDGE)
+        if not sel.any():
+            continue
+        want = attrs[sel].astype(np.float64).mean(0)
+        if np.abs(means[i] - want).max() > 1e-4:
+            bad += 1
+    assert bad <= max(2, len(live) // 500), (bad, len(live))
+    # ones column: masked mean of ones is exactly 1 on live centers
+    assert np.array_equal(means[mask][:, 0],
+                          np.ones(mask.sum(), np.float32))
+    assert (means[~mask] == 0).all()
