@@ -263,9 +263,15 @@ def _interp_packed_plan(search, vox_spec, lo, hi, s_bounds, m,
     if host_centers is None:
         host_centers = _host_unique_voxels(search, edge, bounds=s_bounds)
     occ = _voxel_occupancy_cap(search, vox_spec)
+    # q_cap 128 (not the extraction's 512): the interp's search side is
+    # the RAW cloud, so per-entry candidate totals run ~4x the main
+    # extract's; a 512-center entry box pushed single-cap c_cap to
+    # ~18.5k lanes at the 1M bench -- whose ~36 unrolled compute chunks
+    # overran the kernel's 16 MB scoped-VMEM budget (compile-time OOM
+    # on v5e).  128 keeps c_cap at the main extract's known-good scale.
     ispec = device_grid.make_spec(
         lo, hi, edge, n_query=_pow2_bucket(search.shape[0]),
-        q_cap=512, m=m, x_seg=32,
+        q_cap=128, m=m, x_seg=32,
         s_cap=_pow2_bucket(8 * occ, minimum=8))
     ispec = device_grid.with_entry_estimate(ispec, host_centers)
     icap = span_host.candidate_cap(host_centers, search, ispec)

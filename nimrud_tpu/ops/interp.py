@@ -215,9 +215,14 @@ def packed_interp(search, s_valid, attributes, spec, dev_spec, c_cap, *,
     centers, _, mask = unique.unique_voxels(search, spec, valid=s_valid)
     fn = device_grid.fused_extract_packed.__wrapped__ if inner_jit \
         else device_grid.fused_extract_packed
+    # entry_batch 2 (not the extraction default 8): the interp's
+    # per-entry candidate caps run ~4x the main extract's (raw cloud,
+    # not a voxel downsample, behind each center), and 8 unrolled
+    # entries' candidate blocks + temporaries overran the 16 MB scoped
+    # VMEM budget at the 1M workload (compile-time OOM on v5e)
     out = fn(centers, mask, search, s_valid, dev_spec, (ball,),
              "vector", None, centers.shape[0], int(c_cap), interpret,
-             8, precision, with_stats=with_stats,
+             2, precision, with_stats=with_stats,
              attributes=attributes, metric="chebyshev")
     if not with_stats:
         return centers, mask, out

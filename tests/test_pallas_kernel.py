@@ -333,10 +333,13 @@ def test_packed_entry_chunked_matches_unchunked():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_packed_sazo_matches_xla():
     # the packed kernel computes SAZO natively (masked max/min dz in
     # slab rows 10/11); the statistic itself is exact arithmetic, so it
     # must agree with the XLA path bit for bit wherever populations do
+    # (slow: two full fused compiles, ~143 s on this host; the fast
+    # op-level twin is test_packed_moments_sazo_and_chebyshev_op_level)
     from nimrud_tpu.features.multiscale import extract_scaleset
     rng = np.random.default_rng(31)
     search = (rng.random((12000, 3)) * [20, 20, 5]).astype(np.float32)
@@ -446,3 +449,50 @@ def test_scan_pack_plan_matches_host_mirror():
         jnp.asarray(pts), jnp.zeros(n, bool))
     assert int(np.asarray(dead["count"]).sum()) == 0
     assert np.isfinite(np.asarray(dead["centers"])).all()
+
+
+def test_packed_moments_sazo_and_chebyshev_op_level():
+    # fast op-level twin of the full-pipeline sazo test (which is
+    # compile-heavy and runs under -m slow): the packed kernel's sazo
+    # rows (masked max/min signed z offset, slab rows 10/11) and the
+    # round-5 chebyshev metric (the packed-interp mask) against a
+    # float64 oracle on tiny packed blocks
+    from nimrud_tpu.ops.pallas import packed_kernel as pkk
+
+    n_e, q_cap, c_cap = 4, 16, 128
+    q_t = (RNG.random((n_e, 3, q_cap)) * 2 - 1).astype(np.float32)
+    cand = (RNG.random((3, n_e * c_cap)) * 2 - 1).astype(np.float32)
+    centers = (RNG.random((n_e, 3)) * 0.5).astype(np.float32)
+    radius = 0.8
+
+    slabs = np.asarray(pkk.packed_moments(
+        jnp.asarray(q_t), jnp.asarray(cand), jnp.asarray(centers),
+        (radius,), interpret=True, with_sazo=True))
+    cheb = np.asarray(pkk.packed_moments(
+        jnp.asarray(q_t), jnp.asarray(cand), jnp.asarray(centers),
+        (radius,), interpret=True, metric="chebyshev"))
+
+    for e in range(n_e):
+        ce = centers[e]
+        s_local = cand[:, e * c_cap:(e + 1) * c_cap].T - ce  # (c, 3)
+        q_local = q_t[e].T - ce                              # (q, 3)
+        for qi in range(q_cap):
+            d = s_local - q_local[qi]
+            mask_e = (d ** 2).sum(1) <= radius * radius
+            mask_c = np.abs(d).max(1) <= np.float32(radius)
+            # counts (slab row 0) exact under both metrics
+            assert slabs[e, qi, 0] == mask_e.sum(), (e, qi)
+            assert cheb[e, qi, 0] == mask_c.sum(), (e, qi)
+            # sazo rows: masked max/min of the signed z offset s - q
+            dz = d[:, 2]
+            if mask_e.any():
+                assert np.isclose(slabs[e, qi, 10], dz[mask_e].max(),
+                                  atol=1e-6)
+                assert np.isclose(slabs[e, qi, 11], dz[mask_e].min(),
+                                  atol=1e-6)
+    # chebyshev rejects sazo and exclude_radius loudly
+    with pytest.raises(ValueError):
+        pkk.packed_moments(
+            jnp.asarray(q_t), jnp.asarray(cand), jnp.asarray(centers),
+            (radius,), interpret=True, metric="chebyshev",
+            with_sazo=True)
