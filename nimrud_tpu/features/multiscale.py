@@ -263,15 +263,19 @@ def _interp_packed_plan(search, vox_spec, lo, hi, s_bounds, m,
     if host_centers is None:
         host_centers = _host_unique_voxels(search, edge, bounds=s_bounds)
     occ = _voxel_occupancy_cap(search, vox_spec)
-    # q_cap 128 (not the extraction's 512): the interp's search side is
-    # the RAW cloud, so per-entry candidate totals run ~4x the main
-    # extract's; a 512-center entry box pushed single-cap c_cap to
-    # ~18.5k lanes at the 1M bench -- whose ~36 unrolled compute chunks
-    # overran the kernel's 16 MB scoped-VMEM budget (compile-time OOM
-    # on v5e).  128 keeps c_cap at the main extract's known-good scale.
+    # q_cap 128 / x_seg 1 (not the extraction's 512 / 32): the interp
+    # grid's tile edge EQUALS the ball radius (the main extract's fine
+    # tile is max(radii), >= every ball), so an entry's candidate box
+    # is pure voxel-scale fringe -- while its x-extent is the whole
+    # x-SEGMENT.  At x_seg=32 the coarse band's entry boxes swallowed
+    # ~96 m x-runs of the RAW cloud (c_cap ~47k lanes; ~92 unrolled
+    # compute chunks overran the kernel's 16 MB scoped-VMEM stack at
+    # compile time on v5e, measured twice at q_cap 512 and 128).  One
+    # coarse tile per segment bounds the box at (m+2)^3 fine tiles and
+    # c_cap at the main extract's known-good scale.
     ispec = device_grid.make_spec(
         lo, hi, edge, n_query=_pow2_bucket(search.shape[0]),
-        q_cap=128, m=m, x_seg=32,
+        q_cap=128, m=m, x_seg=1,
         s_cap=_pow2_bucket(8 * occ, minimum=8))
     ispec = device_grid.with_entry_estimate(ispec, host_centers)
     icap = span_host.candidate_cap(host_centers, search, ispec)
