@@ -41,11 +41,12 @@ def save_model(model, path):
     elif isinstance(model, RPTEnsemble):
         if model._tables is None:
             raise ValueError("model is not fitted")
-        # dense_blk is DERIVED (the 3-levels-per-gather walk table,
-        # 7x the vec table's bytes); rebuild it on load instead
+        # dense_blk* are DERIVED (the 3-levels-per-gather walk table,
+        # 7x the vec table's bytes, plus its sentinel-ized shallow
+        # matmul slices); rebuilt on load instead
         arrays = {key: np.asarray(value)
                   for key, value in model._tables.items()
-                  if key != "dense_blk"}
+                  if not key.startswith("dense_blk")}
         meta = {
             "kind": "rpte",
             "numlabs": int(model.numlabs),

@@ -671,6 +671,21 @@ _BLK_ROWS = (1 << _BLK_LEVELS) - 1
 _BLK_MAX_LANES = 128
 _BLK_MAX_BYTES = 1 << 30
 
+# shallow blocks fetched by ONE-HOT MATMUL instead of gather: at block
+# base level d there are only 2^d nodes per tree, so the (T, B, 2^d)
+# one-hot against the (T, 2^d, 91) level table runs on the MXU while
+# the gather walk is index-rate bound.  EXACT under HIGHEST precision
+# (each output lane is 1.0*x + zeros; the bf16x3 f32 decomposition
+# reconstructs x bitwise -- v5e probe k3c vs hybc digests identical,
+# scripts/probe_rpte_walk.py) -- BUT 0 * inf = NaN, so these tables
+# carry 2^100 as the leaf sentinel (a power of two: exact in every
+# decomposition; real splits are data-scale).  d=0 is a free broadcast
+# (every pair sits at the root).  Beyond d=6 the one-hot materialization
+# and matmul outgrow the gather (HBM traffic ~ B * 2^d).
+_MM_BLOCK_STARTS = (0, 3, 6)
+_MM_SENTINEL = np.float32(2.0 ** 100)
+_MM_LEAF_AT = np.float32(2.0 ** 99)
+
 
 def _blocked_table(dsplits, dvecs):
     """The 3-levels-per-gather walk table: row (t, n) holds the folded
@@ -698,9 +713,12 @@ def _blocked_table(dsplits, dvecs):
 
 
 def add_blocked_tables(tables):
-    """Attach the derived blocked-walk table when the dense packing
-    exists and the blocked row fits one vector register (W <= 17) at a
-    sane memory cost.  Idempotent; returns the same dict."""
+    """Attach the derived blocked-walk table (and the sentinel-ized
+    shallow level slices for the one-hot matmul blocks) when the dense
+    packing exists and the blocked row fits one vector register
+    (W <= 17) at a sane memory cost.  Idempotent; returns the same
+    dict.  All ``dense_blk*`` keys are DERIVED -- excluded from
+    persistence and rebuilt on load."""
     if "dense_splits" not in tables or "dense_blk" in tables:
         return tables
     n_trees, size, dim = tables["dense_vecs"].shape
@@ -709,8 +727,21 @@ def add_blocked_tables(tables):
         return tables
     if n_trees * size * lanes * 4 > _BLK_MAX_BYTES:
         return tables
-    tables["dense_blk"] = _blocked_table(
-        tables["dense_splits"], tables["dense_vecs"])
+    blk = _blocked_table(tables["dense_splits"], tables["dense_vecs"])
+    tables["dense_blk"] = blk
+    width = dim + 1
+    split_lanes = jnp.asarray(
+        np.arange(_BLK_ROWS) * width + dim, jnp.int32)
+    blk3 = blk.reshape(n_trees, size, _BLK_ROWS * width)
+    for d in _MM_BLOCK_STARTS:
+        lo, hi = 1 << d, 1 << (d + 1)
+        if hi > size:
+            break
+        sub = blk3[:, lo:hi]                     # (T, 2^d, 7*(W+1))
+        col = sub[:, :, split_lanes]
+        sub = sub.at[:, :, split_lanes].set(
+            jnp.where(jnp.isinf(col), _MM_SENTINEL, col))
+        tables[f"dense_blk_mm{d}"] = sub
     return tables
 
 
@@ -762,20 +793,17 @@ def _walk_forest_blocked(tables, data, max_depth):
     done = jnp.zeros((n_trees, batch), dtype=bool)
     node = jnp.zeros((n_trees, batch), dtype=jnp.int32)
 
-    def cond(carry):
-        lvl, _, done, _ = carry
-        return (lvl <= max_depth) & ~jnp.all(done)
-
-    def block(carry):
-        lvl, tag, done, node = carry
-        row = blk[(offs + tag).reshape(-1)].reshape(
-            n_trees, batch, blk.shape[1])
+    def block_levels(lvl0, row, tag, done, node, shallow):
+        """The 3 in-block levels over fetched 7-row subtree slices --
+        identical math for gather and matmul blocks; only the leaf
+        test differs (the matmul tables carry the finite sentinel)."""
         sub = row[:, :, :width]
         bits = jnp.zeros((n_trees, batch), jnp.int32)
         for d in range(_BLK_LEVELS):
-            active = lvl + d <= max_depth
+            active = lvl0 + d <= max_depth
             split = sub[:, :, dim]
-            is_leaf = jnp.isinf(split)
+            is_leaf = (split >= _MM_LEAF_AT) if shallow \
+                else jnp.isinf(split)
             node = jnp.where(active & (~done) & is_leaf, tag, node)
             done = jnp.where(active, done | is_leaf, done)
             projection = jnp.sum(data[None] * sub[:, :, :dim], axis=2)
@@ -796,10 +824,43 @@ def _walk_forest_blocked(tables, data, max_depth):
                     sel = [jnp.where(bb, hi, lo)
                            for lo, hi in zip(sel[0::2], sel[1::2])]
                 sub = sel[0]
+        return tag, done, node
+
+    # shallow blocks without any gather: one-hot MXU matmul row select
+    # (v5e probe: 1383 -> 1018 ms per 1M x 10-tree x depth-14 walk,
+    # digest-identical; scripts/probe_rpte_walk.py k3c vs hybc)
+    lvl0 = 0
+    for d in _MM_BLOCK_STARTS:
+        mm = tables.get(f"dense_blk_mm{d}")
+        if mm is None or d > max_depth:
+            break
+        if d == 0:
+            row = jnp.broadcast_to(mm[:, 0][:, None, :],
+                                   (n_trees, batch, mm.shape[2]))
+        else:
+            # done pairs hold a frozen tag < 2^d: all-zero one-hot,
+            # zero rows, every update masked by `done` above
+            loc = tag - (1 << d)
+            oh = (loc[:, :, None] == jnp.arange(
+                1 << d, dtype=jnp.int32)).astype(jnp.float32)
+            row = jnp.einsum("tbn,tnw->tbw", oh, mm,
+                             precision=jax.lax.Precision.HIGHEST)
+        tag, done, node = block_levels(d, row, tag, done, node, True)
+        lvl0 = d + _BLK_LEVELS
+
+    def cond(carry):
+        lvl, _, done, _ = carry
+        return (lvl <= max_depth) & ~jnp.all(done)
+
+    def block(carry):
+        lvl, tag, done, node = carry
+        row = blk[(offs + tag).reshape(-1)].reshape(
+            n_trees, batch, blk.shape[1])
+        tag, done, node = block_levels(lvl, row, tag, done, node, False)
         return lvl + _BLK_LEVELS, tag, done, node
 
     _, _, _, node = jax.lax.while_loop(
-        cond, block, (jnp.int32(0), tag, done, node))
+        cond, block, (jnp.int32(lvl0), tag, done, node))
     out = stats[(offs + node).reshape(-1)].reshape(n_trees, batch, -1)
     return out[:, :, 0], out[:, :, 1:]
 
