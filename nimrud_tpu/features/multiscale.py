@@ -244,7 +244,7 @@ def _band_features(query_padded, n_query, search, kind, edge, radii,
 
 
 def _interp_packed_plan(search, vox_spec, lo, hi, s_bounds, m,
-                        host_centers=None):
+                        host_centers=None, segment_wide=False):
     """Host-side spec + candidate capacity for the PACKED attribute
     interp (ops.interp.packed_interp): a voxel-edge tile grid whose
     queries are the band's voxel centers and whose search side is the
@@ -278,8 +278,26 @@ def _interp_packed_plan(search, vox_spec, lo, hi, s_bounds, m,
         q_cap=128, m=m, x_seg=1,
         s_cap=_pow2_bucket(8 * occ, minimum=8))
     ispec = device_grid.with_entry_estimate(ispec, host_centers)
-    icap = span_host.candidate_cap(host_centers, search, ispec)
-    return ispec, int(icap)
+    if segment_wide:
+        # multichip sizing: each SHARD packs its own center subset into
+        # entries this host mirror cannot reproduce, but any packing's
+        # candidate set is a subset of the segment-wide rows -- and the
+        # split buckets' rank cuts are meaningless across shard
+        # packings, so the multichip program takes ONE bounding cap
+        icap = span_host.candidate_cap(host_centers, search, ispec,
+                                       segment_wide=True)
+        return ispec, int(icap)
+    # multi-bucket split caps (same machinery as the main extract):
+    # the interp's per-entry totals against the RAW cloud are heavy-
+    # tailed, and the single max-sized cap wasted ~3-5x the live lanes
+    # (ROADMAP round 5: ~29M candidate lanes/band at 1M points, the
+    # interp ~630 ms of the 687 ms vector serving step).  Small-cap
+    # buckets also unroll more entries per kernel step within the
+    # scoped-VMEM budget (device_grid._bucket_entry_batch).
+    icap = span_host.candidate_caps_split(host_centers, search, ispec)
+    if not isinstance(icap, tuple):
+        return ispec, int(icap)
+    return ispec, icap
 
 
 def _voxel_occupancy_cap(search, spec):

@@ -838,24 +838,30 @@ def fused_extract_packed(query, q_valid, search, s_valid, spec, radii,
     gather, and the kernel is a pure grid-pipelined static sweep with
     no scalar-core work at all.
 
-    ``c_cap`` (static, multiple of 128) bounds candidates per entry;
-    entries beyond it are truncated and counted in the
-    ``dropped_candidates`` stat -- size it with :func:`packed_cap`
-    (measured max + margin) to keep the path exact.
+    ``c_cap`` bounds candidates per entry: one static int (multiple of
+    128), or a multi-bucket ``(caps, bounds)`` split from
+    span_host.candidate_caps_split (the packed attribute interp's caps
+    are heavy-tailed at x_seg=1 -- the split runs each descending-total
+    entry bucket at its own capacity AND entry batch, see
+    :func:`_bucketed_slabs`).  Entries beyond their capacity are
+    truncated and counted in the ``dropped_candidates`` stat -- size
+    with :func:`packed_cap` / ``candidate_caps_split`` (measured max +
+    margin) to keep the path exact.
     """
     from nimrud_tpu.features import layouts
-    from nimrud_tpu.ops.pallas import packed_kernel, multiscale_kernel
+    from nimrud_tpu.ops.pallas import multiscale_kernel
 
     n_attr = 0 if attributes is None else attributes.shape[1]
     prob = _span_problem(query, q_valid, search, s_valid, spec,
                          attrs=attributes)
-    src3, sorted3, dropped = _pack_candidates(prob, c_cap)
+    sorted3 = _far_extended(prob["sorted_pts"])
 
     sazo = layouts.needs_sazo(kind)
-    slabs = _packed_slabs(
-        prob["q_t"], prob["centers"], src3, sorted3, radii,
-        exclude_radius, interpret, entry_batch, precision, sazo,
-        n_attr=n_attr, metric=metric)
+    slabs, dropped = _bucketed_slabs(
+        prob["q_t"], prob["centers"], prob["span_starts"],
+        prob["span_lens"], sorted3, c_cap, radii, exclude_radius,
+        interpret, entry_batch, precision, sazo, n_attr=n_attr,
+        metric=metric)
     per_radius = multiscale_kernel.moments_from_slabs(
         slabs, prob["centers"], radii, with_sazo=sazo, n_attr=n_attr)
 
@@ -932,12 +938,69 @@ def _far_extended(sorted_pts):
         jnp.full((1, width), packed_kernel.FAR, jnp.float32)])
 
 
-def _pack_candidates(band, c_cap):
-    """Single-band form of :func:`_pack_src` (+ the extended cloud)."""
-    sorted3 = _far_extended(band["sorted_pts"])
-    src3, dropped = _pack_src(band["span_starts"], band["span_lens"],
-                              c_cap, sorted3.shape[0] - 1)
-    return src3, sorted3, dropped
+def _bucket_entry_batch(base, cap):
+    """Entries per kernel grid step for one capacity bucket.
+
+    The packed kernel's scoped-VMEM stack is ~0.12 MB x entry_batch x
+    ceil(c_cap/512) compute chunks against a 16 MB limit (constant
+    measured from two compile-OOM probes on v5e, ROADMAP round 5), so
+    large-cap callers must run few entries per step -- but with
+    multi-bucket split caps only the TOP bucket is large, and the small
+    buckets can unroll the default 8 entries within the budget.  Never
+    returns less than ``base`` (the caller's known-good batch at its
+    max cap), so single-cap behavior is unchanged."""
+    chunks = -(-int(cap) // 512)
+    fit = int(8.0 / (0.12 * chunks))        # ~half the 16 MB budget
+    return max(base, min(8, max(fit, 1)))
+
+
+def _bucketed_slabs(q_t_c, centers_c, starts_c, lens_c, sorted3, c_cap,
+                    radii, exclude_radius, interpret, entry_batch,
+                    precision, with_sazo, n_attr=0, metric="euclidean"):
+    """Moment slabs for a slice of entries at one int capacity or at
+    multi-bucket ``(caps, bounds)`` split capacities from
+    span_host.candidate_caps_split.  Returns ``(slabs, dropped)``.
+
+    Per-entry candidate totals are heavy-tailed, so one cap sized for
+    the max leaves the packing gather and the kernel mostly dead; the
+    split path argsorts entries by measured total and runs each
+    descending-rank bucket at its own capacity (and its own
+    entry-batch: small caps fit more unrolled entries in scoped VMEM).
+    The slabs are un-permuted before returning, so downstream order
+    never sees the sort -- results are BIT-identical to the single-cap
+    path when nothing is dropped (each entry's packed block holds the
+    same candidate rows in the same slots; extra dead slots accumulate
+    exact zeros)."""
+    if isinstance(c_cap, tuple):
+        caps, bounds = c_cap
+        totals = jnp.sum(lens_c, axis=1)
+        order = jnp.argsort(-totals)
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0], dtype=order.dtype))
+        edges = (0,) + tuple(
+            min(b, order.shape[0]) for b in bounds) + (order.shape[0],)
+        parts = []
+        drop = jnp.zeros((), jnp.int32)
+        for cap, a, b in zip(caps, edges[:-1], edges[1:]):
+            if a >= b:
+                continue
+            idx = order[a:b]
+            src3, dr = _pack_src(starts_c[idx], lens_c[idx], cap,
+                                 sorted3.shape[0] - 1)
+            parts.append(_packed_slabs(
+                q_t_c[idx], centers_c[idx], src3, sorted3, radii,
+                exclude_radius, interpret,
+                _bucket_entry_batch(entry_batch, cap), precision,
+                with_sazo, n_attr=n_attr, metric=metric))
+            drop = drop + dr
+        return jnp.concatenate(parts)[inv], drop
+    src3, drop = _pack_src(starts_c, lens_c, c_cap,
+                           sorted3.shape[0] - 1)
+    slabs = _packed_slabs(
+        q_t_c, centers_c, src3, sorted3, radii, exclude_radius,
+        interpret, entry_batch, precision, with_sazo, n_attr=n_attr,
+        metric=metric)
+    return slabs, drop
 
 
 def _packed_slabs(q_t, centers, src3, sorted3, radii, exclude_radius,
@@ -1096,35 +1159,10 @@ def fused_extract_packed_multi(query, q_valid, searches, s_valids,
         see the sort.  ``bounds`` past a short (ragged last) chunk
         clip to the chunk and empty buckets drop out statically.
         """
-        if isinstance(c_cap, tuple):
-            caps, bounds = c_cap
-            totals = jnp.sum(lens_c, axis=1)
-            order = jnp.argsort(-totals)
-            inv = jnp.zeros_like(order).at[order].set(
-                jnp.arange(order.shape[0], dtype=order.dtype))
-            edges = (0,) + tuple(
-                min(b, order.shape[0]) for b in bounds) \
-                + (order.shape[0],)
-            parts = []
-            drop = jnp.zeros((), jnp.int32)
-            for cap, a, b in zip(caps, edges[:-1], edges[1:]):
-                if a >= b:
-                    continue
-                idx = order[a:b]
-                src3, dr = _pack_src(starts_c[idx], lens_c[idx], cap,
-                                     sorted3.shape[0] - 1)
-                parts.append(_packed_slabs(
-                    q_t_c[idx], centers_c[idx], src3, sorted3, radii,
-                    exclude_radius, interpret, entry_batch, precision,
-                    sazo, n_attr=n_attr))
-                drop = drop + dr
-            slabs = jnp.concatenate(parts)[inv]
-        else:
-            src3, drop = _pack_src(starts_c, lens_c, c_cap,
-                                   sorted3.shape[0] - 1)
-            slabs = _packed_slabs(
-                q_t_c, centers_c, src3, sorted3, radii, exclude_radius,
-                interpret, entry_batch, precision, sazo, n_attr=n_attr)
+        slabs, drop = _bucketed_slabs(
+            q_t_c, centers_c, starts_c, lens_c, sorted3, c_cap, radii,
+            exclude_radius, interpret, entry_batch, precision, sazo,
+            n_attr=n_attr)
         per_radius = multiscale_kernel.moments_from_slabs(
             slabs, centers_c, radii, with_sazo=sazo, n_attr=n_attr)
         q_pts_c = jnp.swapaxes(q_t_c, 1, 2)

@@ -215,13 +215,17 @@ def packed_interp(search, s_valid, attributes, spec, dev_spec, c_cap, *,
     centers, _, mask = unique.unique_voxels(search, spec, valid=s_valid)
     fn = device_grid.fused_extract_packed.__wrapped__ if inner_jit \
         else device_grid.fused_extract_packed
-    # entry_batch 2 (not the extraction default 8): the interp's
+    # entry_batch base 2 (not the extraction default 8): the interp's
     # per-entry candidate caps run ~4x the main extract's (raw cloud,
     # not a voxel downsample, behind each center), and 8 unrolled
     # entries' candidate blocks + temporaries overran the 16 MB scoped
-    # VMEM budget at the 1M workload (compile-time OOM on v5e)
+    # VMEM budget at the 1M workload (compile-time OOM on v5e).  With
+    # multi-bucket (caps, bounds) split capacities only the top bucket
+    # is large; the small buckets unroll up to 8 entries again
+    # (device_grid._bucket_entry_batch).
+    cap = c_cap if isinstance(c_cap, tuple) else int(c_cap)
     out = fn(centers, mask, search, s_valid, dev_spec, (ball,),
-             "vector", None, centers.shape[0], int(c_cap), interpret,
+             "vector", None, centers.shape[0], cap, interpret,
              2, precision, with_stats=with_stats,
              attributes=attributes, metric="chebyshev")
     if not with_stats:

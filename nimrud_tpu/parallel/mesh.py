@@ -499,7 +499,8 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
                           bounds_lo, bounds_hi, rows, clf_kind,
                           clf_params, clf_static=None, *,
                           precision="highest", backend="xla",
-                          c_caps=None, n_attr=0, vector_s_cap=32):
+                          c_caps=None, n_attr=0, vector_s_cap=32,
+                          interp_plans=None):
     """
     Multi-chip SERVING: the whole production inference step -- two-phase
     halo exchange, device voxelize, tile build, masked moments, feature
@@ -523,6 +524,13 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
     attributes onto its voxel centers (Chebyshev masked mean,
     ``vector_s_cap`` points per voxel) and the packed kernel computes
     the per-radius attribute means natively (n_attr <= 6).
+    ``interp_plans`` (packed vector only): per-band ``(ispec, icap)``
+    tuples from multiscale._interp_packed_plan(segment_wide=True) route
+    each shard's interpolation through the PACKED candidate machinery
+    -- the gather interp it replaces moves 27 x s_cap lanes per center
+    through serial-searchsorted tables and crashed the TPU worker at
+    production shard sizes (ROADMAP round 5); without plans the shard
+    program keeps the gather interp (test-size fallback).
 
     Returns f(blocks, valid) -> ((n_devices, rows) int32 labels,
     (n_devices,) int32 per-shard overflow counts), device-major
@@ -583,16 +591,22 @@ def make_fused_predict_2d(mesh, halo_x, halo_y, scaleset, kind,
         dropped = jnp.zeros((), jnp.int32)
         if use_packed:
             centers, masks, cattrs = [], [], []
-            for vox_spec, dev_spec, _ in specs:
+            for bi, (vox_spec, dev_spec, _) in enumerate(specs):
                 if kind == "vector":
                     # V_MSO: interpolate shard attributes onto the
                     # voxel centers (attrs then ride the band sort
                     # into the packed kernel's attribute rows)
                     from nimrud_tpu.ops import interp
-                    c, mk, ca, ist = \
-                        interp.interp_to_voxels.__wrapped__(
-                            search, s_valid, s_attr, vox_spec,
-                            vector_s_cap, with_stats=True)
+                    if interp_plans is not None:
+                        isp, icap = interp_plans[bi]
+                        c, mk, ca, ist = interp.packed_interp(
+                            search, s_valid, s_attr, vox_spec, isp,
+                            icap, with_stats=True, inner_jit=True)
+                    else:
+                        c, mk, ca, ist = \
+                            interp.interp_to_voxels.__wrapped__(
+                                search, s_valid, s_attr, vox_spec,
+                                vector_s_cap, with_stats=True)
                     dropped = dropped + ist["dropped_search"]
                     cattrs.append(ca)
                 else:

@@ -197,10 +197,9 @@ def _fused_predict_step(query, q_valid, search, s_valid, clf_params,
             feats, b_stats = device_grid.fused_extract_packed.__wrapped__(
                 query, q_valid, centers, mask, dev_spec, radii, kind,
                 exclude_radius, n_query,
-                # the single-band path takes one capacity; a split spec
-                # collapses to its max bucket (correct, un-optimized)
-                int(max(c_cap[0])) if isinstance(c_cap, tuple)
-                else int(c_cap),
+                # single-band path: split (caps, bounds) pass straight
+                # through (device_grid._bucketed_slabs)
+                c_cap if isinstance(c_cap, tuple) else int(c_cap),
                 interpret, 8, span_prec, with_stats=True)
             dropped_query = dropped_query + b_stats["dropped_query"]
             cand_dropped = cand_dropped + b_stats["dropped_candidates"]
@@ -1314,6 +1313,7 @@ class GeometryClassifier:
 
         mc_backend = self.backend
         c_caps = None
+        interp_plans = None
         if mc_backend == "packed" \
                 and (self.kind != "vector" or n_attr <= 6):
             # (mirror of mesh.make_fused_predict_2d's use_packed gate:
@@ -1346,6 +1346,29 @@ class GeometryClassifier:
                 c_caps = self._size_multichip_caps(cloud, lo, hi, rows)
                 if caps_key is not None:
                     self._multichip_caps_cache[caps_key] = c_caps
+            if self.kind == "vector":
+                # per-band packed-interp plans (segment-wide single
+                # caps -- shard packings cannot share split-bucket rank
+                # cuts): each shard interpolates through the packed
+                # candidate machinery instead of the gather interp,
+                # which crashed the TPU worker at production shard
+                # sizes (ROADMAP round 5)
+                plans_key = None if caps_key is None \
+                    else caps_key + ("interp",)
+                if plans_key is not None:
+                    interp_plans = self._multichip_caps_cache.get(
+                        plans_key)
+                if interp_plans is None:
+                    interp_plans = tuple(
+                        multiscale._interp_packed_plan(
+                            cloud,
+                            packing.GridSpec.fit_bounds(lo, hi, edge),
+                            lo, hi, (lo, hi), self.tile_m,
+                            segment_wide=True)
+                        for edge, _ in self.scaleset)
+                    if plans_key is not None:
+                        self._multichip_caps_cache[plans_key] = \
+                            interp_plans
         # one compiled program per (mesh, static shard shape, backend):
         # streams of same-size clouds hit the cache (halo caps are
         # pow2-bucketed, so they repeat for same-scene clouds); fit()
@@ -1353,7 +1376,7 @@ class GeometryClassifier:
         key = (id(mesh), tuple(int(s) for s in mesh_shape),
                int(shards["blocks"].shape[1]),
                int(shards["halo_x"]), int(shards["halo_y"]),
-               mc_backend, c_caps, n_attr)
+               mc_backend, c_caps, n_attr, interp_plans)
         if not hasattr(self, "_multichip_cache"):   # pre-cache pickles
             self._multichip_cache = {}
         run = self._multichip_cache.get(key)
@@ -1364,7 +1387,8 @@ class GeometryClassifier:
                 clf_kind, clf_params, clf_static,
                 precision=self.precision, backend=mc_backend,
                 c_caps=c_caps, n_attr=n_attr,
-                vector_s_cap=self.vector_s_cap)
+                vector_s_cap=self.vector_s_cap,
+                interp_plans=interp_plans)
             if len(self._multichip_cache) > 8:  # bound compiled programs
                 self._multichip_cache.clear()
             self._multichip_cache[key] = run

@@ -103,6 +103,9 @@ def main():
 
     import jax
 
+    from nimrud_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     from nimrud_tpu.features import multiscale
     from nimrud_tpu.utils.profiling import device_track_stats
     from nimrud_tpu.utils.workload import (

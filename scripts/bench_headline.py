@@ -50,6 +50,11 @@ def note(msg):
 def main():
     import jax
 
+    # persistent XLA compile cache: remote relay compiles are
+    # 90-500 s and dominate the stage budget; warm hits are ~0.1 s
+    from nimrud_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     cloud, labels = make_bench_cloud()
     # production serving configuration: quantized uint16 uploads, fixed
     # site bounds (one compiled program for the whole stream), entry

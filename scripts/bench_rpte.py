@@ -36,6 +36,11 @@ def note(msg):
 def main():
     import jax
 
+    # persistent XLA compile cache: remote relay compiles are
+    # 90-500 s and dominate the stage budget; warm hits are ~0.1 s
+    from nimrud_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     from nimrud_tpu.utils.profiling import device_track_stats
     from nimrud_tpu.utils.workload import (
         BENCH_N_POINTS as N_POINTS, make_bench_cloud, make_bench_model)

@@ -31,6 +31,14 @@ jax.config.update("jax_platforms", "cpu")
 # stays float32/int32 regardless
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compile cache: the suite's wall time on this 1-core
+# host is dominated by CPU compiles of the heavy mesh/pipeline programs;
+# warm repeat runs skip them (entries are keyed by HLO + platform, so
+# CPU test entries coexist with the bench's TPU entries).
+from nimrud_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 
 @pytest.fixture
 def rng():

@@ -171,3 +171,50 @@ def test_packed_interp_matches_ball_oracle():
     assert np.array_equal(means[mask][:, 0],
                           np.ones(mask.sum(), np.float32))
     assert (means[~mask] == 0).all()
+
+
+def test_packed_interp_split_caps_match_single_cap():
+    # round-5 follow-up: the packed interp's per-entry candidate totals
+    # against the RAW cloud are heavy-tailed, so _interp_packed_plan
+    # sizes multi-bucket (caps, bounds) split capacities
+    # (span_host.candidate_caps_split) instead of one max-sized cap.
+    # Each entry's packed block holds the same candidate rows in the
+    # same slots whichever bucket it lands in (and whatever entry batch
+    # the bucket unrolls), so the means must be BIT-identical to the
+    # single-cap path when nothing is dropped.
+    from nimrud_tpu.features import multiscale
+    from nimrud_tpu.ops import span_host
+
+    # heavy tail: a dense cluster inside a sparse field
+    sparse = (RNG.random((2500, 3)) * [10, 10, 3]).astype(np.float32)
+    dense = RNG.normal([5, 5, 1.5], 0.1, (2500, 3)).astype(np.float32)
+    pts = np.vstack([sparse, dense]).astype(np.float32)
+    frac = (pts / EDGE) % 1.0
+    pts = pts[np.all((frac > 0.02) & (frac < 0.98), axis=1)]
+    attrs = RNG.random((len(pts), 2)).astype(np.float32)
+    s_lo = pts.min(0).astype(np.float64)
+    s_hi = pts.max(0).astype(np.float64)
+    spec = packing.GridSpec.fit_bounds(s_lo, s_hi, EDGE)
+    bucket = multiscale._pow2_bucket(len(pts))
+    sd = jnp.asarray(multiscale._pad_rows_f32(pts, bucket))
+    ad = jnp.asarray(multiscale._pad_rows_f32(attrs, bucket))
+    sv = jnp.arange(bucket) < len(pts)
+
+    ispec, icap = multiscale._interp_packed_plan(
+        pts, spec, s_lo, s_hi, (s_lo, s_hi), 3)
+    assert isinstance(icap, tuple), icap         # the cluster splits
+    caps, bounds = icap
+    assert len(caps) == len(bounds) + 1
+    single = span_host.candidate_cap(
+        multiscale._host_unique_voxels(pts, EDGE, bounds=(s_lo, s_hi)),
+        pts, ispec)
+
+    c_split, m_split, a_split, st_split = interp.packed_interp(
+        sd, sv, ad, spec, ispec, icap, with_stats=True)
+    c_one, m_one, a_one, st_one = interp.packed_interp(
+        sd, sv, ad, spec, ispec, single, with_stats=True)
+    assert int(st_split["dropped_search"]) == 0
+    assert int(st_one["dropped_search"]) == 0
+    np.testing.assert_array_equal(np.asarray(m_split), np.asarray(m_one))
+    np.testing.assert_array_equal(np.asarray(c_split), np.asarray(c_one))
+    np.testing.assert_array_equal(np.asarray(a_split), np.asarray(a_one))
